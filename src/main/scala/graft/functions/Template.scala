@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiles the reference's per-record output template into a single
+  * Catalyst column expression.
+  *
+  * The reference renders every record through a Go `text/template`
+  * (reference `main.go:103-114` parse, `main.go:281-289` exec; default
+  * template `{{.ShortHostId}} {{.Timestamp}} {{.LogEntry}}` at
+  * `main.go:65`). Instead of interpreting a template per row, we compile
+  * the template ONCE into a `concat(...)` expression tree so rendering
+  * stays inside whole-stage codegen — the per-row interpreter loop of the
+  * reference becomes a vectorized projection.
+  *
+  * Supported syntax (the subset the reference's README documents):
+  *   - literal text, passed through unchanged
+  *   - `{{.Field}}` — envelope/JSON field access, resolved via `fields`
+  *   - `{{strftime "%fmt" .Field}}` — timestamp formatting through
+  *     [[Strftime]] (the reference registers the same function at
+  *     `main.go:104-107`)
+  *
+  * Unknown fields fail at compile time (the reference fails template
+  * parse at startup with exit code 2 — same fail-fast contract).
+  */
+object Template {
+  private val Token = raw"\{\{\s*(?:\.(\w+)|strftime\s+\"([^\"]*)\"\s+\.(\w+))\s*\}\}".r
+
+  def compile(template: String, fields: Map[String, Column]): Column = {
+    def field(name: String): Column =
+      fields.getOrElse(
+        name,
+        throw new IllegalArgumentException(
+          s"template references unknown field .$name (known: ${fields.keys.mkString(", ")})"))
+
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    for (m <- Token.findAllMatchIn(template)) {
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      if (m.group(1) != null) parts += field(m.group(1)).cast("string")
+      else parts += Strftime.format(field(m.group(3)), m.group(2))
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+  }
+
+  /** The reference's default template (`main.go:65`), with `Timestamp`
+    * rendered as seconds-precision ISO-8601.
+    */
+  val DefaultTemplate = "{{.ShortHostId}} {{strftime \"%Y-%m-%dT%H:%M:%S\" .Timestamp}} {{.LogEntry}}"
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline operators
+  * (SURVEY.md §2 group D): tokenization, deterministic token hashing,
+  * fingerprints. All built-in expressions — codegen-friendly, no UDFs —
+  * and every hash is definable identically in ANSI-ish SQL so results can
+  * be oracle-checked cross-engine.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the documents table is single-space
+    * separated; `split` is a regex split in Spark).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic 16-bit token hash: first 4 hex chars of md5, parsed
+    * base-16. Engine-portable (DuckDB: strpos-arithmetic over the same
+    * md5 hex), unlike Spark's `hash()` (Murmur3 with Spark-specific seed).
+    */
+  def tokenHash16(tok: Column): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long")
+
+  /** Polynomial rolling-hash fingerprint of the token stream:
+    * `acc := (acc * 131 + tokenHash16(t)) mod (2^31 - 1)`, folded in token
+    * order via the `aggregate` higher-order function. Order-sensitive by
+    * design — a document fingerprint, not a bag hash. Intermediate values
+    * stay ≤ 2^31·131 + 2^16, far inside int64.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * 131L + tokenHash16(t)) % 2147483647L)
+
+  /** Hex digit at 1-based position `pos` (column) of md5(tok), as 0-15. */
+  def md5HexDigit(tok: Column, pos: Column): Column =
+    conv(md5(tok).substr(pos, lit(1)), 16, 10).cast("long")
+}

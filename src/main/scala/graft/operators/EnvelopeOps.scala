@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.{Strftime, Template}
+
+/** Group A (SURVEY.md §2.A): the reference's literal operator surface —
+  * sharded source scan, envelope projection, JSON payload parse, template
+  * render, strftime, start-time filter, batch limit, ordered replay.
+  *
+  * The reference processes these record-at-a-time per shard goroutine
+  * (reference `main.go:247-293`); here each is a declarative projection
+  * over the `events` stream surrogate so the whole pipeline is one
+  * narrow, whole-stage-codegen'd stage with filter/column pushdown into
+  * the parquet scan. Shard ≅ input partition; at 100 TB the same plan
+  * fans out to one task per file split with zero shuffles.
+  */
+object EnvelopeOps {
+
+  /** Synthesizes the reference's partition-key shapes from `user_id`
+    * (TESTDATA maps `user_id` → host/partition key). The reference sees
+    * ARN / `ip-address:a.b.c.d` / `uuid:...` keys (`main.go:249-250`).
+    */
+  def hostId(userId: Column): Column =
+    when(userId % 3 === 0,
+      concat(lit("arn:aws:ecs:cluster/default:task/"), userId.cast("string")))
+      .when(userId % 3 === 1,
+        concat(lit("ip-address:10.0.0."), (userId % 256).cast("string")))
+      .otherwise(concat(lit("uuid:instance/"), userId.cast("string")))
+
+  /** `ShortHostId` derivation (reference `main.go:252-262`): last
+    * `:`-segment of the partition key, with `task/` / `instance/`
+    * prefixes stripped.
+    */
+  def shortHostId(hostId: Column): Column =
+    regexp_replace(element_at(split(hostId, ":"), -1), "^(task/|instance/)", "")
+
+  /** Full envelope projection (reference `main.go:264-279`):
+    * ts / host_id / short_host_id / seq / log_entry (+ raw json props).
+    */
+  def envelope(events: DataFrame): DataFrame =
+    events
+      .withColumn("host_id", hostId(col("user_id")))
+      .withColumn("short_host_id", shortHostId(col("host_id")))
+
+  /** Envelope + default-template render — the reference's end-to-end
+    * record pipeline (`printRecords`, `main.go:247-293`) as one
+    * projection. Used as the flagship `SparkEntry.entry` query.
+    */
+  def renderPipeline(events: DataFrame): DataFrame = {
+    val env = envelope(events)
+    env.select(
+      col("event_id"),
+      Template.compile(
+        Template.DefaultTemplate,
+        Map(
+          "ShortHostId" -> col("short_host_id"),
+          "HostId" -> col("host_id"),
+          "Timestamp" -> col("ts"),
+          "SequenceNumber" -> col("event_id"),
+          "LogEntry" -> col("props"))).as("line"))
+  }
+
+  // DuckDB fragment for the same host_id/short_host_id derivation.
+  private val duckHostId =
+    """CASE WHEN user_id % 3 = 0 THEN 'arn:aws:ecs:cluster/default:task/' || CAST(user_id AS VARCHAR)
+      |     WHEN user_id % 3 = 1 THEN 'ip-address:10.0.0.' || CAST(user_id % 256 AS VARCHAR)
+      |     ELSE 'uuid:instance/' || CAST(user_id AS VARCHAR) END""".stripMargin.replace("\n", " ")
+  private val duckShort =
+    "regexp_replace(list_extract(string_split(host_id, ':'), -1), '^(task/|instance/)', '')"
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
+
+  val qs: Seq[Q] = Seq(
+    Q("a1_source_scan",
+      (s, dir) =>
+        ev(s, dir)
+          .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .orderBy("event_id"),
+      Some("SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id")),
+
+    Q("a2_envelope_project",
+      (s, dir) =>
+        envelope(ev(s, dir))
+          .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+            col("host_id"), col("short_host_id"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, ts, host_id, $duckShort AS short_host_id
+              | FROM (SELECT event_id, ts, $duckHostId AS host_id FROM events)
+              | ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    Q("a3_json_parse",
+      (s, dir) =>
+        ev(s, dir).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("double").as("k_val"),
+          get_json_object(col("props"), "$.missing").as("missing_val"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_val,
+             | json_extract_string(props, '$.missing') AS missing_val
+             | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    Q("a4_template_render",
+      (s, dir) => renderPipeline(ev(s, dir)).orderBy("event_id"),
+      Some(s"""SELECT event_id, concat_ws(' ', $duckShort, strftime(ts, '%Y-%m-%dT%H:%M:%S'), props) AS line
+              | FROM (SELECT event_id, ts, props, $duckHostId AS host_id FROM events)
+              | ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    Q("a5_strftime",
+      (s, dir) =>
+        ev(s, dir).select(
+          col("event_id"),
+          Strftime.format(col("ts"), "%Y-%m-%d").as("d"),
+          Strftime.format(col("ts"), "%H:%M:%S").as("t"),
+          Strftime.format(col("ts"), "%Y-%m-%dT%H:%M:%S").as("iso"),
+          Strftime.format(col("ts"), "%Y/%m/%d %H:%M").as("slashed"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%d') AS d, strftime(ts, '%H:%M:%S') AS t,
+             | strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso, strftime(ts, '%Y/%m/%d %H:%M') AS slashed
+             | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    Q("a6_time_filter",
+      (s, dir) =>
+        ev(s, dir)
+          .filter(col("ts") >= expr("timestamp'2024-01-15 00:00:00'"))
+          .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, ts, event_type FROM events
+             | WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    Q("a7_batch_limit",
+      (s, dir) =>
+        ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy("event_id").limit(1000),
+      Some("SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 1000")),
+
+    Q("a8_ordered_replay",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val shard = (col("user_id") % 4).as("shard")
+        ev(s, dir)
+          .select(col("event_id"), shard)
+          .withColumn("seq",
+            row_number()
+              .over(Window.partitionBy(col("shard")).orderBy(col("event_id")))
+              .cast("long"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id % 4 AS shard,
+             | row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS seq
+             | FROM events ORDER BY event_id""".stripMargin.replace("\n", " ")))
+  )
+}

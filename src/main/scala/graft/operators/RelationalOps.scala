@@ -1,0 +1,536 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Group B (SURVEY.md §2.B): the relational core, run on the TPC-H-ish
+  * tables. Everything is declared through the DataFrame API so Catalyst
+  * owns physical strategy: broadcast-vs-shuffle join choice, partial
+  * aggregation, TakeOrderedAndProject for top-k, AQE skew handling.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *   - dimension joins (`nation`, `region`, the query-side of b2/b6) are
+  *     explicitly `broadcast()` — zero shuffle of the fact side;
+  *   - fact-fact joins (b1/b3/b4/b5) shuffle on the join key once; at
+  *     scale the same code benefits from bucketing both sides on
+  *     `custkey` (a storage layout decision, not a plan change);
+  *   - the as-of join (b7) is a single shuffle on `user_id` + one sorted
+  *     window pass — no range-join explosion;
+  *   - aggregates are hash aggregates with map-side partial combine.
+  *
+  * Determinism: money sums run in DECIMAL(18,2) on both engines (exact,
+  * order-independent); averages are rounded; every query ends in a
+  * total-order ORDER BY.
+  */
+object RelationalOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Exact, order-independent money sum: DECIMAL(18,2) in, DECIMAL(18,2) out. */
+  private def sumMoney(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("decimal(18,2)")
+  private def duckSumMoney(x: String): String =
+    s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+
+  private def sql(s: String): String =
+    s.stripMargin.replace("\n", " ").trim
+
+  // ---------------------------------------------------------------- joins
+
+  private val joins: Seq[Q] = Seq(
+    Q("b1_join_inner",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("c_custkey"), col("c_name"))
+          .orderBy("o_orderkey"),
+      Some(sql("""SELECT o_orderkey, o_totalprice, c_custkey, c_name
+                 | FROM orders JOIN customer ON o_custkey = c_custkey
+                 | ORDER BY o_orderkey"""))),
+
+    Q("b2_join_broadcast",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+          .orderBy("n_nationkey"),
+      Some(sql("""SELECT n_nationkey, n_name, r_name
+                 | FROM nation JOIN region ON n_regionkey = r_regionkey
+                 | ORDER BY n_nationkey"""))),
+
+    Q("b3_join_left_outer",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first),
+      Some(sql("""SELECT c_custkey, o_orderkey, o_totalprice
+                 | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                 | ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST"""))),
+
+    Q("b4_join_semi",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy("c_custkey"),
+      Some(sql("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+                 | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                 | ORDER BY c_custkey"""))),
+
+    Q("b5_join_anti",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy("c_custkey"),
+      Some(sql("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+                 | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                 | ORDER BY c_custkey"""))),
+
+    // Theta/range join: supplier side is tiny → broadcast nested loop;
+    // the scale path for fact-fact range joins is binning both sides on
+    // floor(value/width) and equi-joining bins (documented, not needed here).
+    Q("b6_join_range_theta",
+      (s, dir) =>
+        t(s, dir, "part")
+          .join(
+            broadcast(t(s, dir, "supplier")),
+            col("p_retailprice").between(col("s_acctbal") / 10 - 2, col("s_acctbal") / 10 + 2))
+          .select(col("p_partkey"), col("s_suppkey"), col("p_retailprice"), col("s_acctbal"))
+          .orderBy("p_partkey", "s_suppkey"),
+      Some(sql("""SELECT p_partkey, s_suppkey, p_retailprice, s_acctbal
+                 | FROM part JOIN supplier
+                 | ON p_retailprice BETWEEN s_acctbal / 10 - 2 AND s_acctbal / 10 + 2
+                 | ORDER BY p_partkey, s_suppkey"""))),
+
+    // As-of join: for each purchase event, the latest error event at or
+    // before it for the same user. One shuffle on user_id + one sorted
+    // window pass (no O(n·m) range join). At equal ts the error sorts
+    // first (is_p ascending) → inclusive `<=` semantics.
+    Q("b7_join_asof",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "error"))
+          .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_p").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn(
+            "last_error_ts",
+            last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("ts"),
+            col("last_error_ts").cast("timestamp_ntz").as("last_error_ts"))
+          .orderBy("event_id")
+      },
+      Some(sql("""SELECT p.event_id, p.user_id, p.ts,
+                 | (SELECT max(e.ts) FROM events e
+                 |  WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts) AS last_error_ts
+                 | FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""")))
+  )
+
+  // ----------------------------------------------------------- aggregates
+
+  private val aggs: Seq[Q] = Seq(
+    // TPC-H Q1-shaped hash aggregate: partial (map-side) + final combine.
+    Q("c1_agg_hash_group",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sumMoney(col("l_quantity")).as("sum_qty"),
+            sumMoney(col("l_extendedprice")).as("sum_base_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(sql(s"""SELECT l_returnflag, l_linestatus,
+                  | ${duckSumMoney("l_quantity")} AS sum_qty,
+                  | ${duckSumMoney("l_extendedprice")} AS sum_base_price,
+                  | round(avg(l_quantity), 4) AS avg_qty,
+                  | round(avg(l_discount), 4) AS avg_disc,
+                  | count(*) AS count_order
+                  | FROM lineitem GROUP BY l_returnflag, l_linestatus
+                  | ORDER BY l_returnflag, l_linestatus"""))),
+
+    Q("c2_agg_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_parts"),
+            countDistinct(col("l_suppkey")).as("nd_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some(sql("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+                 | count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n_rows
+                 | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
+    Q("c3_agg_rollup",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_cust"),
+            sumMoney(col("c_acctbal")).as("sum_bal"),
+            grouping(col("n_name")).cast("int").as("g_nation"),
+            grouping(col("c_mktsegment")).cast("int").as("g_seg"))
+          .orderBy(col("g_nation"), col("g_seg"),
+            col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first),
+      Some(sql(s"""SELECT n_name, c_mktsegment, count(*) AS n_cust,
+                  | ${duckSumMoney("c_acctbal")} AS sum_bal,
+                  | CAST(grouping(n_name) AS INTEGER) AS g_nation,
+                  | CAST(grouping(c_mktsegment) AS INTEGER) AS g_seg
+                  | FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  | GROUP BY ROLLUP(n_name, c_mktsegment)
+                  | ORDER BY g_nation, g_seg, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""))),
+
+    Q("c4_agg_cube",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .cube(col("c_mktsegment"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sumMoney(col("o_totalprice")).as("sum_price"),
+            grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+            grouping(col("o_orderpriority")).cast("int").as("g_pri"))
+          .orderBy(col("g_seg"), col("g_pri"),
+            col("c_mktsegment").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(sql(s"""SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+                  | ${duckSumMoney("o_totalprice")} AS sum_price,
+                  | CAST(grouping(c_mktsegment) AS INTEGER) AS g_seg,
+                  | CAST(grouping(o_orderpriority) AS INTEGER) AS g_pri
+                  | FROM orders JOIN customer ON o_custkey = c_custkey
+                  | GROUP BY CUBE(c_mktsegment, o_orderpriority)
+                  | ORDER BY g_seg, g_pri, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))),
+
+    Q("c5_agg_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+        s.sql(sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                     | ${duckSumMoney("l_quantity")} AS sum_qty,
+                     | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                     | CAST(grouping(l_linestatus) AS INT) AS g_ls
+                     | FROM graft_li_gs
+                     | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+                     | ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+      },
+      Some(sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                  | ${duckSumMoney("l_quantity")} AS sum_qty,
+                  | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                  | CAST(grouping(l_linestatus) AS INT) AS g_ls
+                  | FROM lineitem
+                  | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+                  | ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))),
+
+    Q("c6_agg_stats",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some(sql("""SELECT l_returnflag, min(l_extendedprice) AS min_price,
+                 | max(l_extendedprice) AS max_price,
+                 | round(avg(l_extendedprice), 4) AS avg_price,
+                 | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                 | count(*) AS n_rows
+                 | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
+  )
+
+  // -------------------------------------------------------------- windows
+
+  private val windows: Seq[Q] = Seq(
+    Q("d1_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            row_number().over(w).cast("long").as("rn"))
+          .orderBy("c_custkey")
+      },
+      Some(sql("""SELECT c_custkey, c_mktsegment, c_acctbal,
+                 | rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn
+                 | FROM customer
+                 | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+                 | ORDER BY c_custkey"""))),
+
+    // Running sum in DECIMAL: sequential frame → exact on both engines.
+    Q("d2_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("decimal(18,2)").as("running_total"))
+          .orderBy("o_orderkey")
+      },
+      Some(sql("""SELECT o_orderkey, o_custkey,
+                 | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                 |   (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+                 | FROM orders ORDER BY o_orderkey"""))),
+
+    Q("d3_window_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"))
+          .orderBy("event_id")
+      },
+      Some(sql("""SELECT event_id, user_id, value,
+                 | lag(value, 1) OVER w AS prev_value, lead(value, 1) OVER w AS next_value
+                 | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC)
+                 | ORDER BY event_id"""))),
+
+    Q("d4_window_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rangeBetween(-1000L, 0L)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            sum(col("value").cast("decimal(18,2)")).over(w)
+              .cast("decimal(18,2)").as("windowed_sum"))
+          .orderBy("event_id")
+      },
+      Some(sql("""SELECT event_id, user_id,
+                 | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+                 |   (PARTITION BY user_id ORDER BY event_id
+                 |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS windowed_sum
+                 | FROM events ORDER BY event_id"""))),
+
+    Q("d5_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some(sql("""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+                 |   SELECT c_mktsegment, c_custkey, c_acctbal,
+                 |     row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                 |   FROM customer)
+                 | WHERE rn <= 3 ORDER BY c_mktsegment, rn""")))
+  )
+
+  // --------------------------------------------------- sort / set / scalar
+
+  private val sortSet: Seq[Q] = Seq(
+    Q("e1_sort_multi",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+            col("c_acctbal"))
+          .orderBy(col("c_nationkey").desc, col("seg_or_null").asc_nulls_first,
+            col("c_acctbal").desc, col("c_custkey").asc),
+      Some(sql("""SELECT c_custkey, c_nationkey, nullif(c_mktsegment, 'BUILDING') AS seg_or_null, c_acctbal
+                 | FROM customer
+                 | ORDER BY c_nationkey DESC, seg_or_null ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC"""))),
+
+    // Global top-k: orderBy+limit → TakeOrderedAndProject (no full sort,
+    // per-partition heaps + driver merge — the 100 TB-safe global top-k).
+    Q("e2_topk_global",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some(sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                 | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))),
+
+    Q("f1_union_all",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("src"))
+          .unionAll(t(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("src")))
+          .orderBy("id", "src"),
+      Some(sql("""SELECT c_custkey AS id, 'customer' AS src FROM customer
+                 | UNION ALL SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+                 | ORDER BY id, src"""))),
+
+    Q("f2_union_distinct",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("n_key"))
+          .union(t(s, dir, "supplier").select(col("s_nationkey").as("n_key")))
+          .distinct()
+          .orderBy("n_key"),
+      Some(sql("""SELECT c_nationkey AS n_key FROM customer
+                 | UNION SELECT s_nationkey AS n_key FROM supplier ORDER BY n_key"""))),
+
+    Q("f3_intersect",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("n_key"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("n_key")))
+          .orderBy("n_key"),
+      Some(sql("""SELECT c_nationkey AS n_key FROM customer
+                 | INTERSECT SELECT s_nationkey AS n_key FROM supplier ORDER BY n_key"""))),
+
+    Q("f4_except",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("n_key"))
+          .except(t(s, dir, "supplier").select(col("s_nationkey").as("n_key")))
+          .orderBy("n_key"),
+      Some(sql("""SELECT c_nationkey AS n_key FROM customer
+                 | EXCEPT SELECT s_nationkey AS n_key FROM supplier ORDER BY n_key""")))
+  )
+
+  private val scalars: Seq[Q] = Seq(
+    Q("g1_string_funcs",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("up_name"),
+            lower(col("p_brand")).as("lo_brand"),
+            substring(col("p_name"), 1, 8).as("name8"),
+            trim(col("p_name")).as("trimmed"),
+            lpad(col("p_size").cast("string"), 5, "0").as("size5"),
+            regexp_replace(col("p_type"), " ", "_").as("type_us"),
+            length(col("p_name")).cast("long").as("name_len"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+          .orderBy("p_partkey"),
+      Some(sql("""SELECT p_partkey, upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+                 | substring(p_name, 1, 8) AS name8, trim(p_name) AS trimmed,
+                 | lpad(CAST(p_size AS VARCHAR), 5, '0') AS size5,
+                 | replace(p_type, ' ', '_') AS type_us,
+                 | CAST(length(p_name) AS BIGINT) AS name_len,
+                 | concat_ws('|', p_brand, p_type) AS brand_type
+                 | FROM part ORDER BY p_partkey"""))),
+
+    Q("g2_date_funcs",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            datediff(lit("2024-01-01").cast("date"), col("o_orderdate")).as("days_to_2024"),
+            date_add(col("o_orderdate"), 30).as("plus30"))
+          .orderBy("o_orderkey"),
+      Some(sql("""SELECT o_orderkey, date_trunc('month', o_orderdate) AS month_start,
+                 | CAST(year(o_orderdate) AS INTEGER) AS yr,
+                 | CAST(month(o_orderdate) AS INTEGER) AS mo,
+                 | CAST(day(o_orderdate) AS INTEGER) AS dom,
+                 | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-01-01') AS INTEGER) AS days_to_2024,
+                 | CAST(o_orderdate AS DATE) + 30 AS plus30
+                 | FROM orders ORDER BY o_orderkey"""))),
+
+    Q("g3_math_funcs",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            ceil(col("l_extendedprice")).as("ceil_price"),
+            floor(col("l_extendedprice")).as("floor_price"),
+            abs(col("l_discount") - 0.05).as("abs_disc_dev"),
+            pow(lit(2.0), col("l_linenumber")).as("pow2_line"),
+            round(log(col("l_extendedprice")), 4).as("ln_price"),
+            (col("l_orderkey") % 7).as("mod7"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(sql("""SELECT l_orderkey, l_linenumber,
+                 | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+                 | CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+                 | abs(l_discount - 0.05) AS abs_disc_dev,
+                 | power(2.0, l_linenumber) AS pow2_line,
+                 | round(ln(l_extendedprice), 4) AS ln_price,
+                 | l_orderkey % 7 AS mod7
+                 | FROM lineitem ORDER BY l_orderkey, l_linenumber"""))),
+
+    Q("g4_array_funcs",
+      (s, dir) => {
+        val toks = split(col("p_name"), " ")
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            size(toks).cast("long").as("n_tokens"),
+            array_contains(toks, "red").as("has_red"),
+            explode(sort_array(toks)).as("token"))
+          .orderBy("p_partkey", "token")
+      },
+      Some(sql("""SELECT p_partkey,
+                 | CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+                 | list_contains(string_split(p_name, ' '), 'red') AS has_red,
+                 | unnest(list_sort(string_split(p_name, ' '))) AS token
+                 | FROM part ORDER BY p_partkey, token"""))),
+
+    // Map build + explode to sorted (key, value) rows — never emit raw
+    // MapType (hash-order unstable across engines, SURVEY §7 H4).
+    Q("g5_map_funcs",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            explode(map(
+              lit("type"), col("event_type"),
+              lit("uid"), col("user_id").cast("string"))))
+          .withColumnRenamed("key", "prop_key")
+          .withColumnRenamed("value", "prop_value")
+          .orderBy("event_id", "prop_key"),
+      Some(sql("""SELECT event_id, prop_key, prop_value FROM (
+                 |   SELECT event_id, 'type' AS prop_key, event_type AS prop_value FROM events
+                 |   UNION ALL
+                 |   SELECT event_id, 'uid' AS prop_key, CAST(user_id AS VARCHAR) AS prop_value FROM events)
+                 | ORDER BY event_id, prop_key"""))),
+
+    Q("g6_json_funcs",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("double").as("k_double"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+            get_json_object(col("props"), "$.k").as("k_str"),
+            get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
+            from_json(col("props"), "k INT").getField("k").as("k_struct"))
+          .orderBy("event_id"),
+      Some(sql("""SELECT event_id,
+                 | CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
+                 | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+                 | json_extract_string(props, '$.k') AS k_str,
+                 | json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+                 | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+                 | FROM events ORDER BY event_id"""))),
+
+    Q("g7_case_when",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            when(col("o_totalprice") > 400000, "high")
+              .when(col("o_totalprice") > 200000, "mid")
+              .otherwise("low").as("price_band"),
+            when(col("o_orderstatus") === "F", 1)
+              .when(col("o_orderstatus") === "O", 2)
+              .otherwise(0).as("status_code"),
+            when(col("o_orderpriority").startsWith("1"),
+              when(col("o_totalprice") > 300000, "urgent_big").otherwise("urgent_small"))
+              .otherwise("normal").as("nested_band"))
+          .orderBy("o_orderkey"),
+      Some(sql("""SELECT o_orderkey,
+                 | CASE WHEN o_totalprice > 400000 THEN 'high'
+                 |      WHEN o_totalprice > 200000 THEN 'mid' ELSE 'low' END AS price_band,
+                 | CASE WHEN o_orderstatus = 'F' THEN 1 WHEN o_orderstatus = 'O' THEN 2 ELSE 0 END AS status_code,
+                 | CASE WHEN o_orderpriority LIKE '1%' THEN
+                 |        CASE WHEN o_totalprice > 300000 THEN 'urgent_big' ELSE 'urgent_small' END
+                 |      ELSE 'normal' END AS nested_band
+                 | FROM orders ORDER BY o_orderkey""")))
+  )
+
+  val qs: Seq[Q] = joins ++ aggs ++ windows ++ sortSet ++ scalars
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Event, Q, Tables}
+
+/** Group C (SURVEY.md §2.C): Structured-Streaming-shaped operators.
+  *
+  * Design rule (SURVEY §2.C): each operator is ONE logic function
+  * (`DataFrame => DataFrame`) applied to both a batch DataFrame (for the
+  * DuckDB oracle) and a replayed `MemoryStream`/file-source stream (for
+  * the ScalaTest stream≡batch equivalence specs in
+  * `graft.StreamingSpec`). This is the unified batch/stream model of
+  * Structured Streaming — the plan, not the code, differs between modes.
+  *
+  * The reference's poll loop (reference `main.go:295-396`) is the
+  * degenerate case: trigger = poll interval, offset checkpoint = saved
+  * sequence number, one-shot = `Trigger.AvailableNow`.
+  */
+object StreamingOps {
+
+  /** Event-time tumbling window (1 h) per event_type: count + money sum. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("ws"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding window (1 h every 30 min): per-window event count. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("timestamp_ntz").as("ws"), col("cnt"))
+
+  /** Session window (10-minute gap) per user: start + event count. */
+  def session(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("cnt"))
+
+  /** Keyed dedup, keep-first by event_id. Deterministic batch twin of
+    * streaming `dropDuplicates` (which keeps an arbitrary row — the
+    * stream variant is exercised in ScalaTest, not oracled).
+    */
+  def dedupFirst(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+  }
+
+  /** Per-key running-aggregate state, as the typed fold a
+    * `mapGroupsWithState` stream keeps per key: event count, exact sum in
+    * integer cents, last seen event_id — folded in event-time order.
+    * Batch form = the final state after the stream drains; the streaming
+    * twin lives in `graft.streaming.StatefulRunning` and is asserted
+    * equivalent in ScalaTest.
+    */
+  final case class RunningState(
+      user_id: Long, n_events: Long, sum_cents: Long, last_event_id: Long)
+
+  def foldEvents(userId: Long, it: Iterator[Event]): RunningState = {
+    var n = 0L; var cents = 0L; var lastId = Long.MinValue
+    for (e <- it.toSeq.sortBy(_.event_id)) {
+      n += 1
+      cents += math.round(e.value * 100)
+      lastId = e.event_id
+    }
+    RunningState(userId, n, cents, lastId)
+  }
+
+  def statefulRunning(events: Dataset[Event]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).mapGroups((uid, it) => foldEvents(uid, it)).toDF()
+  }
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
+  private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
+
+  val qs: Seq[Q] = Seq(
+    Q("h1_stream_tumbling",
+      (s, dir) => tumbling(ev(s, dir)).orderBy("ws", "event_type"),
+      Some(sql("""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt,
+                 | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+                 | FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""))),
+
+    // Each event lands in exactly two 1h/30m windows: the one starting at
+    // its 30-minute bucket and the one 30 minutes earlier.
+    Q("h2_stream_sliding",
+      (s, dir) => sliding(ev(s, dir)).orderBy("ws"),
+      Some(sql("""SELECT ws, count(*) AS cnt FROM (
+                 |   SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+                 |   UNION ALL
+                 |   SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws FROM events)
+                 | GROUP BY ws ORDER BY ws"""))),
+
+    // Oracle: classic gaps-and-islands. Spark's session merge condition is
+    // strict (`next.ts < prev.ts + gap`), so a break is `diff >= gap`.
+    Q("h3_stream_session",
+      (s, dir) => session(ev(s, dir)).orderBy("user_id", "session_start"),
+      Some(sql("""WITH brk AS (
+                 |   SELECT user_id, ts,
+                 |     CASE WHEN lag(ts) OVER w IS NULL
+                 |            OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS is_brk
+                 |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                 | ), sess AS (
+                 |   SELECT user_id, ts,
+                 |     sum(is_brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                 |   FROM brk)
+                 | SELECT user_id, min(ts) AS session_start, count(*) AS cnt
+                 | FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""))),
+
+    Q("h4_stream_dedup",
+      (s, dir) => dedupFirst(ev(s, dir)).orderBy("event_id"),
+      Some(sql("""SELECT event_id, user_id, event_type, ts FROM (
+                 |   SELECT event_id, user_id, event_type, ts,
+                 |     row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+                 |   FROM events)
+                 | WHERE rn = 1 ORDER BY event_id"""))),
+
+    Q("h6_stateful_running",
+      (s, dir) => statefulRunning(Tables.events(s, dir)).orderBy("user_id"),
+      Some(sql("""SELECT user_id, count(*) AS n_events,
+                 | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                 | max(event_id) AS last_event_id
+                 | FROM events GROUP BY user_id ORDER BY user_id""")))
+  )
+}
