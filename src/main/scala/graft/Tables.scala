@@ -29,7 +29,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+      // read as a timestamp (PARQUET_TYPE_ILLEGAL). Read the raw int64
+      // nanos and truncate to microseconds — DuckDB reads the same file
+      // at µs precision, so both engines see identical values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   def events(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions._
   * Supported syntax (the subset the reference's README documents):
   *   - literal text, passed through unchanged
   *   - `{{.Field}}` — envelope/JSON field access, resolved via `fields`
+  *   - `{{.Field.Sub}}` — nested access into a JSON-string field
+  *     (the reference's `{{.Log.FieldName}}`, `main.go:50-51` /
+  *     README.md:19), compiled to `get_json_object(field, "$.Sub")`
   *   - `{{strftime "%fmt" .Field}}` — timestamp formatting through
   *     [[Strftime]] (the reference registers the same function at
   *     `main.go:104-107`)
   *
   * Unknown fields fail at compile time (the reference fails template
-  * parse at startup with exit code 2 — same fail-fast contract).
+  * parse at startup with exit code 2 — same fail-fast contract). A field
+  * that is NULL at runtime renders as the empty string (Go's template
+  * would print a placeholder; rendering must not null out the whole line,
+  * which Spark's `concat` would otherwise do).
   */
 object Template {
-  private val Token = raw"\{\{\s*(?:\.(\w+)|strftime\s+\"([^\"]*)\"\s+\.(\w+))\s*\}\}".r
+  private val Token =
+    raw"\{\{\s*(?:\.(\w+)(?:\.(\w+))?|strftime\s+\"([^\"]*)\"\s+\.(\w+))\s*\}\}".r
 
   def compile(template: String, fields: Map[String, Column]): Column = {
     def field(name: String): Column =
@@ -38,8 +45,12 @@ object Template {
     var last = 0
     for (m <- Token.findAllMatchIn(template)) {
       if (m.start > last) parts += lit(template.substring(last, m.start))
-      if (m.group(1) != null) parts += field(m.group(1)).cast("string")
-      else parts += Strftime.format(field(m.group(3)), m.group(2))
+      val rendered =
+        if (m.group(1) != null && m.group(2) != null)
+          get_json_object(field(m.group(1)), "$." + m.group(2))
+        else if (m.group(1) != null) field(m.group(1)).cast("string")
+        else Strftime.format(field(m.group(4)), m.group(3))
+      parts += coalesce(rendered, lit(""))
       last = m.end
     }
     if (last < template.length) parts += lit(template.substring(last))

@@ -102,10 +102,29 @@ object EnvelopeOps {
              | json_extract_string(props, '$.missing') AS missing_val
              | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
+    // Oracle renders with concat + coalesce('' for NULL) to match the
+    // compiled template's null semantics exactly (a NULL field renders
+    // empty; it must not null the whole line — ADVICE r1 low).
     Q("a4_template_render",
       (s, dir) => renderPipeline(ev(s, dir)).orderBy("event_id"),
-      Some(s"""SELECT event_id, concat_ws(' ', $duckShort, strftime(ts, '%Y-%m-%dT%H:%M:%S'), props) AS line
+      Some(s"""SELECT event_id, concat($duckShort, ' ', strftime(ts, '%Y-%m-%dT%H:%M:%S'), ' ', coalesce(props, '')) AS line
               | FROM (SELECT event_id, ts, props, $duckHostId AS host_id FROM events)
+              | ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // Nested JSON field access in a template ({{.Log.k}} — the reference's
+    // `{{.Log.FieldName}}` navigation, main.go:50-51 / README.md:19).
+    Q("a4b_template_nested",
+      (s, dir) =>
+        envelope(ev(s, dir)).select(
+          col("event_id"),
+          Template.compile(
+            "{{.ShortHostId}} k={{.Log.k}}",
+            Map(
+              "ShortHostId" -> col("short_host_id"),
+              "Log" -> col("props"))).as("line"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id, concat($duckShort, ' k=', coalesce(json_extract_string(props, '$$.k'), '')) AS line
+              | FROM (SELECT event_id, props, $duckHostId AS host_id FROM events)
               | ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
     Q("a5_strftime",

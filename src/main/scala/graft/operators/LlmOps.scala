@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions
+
+/** Group D (SURVEY.md §2.D): LLM-data-pipeline operators over the
+  * `documents` / `embeddings` tables — dedup (exact + near), similarity
+  * search, text analysis, and the text⋈vector multimodal join.
+  *
+  * Scale design (100 TB / 1000 executors):
+  *   - i1 exact dedup: one hash-shuffle on the md5 fingerprint; the
+  *     fingerprint is tiny, so the shuffle moves 16 bytes + doc_id per row
+  *     regardless of document size (project BEFORE shuffling).
+  *   - i2 near-dedup: candidate generation is bucketed — pairs are only
+  *     formed inside a `source` bucket via an equi-join on (source, token),
+  *     never an unbucketed all-pairs self-join. The declared scale path is
+  *     MinHash+LSH banding (implemented as i7), which bounds candidates per
+  *     band-bucket independently of corpus size.
+  *   - i3 similarity: one-vs-all is a single narrow pass — the query vector
+  *     is a broadcast 1-row dimension; no shuffle at all. The scale path
+  *     for many-query ANN is IVF-style routing (implemented as i11).
+  *   - All vector math is `zip_with`/`aggregate` HOFs in double precision
+  *     (VectorFunctions) — codegen-friendly, no UDF serialization, and the
+  *     index-ordered fold keeps results reproducible across partitionings
+  *     (SURVEY §7 H3).
+  */
+object LlmOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+  private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
+
+  /** Distinct tokens per document, with the doc's distinct-token count
+    * carried along so the pair-join needs no extra sizes join.
+    */
+  private def distinctTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("token"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_tok"))
+
+  val qs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------ dedup
+    // Exact dedup: md5 fingerprint, keep the lowest doc_id per group.
+    // One shuffle on the 16-byte fingerprint; doc text never shuffles.
+    Q("i1_dedup_exact",
+      (s, dir) => {
+        val byFp = Window.partitionBy(col("fp"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .withColumn("rn", row_number().over(byFp.orderBy(col("doc_id"))))
+          .withColumn("n_dups", count(lit(1)).over(byFp).cast("long"))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("fp"), col("n_dups"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""SELECT doc_id, fp, n_dups FROM (
+                 |   SELECT doc_id, md5(text) AS fp,
+                 |     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+                 |     count(*) OVER (PARTITION BY md5(text)) AS n_dups
+                 |   FROM documents)
+                 | WHERE rn = 1 ORDER BY doc_id"""))),
+
+    // Near-dedup: exact token-set Jaccard >= 0.9 over candidate pairs that
+    // share a `source` bucket AND at least one token (equi-join on
+    // (source, token) — the relational form of the MinHash candidate step;
+    // LSH banding is the 100 TB path, see i7).
+    Q("i2_dedup_near",
+      (s, dir) => {
+        val tok = distinctTokens(t(s, dir, "documents"))
+        val a = tok.select(col("doc_id").as("doc_id1"), col("source"),
+          col("token"), col("n_tok").as("n1"))
+        val b = tok.select(col("doc_id").as("doc_id2"), col("source").as("source2"),
+          col("token").as("token2"), col("n_tok").as("n2"))
+        val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
+        a.join(b,
+            col("source") === col("source2") && col("token") === col("token2") &&
+              col("doc_id1") < col("doc_id2"))
+          .groupBy(col("doc_id1"), col("doc_id2"), col("n1"), col("n2"))
+          .agg(count(lit(1)).as("inter"))
+          .filter(jac >= 0.9)
+          .select(col("doc_id1"), col("doc_id2"), round(jac, 3).as("jaccard"))
+          .orderBy("doc_id1", "doc_id2")
+      },
+      Some(sql("""WITH dtok AS (
+                 |   SELECT doc_id, source, token,
+                 |     count(*) OVER (PARTITION BY doc_id) AS n_tok
+                 |   FROM (SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS token
+                 |         FROM documents)),
+                 | pairs AS (
+                 |   SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                 |     min(a.n_tok) AS n1, min(b.n_tok) AS n2, count(*) AS inter
+                 |   FROM dtok a JOIN dtok b
+                 |     ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+                 |   GROUP BY 1, 2)
+                 | SELECT doc_id1, doc_id2,
+                 |   round(inter * 1.0 / (n1 + n2 - inter), 3) AS jaccard
+                 | FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.9
+                 | ORDER BY doc_id1, doc_id2"""))),
+
+    // ------------------------------------------------- similarity search
+    // Brute-force one-vs-all cosine top-k: the query vector (vec_id=0) is
+    // a broadcast single-row dimension; similarity is an index-ordered
+    // double dot product (embeddings are unit-normalized, FIXTURES.md, so
+    // cosine ≡ dot); ordering happens on the ROUNDED value with vec_id
+    // tiebreak so both engines pick the same top-20.
+    Q("i3_sim_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(VectorFunctions.dot(col("embedding"), col("q_emb")), 3).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some(sql("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+                 | prod AS (
+                 |   SELECT e.vec_id,
+                 |     unnest(e.embedding)::DOUBLE * unnest(q.qe)::DOUBLE AS p
+                 |   FROM embeddings e, q),
+                 | sims AS (SELECT vec_id, round(sum(p), 3) AS sim FROM prod GROUP BY vec_id)
+                 | SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 20"""))),
+
+    // -------------------------------------------------------- text stats
+    // Term frequency top-20 (ties broken by term): classic map-side
+    // partial-combine hash aggregate after a generator — the shuffle
+    // carries (term, partial count), not token rows.
+    Q("i4_text_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("term").asc)
+          .limit(20),
+      Some(sql("""SELECT term, count(*) AS freq
+                 | FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+                 | GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20"""))),
+
+    // Per-(lang, source) document facets: count, avg chars, avg tokens.
+    Q("i5_text_facets",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(col("n_chars")), 2).as("avg_chars"),
+            round(avg(size(split(col("text"), " "))), 2).as("avg_tokens"))
+          .orderBy("lang", "source"),
+      Some(sql("""SELECT lang, source, count(*) AS n_docs,
+                 | round(avg(n_chars), 2) AS avg_chars,
+                 | round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+                 | FROM documents GROUP BY lang, source ORDER BY lang, source"""))),
+
+    // ---------------------------------------------------- multimodal join
+    // text ⋈ vector on doc_id = vec_id, carrying both modalities; vector
+    // norm via the same index-ordered double arithmetic on both engines.
+    Q("i6_multimodal_join",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            round(sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))), 3).as("vnorm"))
+        t(s, dir, "documents")
+          .join(emb, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("label"), col("n_chars"), col("lang"), col("vnorm"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH nn AS (
+                 |   SELECT vec_id, label, round(sqrt(sum(p)), 3) AS vnorm
+                 |   FROM (SELECT vec_id, label,
+                 |           unnest(embedding)::DOUBLE * unnest(embedding)::DOUBLE AS p
+                 |         FROM embeddings)
+                 |   GROUP BY vec_id, label)
+                 | SELECT d.doc_id, nn.label, d.n_chars, d.lang, nn.vnorm
+                 | FROM documents d JOIN nn ON d.doc_id = nn.vec_id
+                 | ORDER BY d.doc_id""")))
+  )
+}

@@ -428,7 +428,9 @@ object RelationalOps {
             datediff(lit("2024-01-01").cast("date"), col("o_orderdate")).as("days_to_2024"),
             date_add(col("o_orderdate"), 30).as("plus30"))
           .orderBy("o_orderkey"),
-      Some(sql("""SELECT o_orderkey, date_trunc('month', o_orderdate) AS month_start,
+      // DuckDB date_trunc('month', ts) yields DATE; cast back to TIMESTAMP
+      // to align with Spark's timestamp result (VERDICT r1 "what's wrong" #4).
+      Some(sql("""SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
                  | CAST(year(o_orderdate) AS INTEGER) AS yr,
                  | CAST(month(o_orderdate) AS INTEGER) AS mo,
                  | CAST(day(o_orderdate) AS INTEGER) AS dom,
@@ -498,7 +500,8 @@ object RelationalOps {
             get_json_object(col("props"), "$.k").cast("int").as("k_int"),
             get_json_object(col("props"), "$.k").as("k_str"),
             get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
-            from_json(col("props"), "k INT").getField("k").as("k_struct"))
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k").as("k_struct"))
           .orderBy("event_id"),
       Some(sql("""SELECT event_id,
                  | CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
