@@ -79,6 +79,19 @@ object StreamingOps {
         sum(round(col("value") * 100).cast("long")).as("sum_cents"),
         max(col("event_id")).as("last_event_id"))
 
+  /** h5: event-time tumbling count behind a 10-minute watermark. In
+    * append mode a window is emitted once the watermark passes its end,
+    * and rows arriving after that are dropped — the late-data contract.
+    * Arrival-order dependent by design, so verified in `StreamingSpec`
+    * with a crafted out-of-order feed (never oracled; SURVEY §2.C h5=T).
+    */
+  def watermarkedTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("timestamp_ntz").as("ws"), col("cnt"))
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
   private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
 

@@ -1,0 +1,149 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.StreamingOps
+import graft.streaming.{Replay, Running, StatefulRunning}
+
+/** Stream ≡ batch equivalence for every SURVEY §2.C operator (the unified
+  * model: one logic function, two execution modes), plus the T-only rows —
+  * watermark late-drop (h5), foreachBatch sink (h7), one-shot trigger and
+  * graceful shutdown (the reference's `--one-shot` `main.go:89-92` and
+  * SIGINT drain `main.go:180-208`).
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val eventSeq: Seq[Event] =
+    Tables.events(spark, dir).collect().toSeq.sortBy(_.event_id)
+  private lazy val batchDF: DataFrame = {
+    val df = eventSeq.toDF()
+    df.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
+
+  test("h1 tumbling window: stream (complete mode) == batch") {
+    val got = Replay.run(spark, eventSeq, 5, OutputMode.Complete())(
+      ds => StreamingOps.tumbling(ds.toDF()))
+    assertSameRows(got, StreamingOps.tumbling(batchDF))
+  }
+
+  test("h2 sliding window: stream (complete mode) == batch") {
+    val got = Replay.run(spark, eventSeq, 5, OutputMode.Complete())(
+      ds => StreamingOps.sliding(ds.toDF()))
+    assertSameRows(got, StreamingOps.sliding(batchDF))
+  }
+
+  test("h3 session window: stream (append + watermark + flush) == batch") {
+    // Feed in event-time order so nothing is late; a far-future sentinel
+    // row advances the watermark past every real session to flush append
+    // mode. Sessions merge across micro-batches before being emitted.
+    val ordered = eventSeq.sortBy(_.ts.getTime)
+    val maxTs = ordered.last.ts.getTime
+    val sentinel = Event(-1L, new Timestamp(maxTs + 10L * 24 * 3600 * 1000),
+      -1L, "sentinel", 0.0, null)
+    val got = Replay.run(spark, ordered :+ sentinel, 5, OutputMode.Append())(
+      ds => StreamingOps.session(
+        ds.toDF().withWatermark("ts", "10 minutes")))
+      .filter(col("user_id") =!= -1L)
+    assertSameRows(got, StreamingOps.session(batchDF))
+  }
+
+  test("h4 streaming dedup drops exact replays across micro-batches") {
+    // Duplicate the whole feed across different chunks; dropDuplicates on
+    // the unique key must reduce it back to exactly the original rows.
+    val doubled = eventSeq ++ eventSeq
+    val got = Replay.run(spark, doubled, 8, OutputMode.Append())(
+      ds => ds.toDF().dropDuplicates("event_id"))
+    assertSameRows(got, batchDF)
+  }
+
+  test("h5 watermark drops a late row into a closed window") {
+    def ev(id: Long, ts: String): Event =
+      Event(id, Timestamp.valueOf(ts), 1L, "t", 0.0, null)
+    // Batch 1 closes window [10:00, 11:00) once watermark reaches 11:20.
+    val batch1 = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:15:00"),
+      ev(3, "2024-01-01 11:30:00"))
+    // Batch 2: a late row into the closed 10:00 window (must be dropped)
+    // plus a future row that closes [11:00, 12:00).
+    val batch2 = Seq(
+      ev(4, "2024-01-01 10:30:00"), // LATE: event time < watermark 11:20
+      ev(5, "2024-01-01 12:40:00"))
+    val got = Replay.run(spark, batch1 ++ batch2, 2, OutputMode.Append())(
+      ds => StreamingOps.watermarkedTumbling(ds.toDF()))
+      .select(col("ws").cast("string"), col("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("2024-01-01 10:00:00") == 2L,
+      s"late row must not increment the closed window (got $got)")
+    assert(got("2024-01-01 11:00:00") == 1L)
+  }
+
+  test("h6 stateful running aggregate: typed stream fold == batch Catalyst agg") {
+    // Batch twin (hash aggregate) — the 100 TB plan.
+    val want = StreamingOps.statefulRunning(batchDF)
+      .select(col("user_id"), col("n_events"), col("sum_cents"), col("last_event_id"))
+
+    // Streaming typed fold, state carried across 6 micro-batches; keep the
+    // LAST update per key (update output mode emits one row per key per
+    // batch it changed in).
+    val latest = TrieMap.empty[Long, Running]
+    Replay.runForeach(spark, eventSeq, 6, OutputMode.Update())(
+      ds => StatefulRunning(ds).toDF()) { (df, _) =>
+      df.as[Running].collect().foreach(r => latest(r.user_id) = r)
+    }
+    val got = latest.values.toSeq.toDF()
+      .select(col("user_id"), col("n_events"), col("sum_cents"), col("last_event_id"))
+    assertSameRows(got, want)
+
+    // The typed fold also runs in batch mode (empty initial state) and
+    // must agree with the Catalyst aggregate too.
+    val foldBatch = StatefulRunning(eventSeq.toDS()).toDF()
+      .select(col("user_id"), col("n_events"), col("sum_cents"), col("last_event_id"))
+    assertSameRows(foldBatch, want)
+  }
+
+  test("h7 foreachBatch sink receives exactly the rendered lines") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Replay.runForeach(spark, eventSeq, 4, OutputMode.Append())(
+      ds => graft.operators.EnvelopeOps.renderPipeline(ds.toDF())) { (df, _) =>
+      df.select(col("line")).as[String].collect().foreach(lines.add)
+    }
+    val want = graft.operators.EnvelopeOps.renderPipeline(batchDF)
+      .select(col("line")).as[String].collect()
+    assert(lines.size == want.length)
+    assert(lines.iterator().hasNext)
+    import scala.jdk.CollectionConverters._
+    assert(lines.asScala.toSet == want.toSet)
+  }
+
+  test("one-shot trigger drains everything then terminates by itself") {
+    val (q, table) = Replay.runOneShot(spark, eventSeq, OutputMode.Append())(
+      ds => ds.toDF().select(col("event_id"), col("event_type")))
+    assert(!q.isActive, "AvailableNow query must self-terminate")
+    assert(q.exception.isEmpty)
+    assert(table.count() == eventSeq.size)
+  }
+
+  test("graceful shutdown: stop() drains without error") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = ms.toDS().toDF().groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("shutdown_t")
+      .outputMode(OutputMode.Complete()).start()
+    ms.addData(eventSeq.take(100))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    assert(!q.isActive)
+    assert(q.exception.isEmpty, s"clean stop must not record an exception")
+    assert(spark.table("shutdown_t").count() > 0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.functions.Template
+
+/** Template compiler contract (reference `main.go:103-114` parse-time
+  * fail-fast ≅ exit 2; `main.go:281-289` render; nested `.Log.Field`
+  * access per `main.go:50-51` / README.md:19).
+  */
+class TemplateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, "h-1", "2024-01-01 10:00:00", """{"level":"warn","k":7}"""),
+    (2L, "h-2", "2024-01-01 11:00:00", null.asInstanceOf[String])
+  ).toDF("seq", "host", "ts_s", "props")
+    .withColumn("ts", col("ts_s").cast("timestamp"))
+
+  private def fields = Map(
+    "ShortHostId" -> col("host"),
+    "Timestamp" -> col("ts"),
+    "LogEntry" -> col("props"),
+    "Log" -> col("props"),
+    "SequenceNumber" -> col("seq"))
+
+  test("default template renders host, iso timestamp, payload") {
+    val lines = df.orderBy("seq")
+      .select(Template.compile(Template.DefaultTemplate, fields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == """h-1 2024-01-01T10:00:00 {"level":"warn","k":7}""")
+  }
+
+  test("NULL field renders empty, not a NULL line") {
+    val lines = df.orderBy("seq")
+      .select(Template.compile(Template.DefaultTemplate, fields).as("line"))
+      .as[String].collect()
+    assert(lines(1) == "h-2 2024-01-01T11:00:00 ")
+  }
+
+  test("nested {{.Log.Field}} compiles to JSON access") {
+    val lines = df.orderBy("seq")
+      .select(Template.compile("{{.ShortHostId}} level={{.Log.level}} k={{.Log.k}}", fields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == "h-1 level=warn k=7")
+    assert(lines(1) == "h-2 level= k=") // unparseable/NULL payload → empty
+  }
+
+  test("strftime call inside a template") {
+    val lines = df.orderBy("seq")
+      .select(Template.compile("""{{strftime "%Y/%m/%d" .Timestamp}}!""", fields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == "2024/01/01!")
+  }
+
+  test("unknown field fails at compile time (reference exit-2 contract)") {
+    val e = intercept[IllegalArgumentException] {
+      Template.compile("{{.NoSuchField}}", fields)
+    }
+    assert(e.getMessage.contains("NoSuchField"))
+  }
+
+  test("literal-only template and adjacent tokens") {
+    val lines = df.orderBy("seq")
+      .select(Template.compile("plain text", fields).as("a"),
+        Template.compile("{{.SequenceNumber}}{{.ShortHostId}}", fields).as("b"))
+      .as[(String, String)].collect()
+    assert(lines(0) == ("plain text", "1h-1"))
+  }
+}

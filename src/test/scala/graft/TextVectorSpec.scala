@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Determinism and algebraic properties of the text/vector primitives the
+  * LLM-pipeline operators (SURVEY §2.D) are built from.
+  */
+class TextVectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenHash16 stays within 16 bits and is deterministic") {
+    val toks = Seq("alpha", "beta", "gamma", "", "Alpha", "alpha")
+    val out = toks.toDF("t")
+      .select(TextFunctions.tokenHash16(col("t")).as("h")).as[Long].collect()
+    assert(out.forall(h => h >= 0 && h <= 0xFFFF))
+    assert(out(0) == out(5)) // same token, same hash
+    assert(out(0) != out(4)) // case-sensitive
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val out = Seq("a b c", "c b a", "a b c")
+      .toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp")).as[Long].collect()
+    assert(out(0) == out(2))
+    assert(out(0) != out(1), "fingerprint must depend on token order")
+    assert(out.forall(fp => fp >= 0 && fp < 2147483647L))
+  }
+
+  test("exact dedup is idempotent") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    def dedup(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("fp", md5(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    val once = dedup(docs)
+    assertSameRows(dedup(once.select("doc_id", "text")), once)
+    assert(once.count() == 2)
+  }
+
+  test("jaccard formula: bounds, symmetry, identity") {
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val inter = (a & b).size.toDouble
+      inter / (a.size + b.size - inter)
+    }
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    (1 to 200).foreach { _ =>
+      val a = vocab.filter(_ => rnd.nextBoolean()).toSet + "a"
+      val b = vocab.filter(_ => rnd.nextBoolean()).toSet + "b"
+      val j = jac(a, b)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - jac(b, a)) < 1e-15)
+      assert(jac(a, a) == 1.0)
+    }
+  }
+
+  test("dot/cosine/l2sq: unit self-similarity, symmetry, positivity") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(0.6f, 0.8f, 0.0f), Array(0.6f, 0.8f, 0.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      round(VectorFunctions.dot(col("a"), col("a")), 6).as("self"),
+      round(VectorFunctions.dot(col("a"), col("b")), 6).as("ab"),
+      round(VectorFunctions.dot(col("b"), col("a")), 6).as("ba"),
+      round(VectorFunctions.l2sq(col("a"), col("b")), 6).as("d2"),
+      round(VectorFunctions.cosine(col("a"), col("b")), 6).as("cos"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == 1.0) // unit vectors
+      assert(r.getDouble(1) == r.getDouble(2)) // symmetry
+      assert(r.getDouble(3) >= 0.0)
+    }
+    assert(rows(0).getDouble(4) == 0.0) // orthogonal
+    assert(rows(1).getDouble(4) == 1.0) // identical
+  }
+}
