@@ -21,7 +21,7 @@ object Registry {
   import graft.operators._
 
   lazy val all: Seq[Q] =
-    EnvelopeOps.qs ++ RelationalOps.qs ++ StreamingOps.qs ++ LlmOps.qs
+    EnvelopeOps.qs ++ RelationalOps.qs ++ StreamingOps.qs ++ LlmOps.qs ++ PipelineOps.qs
 
   lazy val byId: Map[String, Q] = all.map(q => q.id -> q).toMap
 }

@@ -1,0 +1,409 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Training-data-pipeline operators beyond the core group D (SURVEY §2.D):
+  * sketch-based near-dedup (MinHash+LSH banding i7/i8, SimHash i9), text
+  * analysis (language-ID j1, quality scoring j2, token counting j3,
+  * document fingerprinting j4), IVF-routed ANN (i10) and multimodal
+  * binary-column plumbing (m1).
+  *
+  * Scale design (100 TB / 1000 executors):
+  *   - Sketches are linear: one generator + one hash-aggregate per doc;
+  *     the shuffle carries (doc_id, small fixed-width sketch), never text.
+  *   - Candidate pairs come ONLY from equi-joins on (bucket key) — LSH
+  *     band values (i8) or SimHash nibbles (i9) composed with the `source`
+  *     bucket. Bucket size bounds the quadratic term independently of
+  *     corpus size; there is no all-pairs comparison anywhere.
+  *   - i10 routes each query to nprobe=2 of k centroids, so the scan is
+  *     |cluster| · nprobe instead of the full corpus; centroids are a
+  *     broadcast dimension.
+  *   - All hashes are md5-derived (engine-portable, oracle-checkable);
+  *     all vector math is index-ordered double HOFs (SURVEY §7 H3).
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+  private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
+
+  // ------------------------------------------------------------ minhash
+
+  private val NumHashes = 8
+
+  /** 32-bit md5-derived hash of a token under seed `j`. */
+  private def seededHash(tok: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 8), 16, 10).cast("long")
+
+  private def distinctTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** Per-doc MinHash signature: doc_id, source, mh0..mh7. */
+  def minhashSig(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(j => min(seededHash(col("tok"), j)).as(s"mh$j"))
+    distinctTok(docs).groupBy(col("doc_id"), col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val duckSigCte =
+    """dtok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+      |sig AS (SELECT doc_id, min(source) AS source,
+      |  min(('0x'||substr(md5('0:'||tok),1,8))::BIGINT) AS mh0,
+      |  min(('0x'||substr(md5('1:'||tok),1,8))::BIGINT) AS mh1,
+      |  min(('0x'||substr(md5('2:'||tok),1,8))::BIGINT) AS mh2,
+      |  min(('0x'||substr(md5('3:'||tok),1,8))::BIGINT) AS mh3,
+      |  min(('0x'||substr(md5('4:'||tok),1,8))::BIGINT) AS mh4,
+      |  min(('0x'||substr(md5('5:'||tok),1,8))::BIGINT) AS mh5,
+      |  min(('0x'||substr(md5('6:'||tok),1,8))::BIGINT) AS mh6,
+      |  min(('0x'||substr(md5('7:'||tok),1,8))::BIGINT) AS mh7
+      |  FROM dtok GROUP BY doc_id)""".stripMargin
+
+  // ------------------------------------------------------------ simhash
+
+  /** 16-bit SimHash per doc from the distinct-token 16-bit hashes: bit b
+    * is set iff more token hashes have bit b set than clear.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hb = distinctTok(docs)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenHash16(col("tok")).as("h"))
+    val sums = (0 until 16).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+    val bits = (0 until 16).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    hb.groupBy(col("doc_id"), col("source"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), col("source"), bits.reduce(_ + _).as("sh"))
+  }
+
+  private val duckSimhashCte = {
+    val terms = (0 until 16).map(b =>
+      s"(CASE WHEN sum(((h>>$b)&1)*2-1)>0 THEN ${1L << b} ELSE 0 END)").mkString("+")
+    s"""dtok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+       |hb AS (SELECT doc_id, source, ('0x'||substr(md5(tok),1,4))::BIGINT AS h FROM dtok),
+       |sh AS (SELECT doc_id, min(source) AS source, $terms AS sh FROM hb GROUP BY doc_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------- lang / quality
+
+  /** Marker-word profiles over the corpus vocabulary: the classic
+    * stopword/profile-scoring shape of n-gram language ID, with a
+    * deterministic fixed-priority tie-break.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("batch", "stream", "window", "group"),
+    "en" -> Seq("the", "a", "row", "table"),
+    "es" -> Seq("data", "value", "column", "line"),
+    "fr" -> Seq("vector", "query", "filter", "sort"),
+    "zh" -> Seq("hash", "join", "merge", "scan"))
+
+  private def markerScore(textCol: Column, words: Seq[String]): Column =
+    size(filter(split(textCol, " "), tk => tk.isin(words.map(_.asInstanceOf[Any]): _*)))
+      .cast("long")
+
+  // ------------------------------------------------------------ queries
+
+  val qs: Seq[Q] = Seq(
+
+    // Per-doc MinHash signature — linear sketch, the building block of the
+    // LSH path. Shuffle payload: doc_id + 8×8 bytes.
+    Q("i7_minhash_sig",
+      (s, dir) => minhashSig(t(s, dir, "documents"))
+        .drop("source").orderBy("doc_id"),
+      Some(sql(s"""WITH $duckSigCte
+                  | SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+                  | FROM sig ORDER BY doc_id"""))),
+
+    // LSH banding (4 bands × 2 rows): candidate pairs = same (band value,
+    // source bucket) equi-join; keep pairs whose signatures agree on ≥6/8
+    // components (estimated Jaccard ≥ 0.75). No all-pairs join at any
+    // scale — the band hash IS the shuffle key.
+    Q("i8_lsh_pairs",
+      (s, dir) => {
+        val sig = minhashSig(t(s, dir, "documents"))
+        val bandCols = (0 until 4).map(b =>
+          struct(lit(b).as("b"), col(s"mh${2 * b}").as("x"), col(s"mh${2 * b + 1}").as("y")))
+        val bands = sig.select(
+          (col("doc_id") +: col("source") +: (0 until NumHashes).map(j => col(s"mh$j"))) :+
+            explode(array(bandCols: _*)).as("band"): _*)
+          .select(Seq(col("doc_id"), col("source"),
+            col("band.b").as("b"), col("band.x").as("x"), col("band.y").as("y")) ++
+            (0 until NumHashes).map(j => col(s"mh$j")): _*)
+        val l = bands.alias("l"); val r = bands.alias("r")
+        val nMatch = (0 until NumHashes)
+          .map(j => when(col(s"l.mh$j") === col(s"r.mh$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        l.join(r,
+            col("l.b") === col("r.b") && col("l.x") === col("r.x") &&
+              col("l.y") === col("r.y") && col("l.source") === col("r.source") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"),
+            nMatch.as("nm"))
+          .groupBy("doc_id1", "doc_id2").agg(max(col("nm")).as("nm"))
+          .filter(col("nm") >= 6)
+          .select(col("doc_id1"), col("doc_id2"),
+            round(col("nm") / 8.0, 3).as("est_jaccard"))
+          .orderBy("doc_id1", "doc_id2")
+      },
+      Some(sql(s"""WITH $duckSigCte,
+                  | bands AS (
+                  |   SELECT *, 0 AS b, mh0 AS x, mh1 AS y FROM sig UNION ALL
+                  |   SELECT *, 1, mh2, mh3 FROM sig UNION ALL
+                  |   SELECT *, 2, mh4, mh5 FROM sig UNION ALL
+                  |   SELECT *, 3, mh6, mh7 FROM sig),
+                  | cand AS (
+                  |   SELECT l.doc_id AS doc_id1, r.doc_id AS doc_id2,
+                  |     max((CASE WHEN l.mh0=r.mh0 THEN 1 ELSE 0 END)+(CASE WHEN l.mh1=r.mh1 THEN 1 ELSE 0 END)
+                  |        +(CASE WHEN l.mh2=r.mh2 THEN 1 ELSE 0 END)+(CASE WHEN l.mh3=r.mh3 THEN 1 ELSE 0 END)
+                  |        +(CASE WHEN l.mh4=r.mh4 THEN 1 ELSE 0 END)+(CASE WHEN l.mh5=r.mh5 THEN 1 ELSE 0 END)
+                  |        +(CASE WHEN l.mh6=r.mh6 THEN 1 ELSE 0 END)+(CASE WHEN l.mh7=r.mh7 THEN 1 ELSE 0 END)) AS nm
+                  |   FROM bands l JOIN bands r
+                  |     ON l.b=r.b AND l.x=r.x AND l.y=r.y AND l.source=r.source AND l.doc_id<r.doc_id
+                  |   GROUP BY 1, 2)
+                  | SELECT doc_id1, doc_id2, round(nm/8.0, 3) AS est_jaccard
+                  | FROM cand WHERE nm >= 6 ORDER BY doc_id1, doc_id2"""))),
+
+    // SimHash near-dup: nibble banding (4×4 bits). Hamming ≤ 2 guarantees
+    // at least one identical nibble (pigeonhole), so the nibble equi-join
+    // loses no true pair while bounding candidates per (nibble, source).
+    Q("i9_simhash_near",
+      (s, dir) => {
+        val sh = simhash(t(s, dir, "documents"))
+        val nibCols = (0 until 4).map(i =>
+          struct(lit(i).as("i"),
+            shiftright(col("sh"), i * 4).bitwiseAND(lit(15L)).as("v")))
+        val nib = sh.select(col("doc_id"), col("source"), col("sh"),
+          explode(array(nibCols: _*)).as("n"))
+          .select(col("doc_id"), col("source"), col("sh"),
+            col("n.i").as("i"), col("n.v").as("v"))
+        val l = nib.alias("l"); val r = nib.alias("r")
+        l.join(r,
+            col("l.i") === col("r.i") && col("l.v") === col("r.v") &&
+              col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"),
+            expr("bit_count(l.sh ^ r.sh)").cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 2)
+          .orderBy("doc_id1", "doc_id2")
+      },
+      Some(sql(s"""WITH $duckSimhashCte,
+                  | nib AS (
+                  |   SELECT doc_id, source, sh, 0 AS i, sh & 15 AS v FROM sh UNION ALL
+                  |   SELECT doc_id, source, sh, 1, (sh>>4)&15 FROM sh UNION ALL
+                  |   SELECT doc_id, source, sh, 2, (sh>>8)&15 FROM sh UNION ALL
+                  |   SELECT doc_id, source, sh, 3, (sh>>12)&15 FROM sh)
+                  | SELECT DISTINCT l.doc_id AS doc_id1, r.doc_id AS doc_id2,
+                  |   bit_count(xor(l.sh, r.sh)) AS hamming
+                  | FROM nib l JOIN nib r
+                  |   ON l.i=r.i AND l.v=r.v AND l.source=r.source AND l.doc_id<r.doc_id
+                  | WHERE bit_count(xor(l.sh, r.sh)) <= 2
+                  | ORDER BY doc_id1, doc_id2"""))),
+
+    // Language ID: marker-profile scores + fixed-priority argmax. One
+    // narrow projection, no shuffle (the HOF filter runs inside codegen).
+    Q("j1_lang_id",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = docs.select(
+          (col("doc_id") +:
+            langMarkers.map { case (l, ws) => markerScore(col("text"), ws).as(s"s_$l") }): _*)
+        val langs = langMarkers.map(_._1)
+        val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+          case ((l, i), els) =>
+            val rest = langs.drop(i + 1).map(o => col(s"s_$o"))
+            when(col(s"s_$l") >= rest.reduce((a, b) => greatest(a, b)), lit(l)).otherwise(els)
+        }
+        scored.select(
+          (col("doc_id") +: pred.as("pred_lang") +:
+            langs.map(l => col(s"s_$l"))): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = langMarkers.map { case (l, ws) =>
+          s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+        }.mkString(", ")
+        val langs = langMarkers.map(_._1)
+        val pred = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+          case ((l, i), els) =>
+            val rest = langs.drop(i + 1).map(o => s"s_$o").mkString(", ")
+            s"CASE WHEN s_$l >= greatest($rest) THEN '$l' ELSE $els END"
+        }
+        sql(s"""SELECT doc_id, $pred AS pred_lang, ${langs.map(l => s"s_$l").mkString(", ")}
+               | FROM (SELECT doc_id, $scores FROM documents)
+               | ORDER BY doc_id""")
+      }),
+
+    // Quality score: length, duplication and stopword-density heuristics
+    // combined into a bounded score. Pure projection — codegen, no shuffle.
+    Q("j2_quality_score",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+            markerScore(col("text"), Seq("a", "the")).as("n_stop"))
+          .select(col("doc_id"), col("n_tok"),
+            round(col("n_stop") / col("n_tok"), 3).as("stop_ratio"),
+            round(lit(1.0) - col("n_uniq") / col("n_tok"), 3).as("dup_ratio"),
+            round(
+              least(col("n_tok") / 100.0, lit(1.0)) * 0.4 +
+                (col("n_uniq") / col("n_tok")) * 0.3 +
+                (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3, 3).as("quality"))
+          .orderBy("doc_id"),
+      Some(sql("""SELECT doc_id, n_tok,
+                 | round(n_stop/n_tok, 3) AS stop_ratio,
+                 | round(1.0 - n_uniq/n_tok, 3) AS dup_ratio,
+                 | round(least(n_tok/100.0, 1.0)*0.4 + (n_uniq/n_tok)*0.3 + (1.0 - n_stop/n_tok)*0.3, 3) AS quality
+                 | FROM (SELECT doc_id,
+                 |   len(string_split(text,' '))::BIGINT AS n_tok,
+                 |   len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |   len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |  FROM documents)
+                 | ORDER BY doc_id"""))),
+
+    // Token counting: whitespace tokens, a BPE-ish word/punct regex, and
+    // the chars/4 subword estimate.
+    Q("j3_token_count",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+            size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""), lit(0)))
+              .cast("long").as("re_tokens"),
+            ceil(col("n_chars") / 4.0).cast("long").as("bpe_est"))
+          .orderBy("doc_id"),
+      Some(sql("""SELECT doc_id,
+                 | len(string_split(text,' '))::BIGINT AS ws_tokens,
+                 | len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS re_tokens,
+                 | ceil(n_chars/4.0)::BIGINT AS bpe_est
+                 | FROM documents ORDER BY doc_id"""))),
+
+    // Document fingerprint: order-sensitive 131-polynomial rolling hash of
+    // the token-hash stream (TextFunctions.fingerprint), plus how many
+    // docs share each fingerprint — fingerprint-level dedup.
+    Q("j4_doc_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+          .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))).cast("long"))
+          .orderBy("doc_id"),
+      Some(sql("""WITH fp AS (
+                 |   SELECT doc_id,
+                 |     list_reduce(
+                 |       list_prepend(0::BIGINT,
+                 |         list_transform(string_split(text,' '), t -> ('0x'||substr(md5(t),1,4))::BIGINT)),
+                 |       (a, b) -> (a*131 + b) % 2147483647) AS fp
+                 |   FROM documents)
+                 | SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+                 | FROM fp ORDER BY doc_id"""))),
+
+    // IVF-routed ANN: k=8 centroids (vec_id<8 as the deterministic
+    // "trained" codebook), each vector assigned to its nearest centroid
+    // (6dp-rounded dot, centroid-id tie-break), query probes its nprobe=2
+    // nearest centroids and ranks only those clusters. Centroids and the
+    // query vector are broadcast; the corpus never self-joins.
+    Q("i10_ann_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val assigned = emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            round(VectorFunctions.dot(col("embedding"), col("cemb")), 6).as("cd"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+        val probe = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), round(VectorFunctions.dot(col("cemb"), col("qemb")), 6).as("qd"))
+          .orderBy(col("qd").desc, col("cid")).limit(2).select("cid")
+        assigned.join(broadcast(probe), "cid")
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      },
+      Some(sql("""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+                 | cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+                 | adot AS (
+                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+                 |   FROM (SELECT e.vec_id, c.cid,
+                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM embeddings e, cent c)
+                 |   GROUP BY 1, 2),
+                 | assigned AS (
+                 |   SELECT vec_id, cid FROM (
+                 |     SELECT vec_id, cid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+                 |     FROM adot) WHERE rn = 1),
+                 | probe AS (
+                 |   SELECT cid FROM (
+                 |     SELECT cid, round(sum(p), 6) AS qd
+                 |     FROM (SELECT c.cid, unnest(c.cemb)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |           FROM cent c, q)
+                 |     GROUP BY cid)
+                 |   ORDER BY qd DESC, cid LIMIT 2),
+                 | sims AS (
+                 |   SELECT vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+                 |              JOIN probe pr ON a.cid = pr.cid, q)
+                 |   GROUP BY vec_id)
+                 | SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10"""))),
+
+    // Multimodal binary column: the document payload as real `binary`
+    // bytes with typed metadata extracted by a (deterministic, stubbed)
+    // decoder — the schema/partitioning/batch plumbing is real; only the
+    // codec is fake (no media libs in this environment). The typed
+    // mapPartitions twin of this decode lives in PipelineOps.decodeMeta
+    // and is asserted equal in PipelineSpec.
+    Q("m1_multimodal_meta",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+            conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").as("h"))
+          .select(col("doc_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            (lit(16) + col("h") % 240).cast("long").as("width"),
+            (lit(16) + expr("h div 240") % 240).cast("long").as("height"),
+            when(col("h") % 3 === 0, "png")
+              .when(col("h") % 3 === 1, "jpeg").otherwise("webp").as("fmt"))
+          .orderBy("doc_id"),
+      Some(sql("""SELECT doc_id,
+                 | octet_length(text::BLOB)::BIGINT AS n_bytes,
+                 | (16 + h % 240)::BIGINT AS width,
+                 | (16 + (h // 240) % 240)::BIGINT AS height,
+                 | CASE WHEN h % 3 = 0 THEN 'png' WHEN h % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS fmt
+                 | FROM (SELECT doc_id, text, ('0x'||substr(md5(text),1,4))::BIGINT AS h FROM documents)
+                 | ORDER BY doc_id""")))
+  )
+
+  /** Typed metadata record produced by the stubbed media decoder. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, fmt: String)
+
+  /** The mapPartitions twin of `m1_multimodal_meta`'s decode: iterates
+    * binary payloads partition-at-a-time, as a real codec (image/audio
+    * decode, frame sampling) would. The decode itself is a deterministic
+    * stub — this environment has no media libraries — but the plumbing
+    * (binary in, typed metadata out, per-partition batching, no shuffle)
+    * is exactly what a real decoder UDF needs at 100 TB.
+    */
+  def decodeMeta(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): org.apache.spark.sql.Dataset[MediaMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) =>
+        digest.reset()
+        val hex = digest.digest(bytes).take(2).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        MediaMeta(id, bytes.length.toLong, 16 + h % 240, 16 + (h / 240) % 240,
+          (h % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" })
+      }
+    }
+  }
+}

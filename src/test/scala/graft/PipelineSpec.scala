@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PipelineOps
+
+/** Training-pipeline operator internals: the multimodal decode plumbing
+  * and sketch invariants that the DuckDB oracles can't express.
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("m1: mapPartitions decoder twin == expression twin") {
+    val exprPath = Registry.byId("m1_multimodal_meta").build(spark, dir)
+    val payloads = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val typedPath = PipelineOps.decodeMeta(payloads).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("fmt"))
+    assertSameRows(typedPath, exprPath)
+  }
+
+  test("minhash: identical texts yield identical signatures, sketch is 8-wide") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s0"),
+      (2L, "alpha beta gamma", "s0"),
+      (3L, "delta epsilon", "s0")).toDF("doc_id", "text", "source")
+    val sig = PipelineOps.minhashSig(docs).orderBy("doc_id").collect()
+    assert(sig.length == 3)
+    val row1 = sig(0).toSeq.drop(2); val row2 = sig(1).toSeq.drop(2)
+    assert(row1 == row2, "equal token sets must hash to equal signatures")
+    assert(row1 != sig(2).toSeq.drop(2))
+  }
+
+  test("simhash: equal token sets collide; hamming to a disjoint set is large") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s0"),
+      (2L, "delta gamma beta alpha", "s0"), // same set, different order
+      (3L, "zz yy xx ww vv uu", "s0")).toDF("doc_id", "text", "source")
+    val sh = PipelineOps.simhash(docs).orderBy("doc_id")
+      .select(col("sh")).as[Long].collect()
+    assert(sh(0) == sh(1), "simhash is a bag sketch — order-insensitive")
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(2)) > 2,
+      "disjoint vocabularies should not be near-duplicates")
+  }
+
+  test("i8 LSH pairs are a subset of same-source pairs with high signature agreement") {
+    val pairs = Registry.byId("i8_lsh_pairs").build(spark, dir).collect()
+    assert(pairs.nonEmpty, "the dup-heavy corpus must produce LSH candidates")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical pair order doc_id1 < doc_id2")
+      assert(r.getDouble(2) >= 0.75 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("i10 IVF top-10 contains the query itself at sim 1.0") {
+    val top = Registry.byId("i10_ann_ivf").build(spark, dir).collect()
+    assert(top.length == 10)
+    val self = top.find(_.getLong(0) == 0L)
+    assert(self.isDefined && self.get.getDouble(1) == 1.0,
+      "unit-normalized query must match itself at cosine 1.0")
+  }
+}
