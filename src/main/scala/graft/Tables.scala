@@ -41,6 +41,23 @@ object Tables {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Events at-or-after `startMicros`, with the predicate applied to the
+    * RAW int64 nanos column so it pushes down into the parquet scan
+    * (row-group/page skipping) — the engine form of the reference's
+    * server-side `AT_TIMESTAMP` start offset (reference `main.go:300-305`).
+    * A filter on the converted timestamp could never reach the scan
+    * because `timestamp_micros(ts div 1000)` is a derived expression.
+    * Exact equivalence: `truncate_µs(ns) >= T  ⇔  ns >= T·1000`.
+    */
+  def eventsSince(spark: SparkSession, dir: String, startMicros: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(org.apache.spark.sql.functions.col("ts") >= startMicros * 1000L)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   def events(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
     load(spark, dir, "events").as[Event]

@@ -140,12 +140,18 @@ object EnvelopeOps {
              | strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso, strftime(ts, '%Y/%m/%d %H:%M') AS slashed
              | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
+    // The start-offset predicate is applied to the raw ns column inside
+    // Tables.eventsSince so it pushes into the parquet scan (the
+    // reference's server-side AT_TIMESTAMP, main.go:300-305); PlanSpec
+    // asserts the PushedFilters line.
     Q("a6_time_filter",
-      (s, dir) =>
-        ev(s, dir)
-          .filter(col("ts") >= expr("timestamp'2024-01-15 00:00:00'"))
+      (s, dir) => {
+        val startMicros = java.time.Instant.parse("2024-01-15T00:00:00Z")
+          .getEpochSecond * 1000000L
+        Tables.eventsSince(s, dir, startMicros)
           .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
-          .orderBy("event_id"),
+          .orderBy("event_id")
+      },
       Some("""SELECT event_id, ts, event_type FROM events
              | WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""".stripMargin.replace("\n", " "))),
 

@@ -90,17 +90,29 @@ object RelationalOps {
                  | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
                  | ORDER BY c_custkey"""))),
 
-    // Theta/range join: supplier side is tiny → broadcast nested loop;
-    // the scale path for fact-fact range joins is binning both sides on
-    // floor(value/width) and equi-joining bins (documented, not needed here).
+    // Binned range join — the 100 TB fact-fact shape. Bin width = the
+    // interval length (4.0), so each supplier interval [c-2, c+2] spans at
+    // most two bins; exploding the supplier side to its bins and
+    // equi-joining on the bin key turns the BNLJ's O(n·m) predicate scan
+    // into a hash probe, with the exact BETWEEN left as residual filter.
+    // Each (part, supplier) match lands in exactly one bin (the part's),
+    // so no dedup is needed. PlanSpec asserts no nested-loop join remains.
     Q("b6_join_range_theta",
-      (s, dir) =>
-        t(s, dir, "part")
-          .join(
-            broadcast(t(s, dir, "supplier")),
-            col("p_retailprice").between(col("s_acctbal") / 10 - 2, col("s_acctbal") / 10 + 2))
+      (s, dir) => {
+        val width = 4.0
+        val p = t(s, dir, "part")
+          .withColumn("bin", floor(col("p_retailprice") / width))
+        val sup = t(s, dir, "supplier")
+          .withColumn("lo", col("s_acctbal") / 10 - 2)
+          .withColumn("hi", col("s_acctbal") / 10 + 2)
+        val supBinned = sup.withColumn("bin",
+          explode(array_distinct(array(floor(col("lo") / width), floor(col("hi") / width)))))
+        p.join(broadcast(supBinned),
+            p("bin") === supBinned("bin") &&
+              col("p_retailprice").between(col("lo"), col("hi")))
           .select(col("p_partkey"), col("s_suppkey"), col("p_retailprice"), col("s_acctbal"))
-          .orderBy("p_partkey", "s_suppkey"),
+          .orderBy("p_partkey", "s_suppkey")
+      },
       Some(sql("""SELECT p_partkey, s_suppkey, p_retailprice, s_acctbal
                  | FROM part JOIN supplier
                  | ON p_retailprice BETWEEN s_acctbal / 10 - 2 AND s_acctbal / 10 + 2

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.EnvelopeOps
+
+/** Physical-plan shape assertions — the 100 TB properties the correctness
+  * oracle can't see: predicate pushdown reaching the scan, column pruning,
+  * broadcast vs shuffle joins, global top-k as TakeOrderedAndProject, the
+  * render pipeline staying a single narrow codegen stage, and b6 running
+  * as a hash join instead of a nested-loop scan.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("a6: start-time predicate pushes into the events parquet scan") {
+    val p = plan(Registry.byId("a6_time_filter").build(spark, dir))
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("\\s", "").contains("GreaterThanOrEqual(ts"),
+      s"time filter must reach the scan:\n$p")
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = Tables.load(spark, dir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") < 10)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schema.contains("l_orderkey") && schema.contains("l_quantity"))
+    assert(!schema.contains("l_comment") && !schema.contains("l_extendedprice"),
+      s"scan must not read unprojected columns: $schema")
+    assert(p.contains("LessThan(l_quantity"), "filter must be pushed")
+  }
+
+  test("b2: small-dimension join broadcasts (no shuffle of the fact side)") {
+    val p = plan(Registry.byId("b2_join_broadcast").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("b6: binned range join is a hash join, not a nested-loop scan") {
+    val p = plan(Registry.byId("b6_join_range_theta").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected hash join on bin key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not fall back to nested loop:\n$p")
+  }
+
+  test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("c1: hash aggregate has a map-side partial phase") {
+    val p = plan(Registry.byId("c1_agg_hash_group").build(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"expected partial aggregation before the shuffle:\n$p")
+  }
+
+  test("a4 render pipeline: one narrow codegen stage, zero shuffles") {
+    val df = EnvelopeOps.renderPipeline(Tables.load(spark, dir, "events"))
+    val p = plan(df)
+    // WholeStageCodegen renders as a "*(stageId)" prefix in plan strings.
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"),
+      s"render must stay in codegen:\n$p")
+    assert(!p.contains("Exchange"),
+      s"the record pipeline is a projection — no shuffle is acceptable:\n$p")
+  }
+
+  test("i3: one-vs-all similarity broadcasts the query vector, no sort-merge") {
+    val p = plan(Registry.byId("i3_sim_topk").build(spark, dir))
+    assert(p.contains("BroadcastExchange"), s"query vector must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
