@@ -124,26 +124,32 @@ object PipelineOps {
     // scale — the band hash IS the shuffle key.
     Q("i8_lsh_pairs",
       (s, dir) => {
+        // The band self-join carries only (doc_id, source, band key) — the
+        // signatures rejoin at doc granularity AFTER pair dedup, so the
+        // wide columns never ride the quadratic shuffle.
         val sig = minhashSig(t(s, dir, "documents"))
         val bandCols = (0 until 4).map(b =>
           struct(lit(b).as("b"), col(s"mh${2 * b}").as("x"), col(s"mh${2 * b + 1}").as("y")))
-        val bands = sig.select(
-          (col("doc_id") +: col("source") +: (0 until NumHashes).map(j => col(s"mh$j"))) :+
-            explode(array(bandCols: _*)).as("band"): _*)
-          .select(Seq(col("doc_id"), col("source"),
-            col("band.b").as("b"), col("band.x").as("x"), col("band.y").as("y")) ++
-            (0 until NumHashes).map(j => col(s"mh$j")): _*)
-        val l = bands.alias("l"); val r = bands.alias("r")
-        val nMatch = (0 until NumHashes)
-          .map(j => when(col(s"l.mh$j") === col(s"r.mh$j"), 1).otherwise(0))
-          .reduce(_ + _)
-        l.join(r,
+        val bands = sig.select(col("doc_id"), col("source"),
+          explode(array(bandCols: _*)).as("band"))
+          .select(col("doc_id"), col("source"),
+            col("band.b").as("b"), col("band.x").as("x"), col("band.y").as("y"))
+        val cand = bands.alias("l")
+          .join(bands.alias("r"),
             col("l.b") === col("r.b") && col("l.x") === col("r.x") &&
               col("l.y") === col("r.y") && col("l.source") === col("r.source") &&
               col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"),
-            nMatch.as("nm"))
-          .groupBy("doc_id1", "doc_id2").agg(max(col("nm")).as("nm"))
+          .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"))
+          .distinct()
+        val sl = sig.select(
+          col("doc_id").as("doc_id1") +: (0 until NumHashes).map(j => col(s"mh$j").as(s"l$j")): _*)
+        val sr = sig.select(
+          col("doc_id").as("doc_id2") +: (0 until NumHashes).map(j => col(s"mh$j").as(s"r$j")): _*)
+        val nMatch = (0 until NumHashes)
+          .map(j => when(col(s"l$j") === col(s"r$j"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(sl, "doc_id1").join(sr, "doc_id2")
+          .withColumn("nm", nMatch)
           .filter(col("nm") >= 6)
           .select(col("doc_id1"), col("doc_id2"),
             round(col("nm") / 8.0, 3).as("est_jaccard"))

@@ -258,7 +258,27 @@ object RelationalOps {
                  | round(avg(l_extendedprice), 4) AS avg_price,
                  | round(stddev_samp(l_extendedprice), 4) AS sd_price,
                  | count(*) AS n_rows
-                 | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
+                 | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
+    // Pivot with an explicit value list (the only scale-safe form: an
+    // inferred list needs an extra distinct pass AND makes the output
+    // schema data-dependent). Compiles to one hash aggregate with
+    // conditional partials — same plan as the CASE-WHEN oracle.
+    Q("c7_agg_pivot",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("o_orderpriority"), col("F").as("n_f"),
+            col("O").as("n_o"), col("P").as("n_p"))
+          .orderBy("o_orderpriority"),
+      Some(sql("""SELECT o_orderpriority,
+                 | count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                 | count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                 | count(*) FILTER (o_orderstatus = 'P') AS n_p
+                 | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
   )
 
   // -------------------------------------------------------------- windows

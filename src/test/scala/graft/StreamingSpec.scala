@@ -132,6 +132,33 @@ class StreamingSpec extends SparkTestBase {
     assert(table.count() == eventSeq.size)
   }
 
+  test("file-source streaming replay of the events table == batch") {
+    // The second real source path (SURVEY §1.4): stream the ns-precision
+    // parquet with an explicit raw-nanos schema (readStream cannot infer),
+    // convert exactly like Tables.load, aggregate, compare to batch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    // The file source wants a directory; stage the single table file.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-filesrc")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("us"))
+    val q = agg.writeStream.format("memory").queryName("filesrc_t")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val want = batchDF.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("us"))
+    assertSameRows(spark.table("filesrc_t"), want)
+  }
+
   test("graceful shutdown: stop() drains without error") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
