@@ -37,6 +37,26 @@ object RelationalOps {
   private def sql(s: String): String =
     s.stripMargin.replace("\n", " ").trim
 
+  /** Salted equi-join for skewed keys: the fact side is salted with a
+    * caller-supplied row-level expression (a hot key NEEDS a non-key salt
+    * source, e.g. `pmod(hash(rowUniqueCol), n)`), the dim side is
+    * replicated across all `buckets` salt values, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `buckets` tasks instead of
+    * one straggler. Result is exactly the plain join (asserted in
+    * `SkewSpec`); AQE's skew-join split is the automatic alternative, this
+    * is the explicit form for when the skew is known up front.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, buckets: Int, salt: Column): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt)
+    val repDim = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    saltedFact.join(repDim,
+        saltedFact(factKey) === repDim(dimKey) &&
+          saltedFact("__salt") === repDim("__salt"))
+      .drop("__salt")
+  }
+
   // ---------------------------------------------------------------- joins
 
   private val joins: Seq[Q] = Seq(

@@ -92,6 +92,27 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").cast("timestamp_ntz").as("ws"), col("cnt"))
 
+  /** h8: stream-stream interval join — each purchase matched to the same
+    * user's errors in the preceding 10 minutes (inclusive both ends).
+    * ONE logic function for both modes; the streaming callers add
+    * `withWatermark` on both inputs so the join state stays bounded
+    * (inner-join emission itself needs no watermark). At scale this is a
+    * single co-shuffle on user_id with per-key time-range state.
+    */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+      col("ts").as("p_ts"))
+    val e = errors.select(col("event_id").as("e_id"),
+      col("user_id").as("e_user"), col("ts").as("e_ts"))
+    p.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("e_ts") <= col("p_ts"))
+      .select(col("p_id"), col("e_id"), col("user_id"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"),
+        col("e_ts").cast("timestamp_ntz").as("e_ts"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
   private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
 
@@ -141,6 +162,21 @@ object StreamingOps {
       Some(sql("""SELECT user_id, count(*) AS n_events,
                  | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                  | max(event_id) AS last_event_id
-                 | FROM events GROUP BY user_id ORDER BY user_id""")))
+                 | FROM events GROUP BY user_id ORDER BY user_id"""))),
+
+    Q("h8_stream_stream_join",
+      (s, dir) => {
+        val events = ev(s, dir)
+        purchaseErrorJoin(
+          events.filter(col("event_type") === "purchase"),
+          events.filter(col("event_type") === "error"))
+          .orderBy("p_id", "e_id")
+      },
+      Some(sql("""SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id, p.ts AS p_ts, e.ts AS e_ts
+                 | FROM events p JOIN events e
+                 |   ON p.user_id = e.user_id
+                 |  AND e.ts >= p.ts - INTERVAL '10 minutes' AND e.ts <= p.ts
+                 | WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+                 | ORDER BY p_id, e_id""")))
   )
 }

@@ -132,6 +132,36 @@ class StreamingSpec extends SparkTestBase {
     assert(table.count() == eventSeq.size)
   }
 
+  test("h8 stream-stream interval join == batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ordered = eventSeq.sortBy(_.ts.getTime)
+    val purchases = ordered.filter(_.event_type == "purchase")
+    val errors = ordered.filter(_.event_type == "error")
+    val msP = MemoryStream[Event]; val msE = MemoryStream[Event]
+    val joined = StreamingOps.purchaseErrorJoin(
+      msP.toDS().toDF().withWatermark("ts", "1 hour"),
+      msE.toDS().toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("h8_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-h8").toString)
+      .start()
+    // Feed both sides in event-time order, interleaved in 4 rounds.
+    val pChunks = purchases.grouped(math.max(1, purchases.size / 4 + 1)).toSeq
+    val eChunks = errors.grouped(math.max(1, errors.size / 4 + 1)).toSeq
+    (0 until math.max(pChunks.size, eChunks.size)).foreach { i =>
+      if (i < pChunks.size) msP.addData(pChunks(i))
+      if (i < eChunks.size) msE.addData(eChunks(i))
+      q.processAllAvailable()
+    }
+    q.stop(); q.awaitTermination()
+    val want = StreamingOps.purchaseErrorJoin(
+      batchDF.filter(col("event_type") === "purchase"),
+      batchDF.filter(col("event_type") === "error"))
+    assertSameRows(spark.table("h8_t"), want)
+  }
+
   test("file-source streaming replay of the events table == batch") {
     // The second real source path (SURVEY §1.4): stream the ns-precision
     // parquet with an explicit raw-nanos schema (readStream cannot infer),
