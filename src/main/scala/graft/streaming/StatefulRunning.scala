@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import graft.Event
 
 /** Per-user running aggregate carried by the streaming engine. */
@@ -55,5 +57,39 @@ object StatefulRunning {
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fold)
+  }
+
+  /** The same fold on Spark 4's `transformWithState` arbitrary-state API
+    * (typed `ValueState` handles, RocksDB-backed in streaming) — the API
+    * successor to `mapGroupsWithState` for long-lived keyed state. Needs
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` on streaming queries; asserted
+    * equivalent to both twins in `StreamingSpec`.
+    */
+  final class Processor extends StatefulProcessor[Long, Event, Running] {
+    @transient private var state: ValueState[Running] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Running](
+        "running", Encoders.product[Running], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Running] = {
+      var s = Option(state.get()).getOrElse(Running(key, 0L, 0L, Long.MinValue))
+      rows.foreach { e =>
+        s = Running(key, s.n_events + 1, s.sum_cents + roundCents(e.value),
+          math.max(s.last_event_id, e.event_id))
+      }
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  def transformWithStateVariant(events: Dataset[Event]): Dataset[Running] = {
+    implicit val runningEnc: Encoder[Running] = Encoders.product[Running]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }
 }

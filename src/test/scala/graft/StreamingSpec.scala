@@ -110,6 +110,70 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(foldBatch, want)
   }
 
+  test("h6b transformWithState (RocksDB) == mapGroupsWithState == batch agg") {
+    val want = StreamingOps.statefulRunning(batchDF)
+      .select(col("user_id"), col("n_events"), col("sum_cents"), col("last_event_id"))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val latest = TrieMap.empty[Long, Running]
+      Replay.runForeach(spark, eventSeq, 6, OutputMode.Update())(
+        ds => StatefulRunning.transformWithStateVariant(ds).toDF()) { (df, _) =>
+        df.as[Running].collect().foreach(r => latest(r.user_id) = r)
+      }
+      val got = latest.values.toSeq.toDF()
+        .select(col("user_id"), col("n_events"), col("sum_cents"), col("last_event_id"))
+      assertSameRows(got, want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("offset-log recovery: restart from checkpoint, no loss, no reprocessing") {
+    // The engine form of the reference's resume-from-sequence-number
+    // (expired-iterator renewal, main.go:332-351): stop a file-source
+    // query mid-feed, add more data, restart from the SAME checkpoint.
+    // Complete-mode counts detect both failure modes — re-reading file 1
+    // doubles them, losing state halves them.
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft-recov-src")
+    val ckpt = Files.createTempDirectory("graft-recov-ckpt").toString
+    def stageHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-recov-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, stage.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val half = eventSeq.size / 2
+    val df1 = eventSeq.take(half).toDF()
+    val df2 = eventSeq.drop(half).toDF()
+    def startQuery(name: String) =
+      spark.readStream.schema(df1.schema).parquet(stage.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("us"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    stageHalf(df1, "h1")
+    val q1 = startQuery("recov_t1")
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+
+    stageHalf(df2, "h2")
+    val q2 = startQuery("recov_t2")
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+
+    val want = batchDF.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("us"))
+    assertSameRows(spark.table("recov_t2"), want)
+  }
+
   test("h7 foreachBatch sink receives exactly the rendered lines") {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     Replay.runForeach(spark, eventSeq, 4, OutputMode.Append())(
