@@ -23,6 +23,39 @@ class PlanSpec extends SparkTestBase {
       s"time filter must reach the scan:\n$p")
   }
 
+  test("NsTimestampPushdown rule: plain filter on converted ts reaches the scan") {
+    import org.apache.spark.sql.functions._
+    // No eventsSince helper here — the optimizer rule alone must rewrite
+    // `timestamp_micros(ts div 1000) >= lit` to a raw-nanos predicate.
+    val df = Tables.load(spark, dir, "events")
+      .filter(col("ts") >= expr("timestamp'2024-01-15 00:00:00'"))
+      .select("event_id", "event_type")
+    val p = plan(df)
+    assert(p.replaceAll("\\s", "").contains("GreaterThanOrEqual(ts"),
+      s"rule must surface a pushable raw-ns filter:\n$p")
+    // Correctness of the rewrite: same rows as the helper path.
+    val startMicros = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val want = Tables.eventsSince(spark, dir, startMicros).count()
+    assert(df.count() == want)
+  }
+
+  test("NsTimestampPushdown boundary arithmetic is exact at µs edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // raw ns: just below 1s, =1s start, =1s last-ns, just above 1s.
+    val df = Seq(999999999L, 1000000000L, 1000000999L, 1000001000L)
+      .toDF("raw")
+      .select(timestamp_micros(expr("raw div 1000")).as("ts"))
+    val t = expr("timestamp'1970-01-01 00:00:01'")
+    assert(df.filter(col("ts") >= t).count() == 3)
+    assert(df.filter(col("ts") > t).count() == 1)
+    assert(df.filter(col("ts") <= t).count() == 3)
+    assert(df.filter(col("ts") < t).count() == 1)
+    assert(df.filter(col("ts") === t).count() == 2)
+    assert(df.filter(t <= col("ts")).count() == 3) // mirrored literal-first
+  }
+
   test("column pruning: 2-column projection reads a 2-column schema") {
     val df = Tables.load(spark, dir, "lineitem")
       .filter(org.apache.spark.sql.functions.col("l_quantity") < 10)
