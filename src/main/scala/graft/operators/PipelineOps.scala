@@ -362,6 +362,76 @@ object PipelineOps {
                  |   GROUP BY vec_id)
                  | SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10"""))),
 
+    // Shingle MinHash (the shingle→minhash→band pipeline's sketch step):
+    // 3-token shingles capture local word ORDER (unigram sets — i7 —
+    // cannot tell "a b c" from "c b a"), then 4 seeded minhashes over the
+    // distinct-shingle set. Docs under 3 tokens have no shingles and drop
+    // out on both engines.
+    Q("i11_shingle_minhash",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val idx = sequence(lit(1), size(toks) - 2)
+        val shingles = when(size(toks) >= 3,
+          array_distinct(transform(idx, i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+          .otherwise(array().cast("array<string>"))
+        // One md5 per shingle: its 32 hex chars are four independent
+        // 8-char (32-bit) slices — 4× less hashing than 4 seeded md5s.
+        val aggs = (0 until 4).map(j =>
+          min(conv(substring(col("h"), 1 + 8 * j, 8), 16, 10).cast("long")).as(s"sm$j"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(shingles).as("shingle"))
+          .select(col("doc_id"), md5(col("shingle")).as("h"))
+          .groupBy(col("doc_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH sh AS (
+                 |   SELECT doc_id, md5(unnest(list_distinct(list_transform(range(1, len(toks)-1),
+                 |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))) AS h
+                 |   FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
+                 | SELECT doc_id,
+                 |   min(('0x'||substr(h,1,8))::BIGINT) AS sm0,
+                 |   min(('0x'||substr(h,9,8))::BIGINT) AS sm1,
+                 |   min(('0x'||substr(h,17,8))::BIGINT) AS sm2,
+                 |   min(('0x'||substr(h,25,8))::BIGINT) AS sm3
+                 | FROM sh GROUP BY doc_id ORDER BY doc_id"""))),
+
+    // Embedding-similarity dedup machinery, label-bucketed: all pairs
+    // WITHIN a label bucket (never across the corpus), cosine in
+    // index-ordered double, top-5 pairs per label by (rounded sim, ids).
+    // On near-orthogonal synthetic vectors a fixed threshold returns
+    // nothing, so the op ranks instead — same join/bucket shape a real
+    // near-dup threshold would use.
+    Q("i12_embed_pair_sim",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val a = e.select(col("label"), col("vec_id").as("i"), col("embedding").as("ea"))
+        val b = e.select(col("label").as("label2"), col("vec_id").as("j"),
+          col("embedding").as("eb"))
+        val pairs = a.join(b, col("label") === col("label2") && col("i") < col("j"))
+          .select(col("label"), col("i"), col("j"),
+            round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
+        pairs.withColumn("rn", row_number().over(
+            Window.partitionBy(col("label"))
+              .orderBy(col("sim").desc, col("i"), col("j"))))
+          .filter(col("rn") <= 5)
+          .select(col("label"), col("i"), col("j"), col("sim"))
+          .orderBy("label", "i", "j")
+      },
+      Some(sql("""WITH prod AS (
+                 |   SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+                 |     unnest(a.embedding)::DOUBLE * unnest(b.embedding)::DOUBLE AS p
+                 |   FROM embeddings a JOIN embeddings b
+                 |     ON a.label = b.label AND a.vec_id < b.vec_id),
+                 | sims AS (SELECT label, i, j, round(sum(p), 3) AS sim
+                 |          FROM prod GROUP BY label, i, j),
+                 | ranked AS (SELECT label, i, j, sim,
+                 |   row_number() OVER (PARTITION BY label ORDER BY sim DESC, i, j) AS rn
+                 |   FROM sims)
+                 | SELECT label, i, j, sim FROM ranked WHERE rn <= 5
+                 | ORDER BY label, i, j"""))),
+
     // Multimodal binary column: the document payload as real `binary`
     // bytes with typed metadata extracted by a (deterministic, stubbed)
     // decoder — the schema/partitioning/batch plumbing is real; only the
