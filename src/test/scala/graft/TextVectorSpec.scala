@@ -59,6 +59,19 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("HLL sketch (approx_count_distinct) lands within 5% of exact") {
+    // SURVEY §2 c2: the approx variant is T-only — its value is
+    // engine-specific, so it can never be oracled, only bounded.
+    val events = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val row = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"HLL too far off: approx=$approx exact=$exact")
+  }
+
   test("dot/cosine/l2sq: unit self-similarity, symmetry, positivity") {
     val df = Seq(
       (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
