@@ -371,9 +371,11 @@ object PipelineOps {
       (s, dir) => {
         val toks = split(col("text"), " ")
         val idx = sequence(lit(1), size(toks) - 2)
+        // No distinct pass: min() is idempotent under duplicate shingles,
+        // and array_distinct over ~80 strings is O(n²) per row.
         val shingles = when(size(toks) >= 3,
-          array_distinct(transform(idx, i => concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+          transform(idx, i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
           .otherwise(array().cast("array<string>"))
         // One md5 per shingle: its 32 hex chars are four independent
         // 8-char (32-bit) slices — 4× less hashing than 4 seeded md5s.
@@ -387,8 +389,8 @@ object PipelineOps {
           .orderBy("doc_id")
       },
       Some(sql("""WITH sh AS (
-                 |   SELECT doc_id, md5(unnest(list_distinct(list_transform(range(1, len(toks)-1),
-                 |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))) AS h
+                 |   SELECT doc_id, md5(unnest(list_transform(range(1, len(toks)-1),
+                 |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS h
                  |   FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents))
                  | SELECT doc_id,
                  |   min(('0x'||substr(h,1,8))::BIGINT) AS sm0,
