@@ -399,6 +399,62 @@ object PipelineOps {
                  |   min(('0x'||substr(h,25,8))::BIGINT) AS sm3
                  | FROM sh GROUP BY doc_id ORDER BY doc_id"""))),
 
+    // n-gram (3-token shingle) Jaccard near-dup: candidate pairs share a
+    // shingle AND a `source` bucket. Unlike unigrams (i2), shingles are
+    // naturally discriminative — document frequency per shingle is low, so
+    // the candidate equi-join stays sparse without prefix filtering
+    // (568 candidates at sf0.01 vs 622k unigram ones). Order-sensitive:
+    // token reshuffles destroy shingles, so this catches only true
+    // near-copies.
+    Q("i13_ngram_jaccard",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val idx = sequence(lit(1), size(toks) - 2)
+        // Shingles become 60-bit md5-derived longs BEFORE the join: the
+        // quadratic equi-join shuffles 8-byte keys, not 17-char strings.
+        // Hashing is identical on both engines, so candidate sets and
+        // intersection counts agree exactly even if a collision ever fired
+        // (none expected: ~260k shingles vs 2^60).
+        val shingles = when(size(toks) >= 3,
+          array_distinct(transform(idx, i =>
+            conv(substring(md5(concat_ws(" ",
+              element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))),
+              1, 15), 16, 10).cast("long"))))
+          .otherwise(array().cast("array<bigint>"))
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), explode(shingles).as("s"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = sh.alias("a")
+          .join(sh.alias("b"),
+            col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+          .agg(count(lit(1)).as("inter"))
+        val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_id1"), col("n").as("n1")), "doc_id1")
+          .join(sizes.select(col("doc_id").as("doc_id2"), col("n").as("n2")), "doc_id2")
+          .filter(jac >= 0.5)
+          .select(col("doc_id1"), col("doc_id2"), round(jac, 3).as("jaccard"))
+          .orderBy("doc_id1", "doc_id2")
+      },
+      Some(sql("""WITH sh AS (
+                 |   SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+                 |     i -> ('0x'||substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),1,15))::BIGINT))) AS s
+                 |   FROM (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents)),
+                 | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+                 | pairs AS (
+                 |   SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS inter
+                 |   FROM sh a JOIN sh b
+                 |     ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+                 |   GROUP BY 1, 2)
+                 | SELECT doc_id1, doc_id2,
+                 |   round(inter * 1.0 / (s1.n + s2.n - inter), 3) AS jaccard
+                 | FROM pairs JOIN sizes s1 ON doc_id1 = s1.doc_id
+                 |            JOIN sizes s2 ON doc_id2 = s2.doc_id
+                 | WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+                 | ORDER BY doc_id1, doc_id2"""))),
+
     // Embedding-similarity dedup machinery, label-bucketed: all pairs
     // WITHIN a label bucket (never across the corpus), cosine in
     // index-ordered double, top-5 pairs per label by (rounded sim, ids).
