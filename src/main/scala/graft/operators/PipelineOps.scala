@@ -423,17 +423,33 @@ object PipelineOps {
           .otherwise(array().cast("array<bigint>"))
         val sh = t(s, dir, "documents")
           .select(col("doc_id"), col("source"), explode(shingles).as("s"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = sh.alias("a")
-          .join(sh.alias("b"),
-            col("a.source") === col("b.source") && col("a.s") === col("b.s") &&
+        // Lossless prefix filter at θ=0.5 (same pigeonhole as i2): under
+        // ANY one global shingle order, J ≥ 0.5 forces a shared shingle
+        // inside each doc's first n - ceil(n/2) + 1 shingles. The uniform
+        // md5 hash value IS such an order — no df-rank table, no global
+        // sort; candidates come from prefixes, pairs verify on full sets.
+        // The oracle keeps the unfiltered form (the filter is lossless).
+        val docSets = sh
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sort_array(collect_set(col("s"))).as("rks"))
+          .withColumn("n", size(col("rks")).cast("long"))
+        val prefixLen = (col("n") - ((col("n") + 1) / 2).cast("long") + 1)
+        val prefixed = docSets.select(col("doc_id"), col("source"),
+          explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
+        val cand = prefixed.alias("a")
+          .join(prefixed.alias("b"),
+            col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
               col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
-          .agg(count(lit(1)).as("inter"))
+          .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+          .distinct()
+        val l = docSets.select(col("doc_id").as("doc_id1"), col("rks").as("rks1"),
+          col("n").as("n1"))
+        val r = docSets.select(col("doc_id").as("doc_id2"), col("rks").as("rks2"),
+          col("n").as("n2"))
+        val inter = size(array_intersect(col("rks1"), col("rks2"))).cast("long")
         val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
-        pairs
-          .join(sizes.select(col("doc_id").as("doc_id1"), col("n").as("n1")), "doc_id1")
-          .join(sizes.select(col("doc_id").as("doc_id2"), col("n").as("n2")), "doc_id2")
+        cand.join(l, "doc_id1").join(r, "doc_id2")
+          .withColumn("inter", inter)
           .filter(jac >= 0.5)
           .select(col("doc_id1"), col("doc_id2"), round(jac, 3).as("jaccard"))
           .orderBy("doc_id1", "doc_id2")
