@@ -444,7 +444,40 @@ object RelationalOps {
           .except(t(s, dir, "supplier").select(col("s_nationkey").as("n_key")))
           .orderBy("n_key"),
       Some(sql("""SELECT c_nationkey AS n_key FROM customer
-                 | EXCEPT SELECT s_nationkey AS n_key FROM supplier ORDER BY n_key""")))
+                 | EXCEPT SELECT s_nationkey AS n_key FROM supplier ORDER BY n_key"""))),
+
+    // Pure-SQL entry point: the engine's surface is also reachable as SQL
+    // text over registered views (a reference user keeps their SQL). The
+    // TPC-H Q3 shape: join + filtered agg + ordered top-k; Catalyst plans
+    // it identically to the DataFrame form.
+    Q("b9_sql_q3",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        // Factors enter DECIMAL before multiply/sum: the arithmetic is
+        // exact and order-independent. The sum is emitted at its full
+        // scale-6 precision — re-rounding it to 2dp hits exact .xx5000
+        // ties that Spark (half-up) and DuckDB (half-even) break
+        // differently.
+        s.sql("""SELECT l_orderkey,
+                |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS revenue
+                |FROM v_customer c
+                |JOIN v_orders o ON c.c_custkey = o.o_custkey
+                |JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+                |WHERE c.c_mktsegment = 'BUILDING'
+                |GROUP BY l_orderkey
+                |ORDER BY revenue DESC, l_orderkey
+                |LIMIT 20""".stripMargin)
+      },
+      Some(sql("""SELECT l_orderkey,
+                 | SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS revenue
+                 | FROM customer c
+                 | JOIN orders o ON c.c_custkey = o.o_custkey
+                 | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                 | WHERE c.c_mktsegment = 'BUILDING'
+                 | GROUP BY l_orderkey
+                 | ORDER BY revenue DESC, l_orderkey LIMIT 20""")))
   )
 
   private val scalars: Seq[Q] = Seq(
@@ -562,6 +595,49 @@ object RelationalOps {
                  | json_extract_string(props, '$.k') IS NOT NULL AS has_k,
                  | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
                  | FROM events ORDER BY event_id"""))),
+
+    // Null-handling battery over a column that actually goes NULL (the
+    // as-of join's pre-first-error rows — exercising three-valued logic
+    // on real nulls, not synthetic ones).
+    Q("g8_null_funcs",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val withNull = e.select(col("event_id"),
+          when(col("event_type") === "error", col("value")).as("err_value"))
+        withNull.select(col("event_id"),
+          coalesce(col("err_value"), lit(-1.0)).as("coalesced"),
+          col("err_value").isNull.as("is_null"),
+          nullif(col("err_value"), lit(0.0)).as("nullifed"),
+          nvl2(col("err_value"), lit("present"), lit("absent")).as("presence"))
+          .orderBy("event_id")
+      },
+      Some(sql("""SELECT event_id,
+                 | coalesce(err_value, -1.0) AS coalesced,
+                 | err_value IS NULL AS is_null,
+                 | nullif(err_value, 0.0) AS nullifed,
+                 | CASE WHEN err_value IS NOT NULL THEN 'present' ELSE 'absent' END AS presence
+                 | FROM (SELECT event_id,
+                 |   CASE WHEN event_type = 'error' THEN value END AS err_value FROM events)
+                 | ORDER BY event_id"""))),
+
+    // Regex battery: extract / replace / match-count / split-count over
+    // the part type strings.
+    Q("g9_regex_funcs",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+            regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+            size(regexp_extract_all(col("p_type"), lit("\\w+"), lit(0)))
+              .cast("long").as("n_words"),
+            col("p_type").rlike("^STANDARD").as("is_standard"))
+          .orderBy("p_partkey"),
+      Some(sql("""SELECT p_partkey,
+                 | regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+                 | regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+                 | len(regexp_extract_all(p_type, '\w+'))::BIGINT AS n_words,
+                 | regexp_matches(p_type, '^STANDARD') AS is_standard
+                 | FROM part ORDER BY p_partkey"""))),
 
     Q("g7_case_when",
       (s, dir) =>
