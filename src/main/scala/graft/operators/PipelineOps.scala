@@ -536,6 +536,51 @@ object PipelineOps {
   /** Typed metadata record produced by the stubbed media decoder. */
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, fmt: String)
 
+  /** Fixed-width feature vector extracted from a binary payload. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** One sampled frame: parent doc, frame index, frame bytes. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Feature extraction over binary payloads — the embed-the-media stage
+    * of a multimodal pipeline. The "model" is a stub (L1-normalized
+    * 16-bin byte histogram — deterministic, media-lib-free), but the
+    * plumbing is the real thing: per-partition iteration so an actual
+    * encoder could batch onto an accelerator, fixed-width float output
+    * ready for the vector operators (i3/i10/i12), no shuffle.
+    */
+  def extractFeatures(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val hist = new Array[Float](16)
+        bytes.foreach(b => hist((b & 0xFF) >> 4) += 1f)
+        val total = math.max(1f, bytes.length.toFloat)
+        MediaFeatures(id, hist.map(_ / total))
+      }
+    }
+  }
+
+  /** Frame sampling — one row per sampled fixed-size "frame" (byte slice)
+    * at a uniform stride, at most `maxFrames` per payload. The generator
+    * shape (one input row → N output rows, order-stable) is exactly what
+    * video frame-sampling needs; only the codec is stubbed.
+    */
+  def sampleFrames(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      frameSize: Int, maxFrames: Int): org.apache.spark.sql.Dataset[MediaFrame] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val nFrames = math.min(maxFrames, math.max(1, bytes.length / frameSize))
+        val stride = math.max(frameSize, bytes.length / nFrames)
+        (0 until nFrames).iterator.map { i =>
+          val start = i * stride
+          MediaFrame(id, i, bytes.slice(start, math.min(start + frameSize, bytes.length)))
+        }
+      }
+    }
+  }
+
   /** The mapPartitions twin of `m1_multimodal_meta`'s decode: iterates
     * binary payloads partition-at-a-time, as a real codec (image/audio
     * decode, frame sampling) would. The decode itself is a deterministic

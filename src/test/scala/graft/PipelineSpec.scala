@@ -21,6 +21,40 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(typedPath, exprPath)
   }
 
+  test("m2: feature extraction is deterministic, normalized, partition-stable") {
+    val payloads = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val f1 = PipelineOps.extractFeatures(payloads).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    // repartitioning must not change any vector (no cross-row state)
+    val f2 = PipelineOps.extractFeatures(payloads.repartition(7)).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(f1 == f2)
+    f1.values.foreach { v =>
+      assert(v.length == 16)
+      assert(math.abs(v.sum - 1.0f) < 1e-3, s"histogram must be L1-normalized: ${v.sum}")
+    }
+  }
+
+  test("m2: frame sampling caps frames and keeps deterministic slices") {
+    val payloads = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val frames = PipelineOps.sampleFrames(payloads, frameSize = 32, maxFrames = 4).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { fs =>
+      assert(fs.length <= 4 && fs.length >= 1)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      fs.foreach(f => assert(f.frame.length <= 32 && f.frame.nonEmpty))
+    }
+    // deterministic across runs
+    val again = PipelineOps.sampleFrames(payloads, 32, 4).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.frame.toSeq)).toSet ==
+      again.map(f => (f.doc_id, f.frame_idx, f.frame.toSeq)).toSet)
+  }
+
   test("minhash: identical texts yield identical signatures, sketch is 8-wide") {
     val docs = Seq(
       (1L, "alpha beta gamma", "s0"),
