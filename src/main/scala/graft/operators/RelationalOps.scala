@@ -280,6 +280,23 @@ object RelationalOps {
                  | count(*) AS n_rows
                  | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
 
+    // Ordered string aggregation: collect_list is only deterministic
+    // after sort_array, and array OUTPUT columns are hash-unstable across
+    // engines (§7 H4) — so the sorted list is joined to one string.
+    Q("c8_agg_string",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .groupBy(col("c_nationkey"))
+          .agg(
+            count(lit(1)).as("n"),
+            array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
+          .orderBy("c_nationkey"),
+      Some(sql("""SELECT c_nationkey, count(*) AS n,
+                 | string_agg(c_name, ',' ORDER BY c_name) AS names
+                 | FROM customer WHERE c_custkey <= 200
+                 | GROUP BY c_nationkey ORDER BY c_nationkey"""))),
+
     // Pivot with an explicit value list (the only scale-safe form: an
     // inferred list needs an extra distinct pass AND makes the output
     // schema data-dependent). Compiles to one hash aggregate with
@@ -368,6 +385,28 @@ object RelationalOps {
                  |   (PARTITION BY user_id ORDER BY event_id
                  |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS windowed_sum
                  | FROM events ORDER BY event_id"""))),
+
+    // Distribution analytics: ntile buckets, percent_rank, cume_dist.
+    // The window orders on a UNIQUE key chain so ranks are total — tied
+    // orderings would make percent_rank/cume_dist engine-dependent.
+    Q("d6_window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 4).as("pct_rank"),
+            round(cume_dist().over(w), 4).as("cume"))
+          .orderBy("c_custkey")
+      },
+      Some(sql("""SELECT c_custkey, c_mktsegment,
+                 | ntile(4) OVER w AS quartile,
+                 | round(percent_rank() OVER w, 4) AS pct_rank,
+                 | round(cume_dist() OVER w, 4) AS cume
+                 | FROM customer
+                 | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+                 | ORDER BY c_custkey"""))),
 
     Q("d5_topk_per_group",
       (s, dir) => {
