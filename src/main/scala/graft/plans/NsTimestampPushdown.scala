@@ -64,6 +64,13 @@ object NsTimestampPushdown extends Rule[LogicalPlan] {
       case EqualTo(ConvertedTs(raw), MicrosLit(t)) =>
         And(GreaterThanOrEqual(raw, ns(1000L * t)),
           LessThanOrEqual(raw, ns(1000L * t + 999L)))
+      case EqualTo(MicrosLit(t), ConvertedTs(raw)) =>
+        And(GreaterThanOrEqual(raw, ns(1000L * t)),
+          LessThanOrEqual(raw, ns(1000L * t + 999L)))
+      // Catalyst adds IsNotNull(converted) to every filter on the column;
+      // timestamp_micros never nulls a non-null long, so the check moves
+      // to the raw attribute and becomes pushable too.
+      case IsNotNull(ConvertedTs(raw)) => IsNotNull(raw)
       // Mirrored literal-first forms.
       case LessThanOrEqual(MicrosLit(t), ConvertedTs(raw)) =>
         GreaterThanOrEqual(raw, ns(1000L * t))
