@@ -7,10 +7,12 @@ import graft.{Q, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Training-data-pipeline operators beyond the core group D (SURVEY §2.D):
-  * sketch-based near-dedup (MinHash+LSH banding i7/i8, SimHash i9), text
-  * analysis (language-ID j1, quality scoring j2, token counting j3,
-  * document fingerprinting j4), IVF-routed ANN (i10) and multimodal
-  * binary-column plumbing (m1).
+  * sketch-based near-dedup (MinHash+LSH banding i7/i8, SimHash i9,
+  * shingle MinHash i11, n-gram Jaccard i13), IVF-routed ANN (i10),
+  * label-bucketed embedding pair similarity (i12), text analysis
+  * (language-ID j1, quality scoring j2, token counting j3, document
+  * fingerprinting j4) and multimodal binary-column plumbing (m1 decode
+  * metadata, m2 feature extraction + frame sampling).
   *
   * Scale design (100 TB / 1000 executors):
   *   - Sketches are linear: one generator + one hash-aggregate per doc;
