@@ -10,6 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * total-order ORDER BY; float aggregates are rounded or computed in
   * DECIMAL; timestamps are emitted as TIMESTAMP_NTZ so both engines write
   * naive microsecond values; no MapType or raw float-array output columns.
+  * DECIMAL is an INTERNAL type only — exact sums run in decimal but every
+  * OUTPUT column is cast to double, because a decimal output stringifies
+  * scale-padded ("61309.40") on the parquet side while the DuckDB oracle
+  * yields a float ("61309.4"), failing the driver's value-hash compare.
   */
 final case class Q(
     id: String,

@@ -28,11 +28,17 @@ object RelationalOps {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
-  /** Exact, order-independent money sum: DECIMAL(18,2) in, DECIMAL(18,2) out. */
+  /** Exact, order-independent money sum: DECIMAL(18,2) internally, DOUBLE
+    * out. The decimal keeps the sum order-independent across engines; the
+    * final double cast keeps the OUTPUT type out of decimal (a decimal
+    * column stringifies scale-padded and fails the driver's hash compare —
+    * see Registry's determinism contract). decimal→double is the correctly
+    * rounded nearest double of n/100 on both engines, so the bits agree.
+    */
   private def sumMoney(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("decimal(18,2)")
+    sum(c.cast("decimal(18,2)")).cast("decimal(18,2)").cast("double")
   private def duckSumMoney(x: String): String =
-    s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)"
 
   private def sql(s: String): String =
     s.stripMargin.replace("\n", " ").trim
@@ -338,7 +344,7 @@ object RelationalOps {
                  | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
                  | ORDER BY c_custkey"""))),
 
-    // Running sum in DECIMAL: sequential frame → exact on both engines.
+    // Running sum in DECIMAL (exact on both engines), emitted as DOUBLE.
     Q("d2_window_running",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
@@ -347,13 +353,13 @@ object RelationalOps {
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
-              .cast("decimal(18,2)").as("running_total"))
+              .cast("decimal(18,2)").cast("double").as("running_total"))
           .orderBy("o_orderkey")
       },
       Some(sql("""SELECT o_orderkey, o_custkey,
-                 | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                 | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                  |   (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                 |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+                 |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
                  | FROM orders ORDER BY o_orderkey"""))),
 
     Q("d3_window_lag_lead",
@@ -377,13 +383,13 @@ object RelationalOps {
         t(s, dir, "events")
           .select(col("event_id"), col("user_id"),
             sum(col("value").cast("decimal(18,2)")).over(w)
-              .cast("decimal(18,2)").as("windowed_sum"))
+              .cast("decimal(18,2)").cast("double").as("windowed_sum"))
           .orderBy("event_id")
       },
       Some(sql("""SELECT event_id, user_id,
-                 | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+                 | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
                  |   (PARTITION BY user_id ORDER BY event_id
-                 |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS windowed_sum
+                 |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS windowed_sum
                  | FROM events ORDER BY event_id"""))),
 
     // Distribution analytics: ntile buckets, percent_rank, cume_dist.
