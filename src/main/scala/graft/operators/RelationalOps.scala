@@ -33,7 +33,12 @@ object RelationalOps {
     * final double cast keeps the OUTPUT type out of decimal (a decimal
     * column stringifies scale-padded and fails the driver's hash compare —
     * see Registry's determinism contract). decimal→double is the correctly
-    * rounded nearest double of n/100 on both engines, so the bits agree.
+    * rounded nearest double of n/100 on both engines, so the bits agree —
+    * provided the sum in cents stays ≤ 2^53 (~9e15 cents, $90T); above
+    * that the engines' long→double conversions can differ by 1 ulp. The
+    * test tables sum to well under the bound; a 100 TB deployment whose
+    * money sums could exceed it should keep the decimal internal and
+    * compare at decimal precision instead.
     */
   private def sumMoney(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("decimal(18,2)").cast("double")
@@ -501,12 +506,13 @@ object RelationalOps {
         t(s, dir, "orders").createOrReplaceTempView("v_orders")
         t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
         // Factors enter DECIMAL before multiply/sum: the arithmetic is
-        // exact and order-independent. The sum is emitted at its full
-        // scale-6 precision — re-rounding it to 2dp hits exact .xx5000
-        // ties that Spark (half-up) and DuckDB (half-even) break
-        // differently.
+        // exact and order-independent. The OUTPUT is cast to double per
+        // the Registry determinism contract (a scale-6 decimal output
+        // stringifies padded and fails the driver hash); the exact
+        // decimal sum makes the double cast — and hence the ORDER BY /
+        // LIMIT selection — identical on both engines.
         s.sql("""SELECT l_orderkey,
-                |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS revenue
+                |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
                 |FROM v_customer c
                 |JOIN v_orders o ON c.c_custkey = o.o_custkey
                 |JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
@@ -516,7 +522,7 @@ object RelationalOps {
                 |LIMIT 20""".stripMargin)
       },
       Some(sql("""SELECT l_orderkey,
-                 | SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS revenue
+                 | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
                  | FROM customer c
                  | JOIN orders o ON c.c_custkey = o.o_custkey
                  | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -622,17 +628,26 @@ object RelationalOps {
                  |   SELECT event_id, 'uid' AS prop_key, CAST(user_id AS VARCHAR) AS prop_value FROM events)
                  | ORDER BY event_id, prop_key"""))),
 
+    // Parse `props` ONCE: Spark does not CSE `get_json_object` across
+    // distinct output columns, so the extract-per-column form re-parsed
+    // the same JSON five times per row. One `from_json` into a struct
+    // alias (CollapseProject keeps a multiply-referenced non-cheap alias
+    // as its own projection, so the parse is not re-inlined) and five
+    // `getField` derivations.
     Q("g6_json_funcs",
-      (s, dir) =>
+      (s, dir) => {
+        val k = col("j").getField("k")
         t(s, dir, "events")
+          .withColumn("j", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k STRING")))
           .select(col("event_id"),
-            get_json_object(col("props"), "$.k").cast("double").as("k_double"),
-            get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-            get_json_object(col("props"), "$.k").as("k_str"),
-            get_json_object(col("props"), "$.k").isNotNull.as("has_k"),
-            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-              .getField("k").as("k_struct"))
-          .orderBy("event_id"),
+            k.cast("double").as("k_double"),
+            k.cast("int").as("k_int"),
+            k.as("k_str"),
+            k.isNotNull.as("has_k"),
+            k.cast("int").as("k_struct"))
+          .orderBy("event_id")
+      },
       Some(sql("""SELECT event_id,
                  | CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
                  | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,

@@ -24,7 +24,8 @@ object StreamingOps {
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_value"))
       .select(col("window.start").cast("timestamp_ntz").as("ws"),
         col("event_type"), col("cnt"), col("sum_value"))
 
@@ -120,7 +121,7 @@ object StreamingOps {
     Q("h1_stream_tumbling",
       (s, dir) => tumbling(ev(s, dir)).orderBy("ws", "event_type"),
       Some(sql("""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt,
-                 | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+                 | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
                  | FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""))),
 
     // Each event lands in exactly two 1h/30m windows: the one starting at

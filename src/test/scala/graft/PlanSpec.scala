@@ -107,4 +107,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), s"query vector must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("i2: no window stage — the global token rank funnel is gone") {
+    // The hash-order prefix filter needs no vocabulary rank table; the
+    // df-rank variant planned an unpartitioned WindowExec (one task over
+    // the whole vocabulary — a 100 TB straggler).
+    val p = plan(Registry.byId("i2_dedup_near").build(spark, dir))
+    assert(!p.contains("Window"), s"i2 must not plan a window:\n$p")
+  }
+
+  test("g6: props JSON parses once per row (one from_json, no re-extract)") {
+    val df = Registry.byId("g6_json_funcs").build(spark, dir)
+    val o = df.queryExecution.optimizedPlan.toString
+    val parses = "from_json".r.findAllIn(o).size
+    assert(parses == 1, s"expected exactly ONE from_json, got $parses:\n$o")
+    assert(!o.contains("get_json_object"),
+      s"no per-column re-extraction of props:\n$o")
+  }
 }

@@ -33,6 +33,25 @@ class StrftimeSpec extends AnyFunSuite {
     assert(Strftime.translate("%Y %N").isEmpty)
   }
 
+  test("reference extensions: %f micros / %L millis translate; %s is structural") {
+    // main.go:406 registers WithMicroseconds('f'), WithMilliseconds('L'),
+    // WithUnixSeconds('s') — a valid reference format must not fall back.
+    assert(Strftime.translate("%H:%M:%S.%f").contains("HH':'mm':'ss'.'SSSSSS"))
+    assert(Strftime.translate("%H:%M:%S.%L").contains("HH':'mm':'ss'.'SSS"))
+    // %s has no java.time pattern token; `format` compiles it via
+    // unix_timestamp instead of falling back (asserted in the Spark spec).
+    assert(Strftime.translate("%s").isEmpty)
+  }
+
+  test("Go reference layout translates to java.time") {
+    assert(Strftime.translateGoLayout("2006-01-02T15:04:05")
+      .contains("yyyy'-'MM'-'dd'T'HH':'mm':'ss"))
+    assert(Strftime.translateGoLayout("02 Jan 2006 03:04 PM")
+      .contains("dd' 'MMM' 'yyyy' 'hh':'mm' 'a"))
+    // Go's trimmed-fraction tokens can't be expressed (java.time pads).
+    assert(Strftime.translateGoLayout("15:04:05.999").isEmpty)
+  }
+
   test("translate is total: never throws on arbitrary input") {
     val rnd = new scala.util.Random(42)
     (1 to 500).foreach { _ =>
@@ -59,5 +78,31 @@ class StrftimeSparkSpec extends SparkTestBase {
     assert(got.getString(0) == "2024-03-05T07:08:09")
     assert(got.getString(1) == "2024-03-05T07:08:09.123456Z")
     assert(got.getString(2) == "05/03/24")
+  }
+
+  test("%s / %f / %L render unix seconds, micros, millis") {
+    val df = Seq("2024-03-05 07:08:09.123456").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val got = df.select(
+      Strftime.format(col("ts"), "%s").as("epoch"),
+      Strftime.format(col("ts"), "%H:%M:%S.%f").as("micro"),
+      Strftime.format(col("ts"), "%H:%M:%S.%L").as("milli"),
+      Strftime.format(col("ts"), "ts=%s.%f").as("mixed")).head()
+    val epoch = java.time.Instant.parse("2024-03-05T07:08:09Z")
+      .getEpochSecond.toString
+    assert(got.getString(0) == epoch)
+    assert(got.getString(1) == "07:08:09.123456")
+    assert(got.getString(2) == "07:08:09.123")
+    assert(got.getString(3) == s"ts=$epoch.123456")
+  }
+
+  test("formatGo renders a Go layout; unsupported layout falls back") {
+    val df = Seq("2024-03-05 07:08:09.123456").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val got = df.select(
+      Strftime.formatGo(col("ts"), "2006/01/02 15:04:05").as("go"),
+      Strftime.formatGo(col("ts"), "15:04:05.999").as("fallback")).head()
+    assert(got.getString(0) == "2024/03/05 07:08:09")
+    assert(got.getString(1) == "2024-03-05T07:08:09.123456Z")
   }
 }

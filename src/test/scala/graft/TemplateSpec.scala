@@ -52,6 +52,27 @@ class TemplateSpec extends SparkTestBase {
     assert(lines(0) == "2024/01/01!")
   }
 
+  test("""{{.Timestamp.Format "go-layout"}} method syntax (main.go:53-54)""") {
+    val lines = df.orderBy("seq")
+      .select(Template.compile(
+        """{{.Timestamp.Format "2006/01/02 15:04"}}!""", fields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == "2024/01/01 10:00!")
+  }
+
+  test("HostID/ShortHostID alias casings resolve in the pipeline scope") {
+    // main.go:266-269 exposes both casings; the render scope must too.
+    import graft.operators.EnvelopeOps
+    val env = EnvelopeOps.envelope(
+      Seq((1L, 3L, """{"k":1}""")).toDF("event_id", "user_id", "props"))
+    val got = env.select(
+      Template.compile("{{.HostID}}|{{.ShortHostID}}", EnvelopeOps.templateScope).as("a"),
+      Template.compile("{{.HostId}}|{{.ShortHostId}}", EnvelopeOps.templateScope).as("b"))
+      .as[(String, String)].head()
+    assert(got._1 == got._2 && got._1.contains("|"))
+    assert(got._1.startsWith("arn:aws:ecs:")) // user_id % 3 == 0 shape
+  }
+
   test("unknown field fails at compile time (reference exit-2 contract)") {
     val e = intercept[IllegalArgumentException] {
       Template.compile("{{.NoSuchField}}", fields)
