@@ -41,6 +41,65 @@ object LlmOps {
         explode(array_distinct(split(col("text"), " "))).as("token"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_tok"))
 
+  /** Token sets as sorted 60-bit md5-derived longs, built NARROW — a
+    * per-row `transform`, no explode/groupBy shuffle and no vocabulary
+    * rank table. The uniform hash value IS the global token order the
+    * prefix filter needs (lossless under any fixed total order); a
+    * df-rank variant would funnel the whole vocabulary through one
+    * unpartitioned window task — a 100 TB straggler. Hash collisions
+    * (~|V|²/2^61) would merge two tokens on the Spark side only; none
+    * occur on the test vocabulary and the verify join intersects 8-byte
+    * longs instead of strings. Shared by the prefix-filtered near-dedup
+    * (i2) and the LSH end-to-end path (i14, PipelineOps).
+    */
+  def hashedTokenSets(docs: DataFrame): DataFrame = {
+    val tokSet = array_distinct(transform(
+      array_distinct(split(col("text"), " ")),
+      tkn => conv(substring(md5(tkn), 1, 15), 16, 10).cast("long")))
+    docs
+      .select(col("doc_id"), col("source"), sort_array(tokSet).as("rks"))
+      .withColumn("n_tok", size(col("rks")).cast("long"))
+  }
+
+  /** Exact verify stage: candidate pairs × hashed token sets → pairs with
+    * token-set Jaccard ≥ 0.9, totally ordered. Candidate generation (i2's
+    * prefix filter, i14's minhash bands) only affects WHICH pairs are
+    * checked; this stage defines the output.
+    */
+  def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val l = sets.select(col("doc_id").as("doc_id1"), col("rks").as("rks1"),
+      col("n_tok").as("n1"))
+    val r = sets.select(col("doc_id").as("doc_id2"), col("rks").as("rks2"),
+      col("n_tok").as("n2"))
+    val inter = size(array_intersect(col("rks1"), col("rks2"))).cast("long")
+    val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
+    cand.join(l, "doc_id1").join(r, "doc_id2")
+      .withColumn("inter", inter)
+      .filter(jac >= 0.9)
+      .select(col("doc_id1"), col("doc_id2"), round(jac, 3).as("jaccard"))
+      .orderBy("doc_id1", "doc_id2")
+  }
+
+  /** DuckDB form of the exact J ≥ 0.9 same-source near-dup (UNFILTERED —
+    * any lossless candidate filter on the Spark side must reproduce it).
+    */
+  val exactNearDupOracle: String = sql(
+    """WITH dtok AS (
+      |   SELECT doc_id, source, token,
+      |     count(*) OVER (PARTITION BY doc_id) AS n_tok
+      |   FROM (SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS token
+      |         FROM documents)),
+      | pairs AS (
+      |   SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+      |     min(a.n_tok) AS n1, min(b.n_tok) AS n2, count(*) AS inter
+      |   FROM dtok a JOIN dtok b
+      |     ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2)
+      | SELECT doc_id1, doc_id2,
+      |   round(inter * 1.0 / (n1 + n2 - inter), 3) AS jaccard
+      | FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.9
+      | ORDER BY doc_id1, doc_id2""")
+
   val qs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------ dedup
@@ -76,22 +135,7 @@ object LlmOps {
     // oracle still computes the unfiltered form).
     Q("i2_dedup_near",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        // Token sets as sorted 60-bit md5-derived longs, built NARROW —
-        // a per-row `transform`, no explode/groupBy shuffle and no
-        // vocabulary rank table. The uniform hash value IS the global
-        // token order the prefix filter needs (lossless under any fixed
-        // total order); the earlier df-rank variant funneled the whole
-        // vocabulary through one unpartitioned window task — a 100 TB
-        // straggler. Hash collisions (~|V|²/2^61) would merge two tokens
-        // on the Spark side only; none occur on the test vocabulary and
-        // the verify join intersects 8-byte longs instead of strings.
-        val tokSet = array_distinct(transform(
-          array_distinct(split(col("text"), " ")),
-          tkn => conv(substring(md5(tkn), 1, 15), 16, 10).cast("long")))
-        val sets = docs
-          .select(col("doc_id"), col("source"), sort_array(tokSet).as("rks"))
-          .withColumn("n_tok", size(col("rks")).cast("long"))
+        val sets = hashedTokenSets(t(s, dir, "documents"))
         // Integer-exact prefix length: n - ceil(9n/10) + 1 (double ceil of
         // 0.9·n mis-rounds, e.g. 0.9*20 → 18.000000000000004).
         val prefixLen = (col("n_tok") - ((col("n_tok") * 9 + 9) / 10).cast("long") + 1)
@@ -103,33 +147,9 @@ object LlmOps {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
           .distinct()
-        val l = sets.select(col("doc_id").as("doc_id1"), col("rks").as("rks1"),
-          col("n_tok").as("n1"))
-        val r = sets.select(col("doc_id").as("doc_id2"), col("rks").as("rks2"),
-          col("n_tok").as("n2"))
-        val inter = size(array_intersect(col("rks1"), col("rks2"))).cast("long")
-        val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
-        cand.join(l, "doc_id1").join(r, "doc_id2")
-          .withColumn("inter", inter)
-          .filter(jac >= 0.9)
-          .select(col("doc_id1"), col("doc_id2"), round(jac, 3).as("jaccard"))
-          .orderBy("doc_id1", "doc_id2")
+        verifyJaccard(cand, sets)
       },
-      Some(sql("""WITH dtok AS (
-                 |   SELECT doc_id, source, token,
-                 |     count(*) OVER (PARTITION BY doc_id) AS n_tok
-                 |   FROM (SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS token
-                 |         FROM documents)),
-                 | pairs AS (
-                 |   SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-                 |     min(a.n_tok) AS n1, min(b.n_tok) AS n2, count(*) AS inter
-                 |   FROM dtok a JOIN dtok b
-                 |     ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
-                 |   GROUP BY 1, 2)
-                 | SELECT doc_id1, doc_id2,
-                 |   round(inter * 1.0 / (n1 + n2 - inter), 3) AS jaccard
-                 | FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.9
-                 | ORDER BY doc_id1, doc_id2"""))),
+      Some(exactNearDupOracle)),
 
     // ------------------------------------------------- similarity search
     // Brute-force one-vs-all cosine top-k: the query vector (vec_id=0) is

@@ -473,6 +473,38 @@ object PipelineOps {
                  | WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
                  | ORDER BY doc_id1, doc_id2"""))),
 
+    // The LSH path wired END-TO-END as the declared 100 TB replacement
+    // for i2: minhash signature → band-bucket equi-join → exact verify,
+    // oracled against the same UNFILTERED exact SQL as i2. Banding is
+    // 8 bands × 1 row (candidate iff ANY of the 8 minhash components
+    // agrees): for a true J ≥ 0.9 pair the miss probability is
+    // (1-J)^8 ≤ 1e-8, and the md5-derived hashes are deterministic, so
+    // on the test corpus the output is EXACTLY i2's (asserted in
+    // PipelineSpec at two scale factors). At scale the band value is the
+    // shuffle key — candidates per bucket are bounded by bucket size,
+    // never corpus size, and the signature build is one linear pass.
+    Q("i14_lsh_dedup_e2e",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sets = LlmOps.hashedTokenSets(docs)
+        val bandCols = (0 until NumHashes).map(j =>
+          struct(lit(j).as("b"), col(s"mh$j").as("v")))
+        val bands = minhashSig(docs)
+          .select(col("doc_id"), col("source"),
+            explode(array(bandCols: _*)).as("band"))
+          .select(col("doc_id"), col("source"),
+            col("band.b").as("b"), col("band.v").as("v"))
+        val cand = bands.alias("l")
+          .join(bands.alias("r"),
+            col("l.b") === col("r.b") && col("l.v") === col("r.v") &&
+              col("l.source") === col("r.source") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"))
+          .distinct()
+        LlmOps.verifyJaccard(cand, sets)
+      },
+      Some(LlmOps.exactNearDupOracle)),
+
     // Embedding-similarity dedup machinery, label-bucketed: all pairs
     // WITHIN a label bucket (never across the corpus), cosine in
     // index-ordered double, top-5 pairs per label by (rounded sim, ids).

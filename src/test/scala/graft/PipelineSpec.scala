@@ -88,6 +88,19 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i14 LSH end-to-end == i2 exact near-dedup (the declared 100 TB path)") {
+    // Same exact verify stage, different candidate generation: prefix
+    // filter (lossless by pigeonhole) vs minhash 8×1 bands (miss prob
+    // ≤ 1e-8 per J≥0.9 pair, deterministic hashes). On the test corpora
+    // the outputs must be identical — this closes the loop on "LSH is
+    // the i2 scale path" (SURVEY §2.D).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      assertSameRows(
+        Registry.byId("i14_lsh_dedup_e2e").build(spark, d),
+        Registry.byId("i2_dedup_near").build(spark, d))
+    }
+  }
+
   test("i10 IVF top-10 contains the query itself at sim 1.0") {
     val top = Registry.byId("i10_ann_ivf").build(spark, dir).collect()
     assert(top.length == 10)
