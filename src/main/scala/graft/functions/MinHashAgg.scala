@@ -16,9 +16,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * other typed aggregations in a single pass. Merge is element-wise min,
   * so partial aggregation and spills behave like any algebraic agg.
   *
-  * Hashing matches `PipelineOps.seededHash` (first 8 md5 hex chars of
-  * "j:token", base 16) so signatures are interchangeable across both
-  * paths and with the DuckDB oracle dialect.
+  * Hashing matches `PipelineOps.minhashSig`: TWO md5 digests per token
+  * ("0:token" / "1:token"), each sliced into four 32-bit big-endian
+  * words — hash slot j is word j%4 of digest j/4 — so signatures are
+  * interchangeable across both paths and with the DuckDB oracle dialect.
   */
 object MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
   val NumHashes = 8
@@ -26,18 +27,34 @@ object MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
 
   override def zero: Array[Long] = Array.fill(NumHashes)(MaxHash + 1)
 
-  private def hash(j: Int, token: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$j:$token".getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16)
+  /** The 8 hash slots for one token: digests md5("0:"+t), md5("1:"+t),
+    * each read as four consecutive unsigned 32-bit big-endian words
+    * (≡ 8-hex-char slices of the concatenated hex string).
+    */
+  private def hashes(token: String): Array[Long] = {
+    val out = new Array[Long](NumHashes)
+    var seed = 0
+    while (seed < 2) {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$token".getBytes("UTF-8"))
+      var w = 0
+      while (w < 4) {
+        val o = w * 4
+        out(seed * 4 + w) =
+          ((d(o) & 0xFFL) << 24) | ((d(o + 1) & 0xFFL) << 16) |
+            ((d(o + 2) & 0xFFL) << 8) | (d(o + 3) & 0xFFL)
+        w += 1
+      }
+      seed += 1
+    }
+    out
   }
 
   override def reduce(buf: Array[Long], token: String): Array[Long] = {
+    val hs = hashes(token)
     var j = 0
     while (j < NumHashes) {
-      val h = hash(j, token)
-      if (h < buf(j)) buf(j) = h
+      if (hs(j) < buf(j)) buf(j) = hs(j)
       j += 1
     }
     buf

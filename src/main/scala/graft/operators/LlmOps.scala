@@ -41,25 +41,28 @@ object LlmOps {
         explode(array_distinct(split(col("text"), " "))).as("token"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_tok"))
 
-  /** Token sets as sorted 60-bit md5-derived longs, built NARROW — a
-    * per-row `transform`, no explode/groupBy shuffle and no vocabulary
-    * rank table. The uniform hash value IS the global token order the
-    * prefix filter needs (lossless under any fixed total order); a
-    * df-rank variant would funnel the whole vocabulary through one
-    * unpartitioned window task — a 100 TB straggler. Hash collisions
-    * (~|V|²/2^61) would merge two tokens on the Spark side only; none
-    * occur on the test vocabulary and the verify join intersects 8-byte
-    * longs instead of strings. Shared by the prefix-filtered near-dedup
-    * (i2) and the LSH end-to-end path (i14, PipelineOps).
+  /** Token sets as sorted 60-bit md5-derived longs. The uniform hash
+    * value IS the global token order the prefix filter needs (lossless
+    * under any fixed total order) — no vocabulary rank table; a df-rank
+    * variant would funnel the whole vocabulary through one unpartitioned
+    * window task, a 100 TB straggler. Hash collisions (~|V|²/2^61) would
+    * merge two tokens on the Spark side only; none occur on the test
+    * vocabulary and the verify join intersects 8-byte longs instead of
+    * strings. The explode/groupBy shape keeps the md5 inside whole-stage
+    * codegen and the shuffle carries 8-byte hashes, never text (a narrow
+    * `transform` variant measured slower — HOF lambdas evaluate
+    * interpreted). Shared by the prefix-filtered near-dedup (i2) and the
+    * LSH end-to-end path (i14, PipelineOps).
     */
-  def hashedTokenSets(docs: DataFrame): DataFrame = {
-    val tokSet = array_distinct(transform(
-      array_distinct(split(col("text"), " ")),
-      tkn => conv(substring(md5(tkn), 1, 15), 16, 10).cast("long")))
+  def hashedTokenSets(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("source"), sort_array(tokSet).as("rks"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("rk"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sort_array(collect_set(col("rk"))).as("rks"))
       .withColumn("n_tok", size(col("rks")).cast("long"))
-  }
 
   /** Exact verify stage: candidate pairs × hashed token sets → pairs with
     * token-set Jaccard ≥ 0.9, totally ordered. Candidate generation (i2's

@@ -36,33 +36,43 @@ object PipelineOps {
 
   private val NumHashes = 8
 
-  /** 32-bit md5-derived hash of a token under seed `j`. */
-  private def seededHash(tok: Column, j: Int): Column =
-    conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 8), 16, 10).cast("long")
-
   private def distinctTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
 
-  /** Per-doc MinHash signature: doc_id, source, mh0..mh7. */
+  /** Per-doc MinHash signature: doc_id, source, mh0..mh7. Two md5
+    * digests per token ("0:"/"1:" seeds), each 128-bit digest sliced
+    * into four independent 32-bit hashes (the i11 trick) — 2 md5s per
+    * token instead of 8 seeded digests. Hashing runs codegen'd in the
+    * pre-shuffle projection; the shuffle carries (doc_id, source, one
+    * 64-char digest) and the 8 mins partial-aggregate map-side.
+    * (A narrow `array_min(transform(...))` form was measured 2-3×
+    * slower: higher-order-function lambdas evaluate interpreted,
+    * per element, outside whole-stage codegen.)
+    */
   def minhashSig(docs: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(j => min(seededHash(col("tok"), j)).as(s"mh$j"))
-    distinctTok(docs).groupBy(col("doc_id"), col("source"))
+    val h = concat(md5(concat(lit("0:"), col("tok"))), md5(concat(lit("1:"), col("tok"))))
+    val aggs = (0 until NumHashes).map(j =>
+      min(conv(substring(col("h"), 1 + 8 * j, 8), 16, 10).cast("long")).as(s"mh$j"))
+    distinctTok(docs)
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
   private val duckSigCte =
     """dtok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+      |hh AS (SELECT doc_id, source, md5('0:'||tok)||md5('1:'||tok) AS h FROM dtok),
       |sig AS (SELECT doc_id, min(source) AS source,
-      |  min(('0x'||substr(md5('0:'||tok),1,8))::BIGINT) AS mh0,
-      |  min(('0x'||substr(md5('1:'||tok),1,8))::BIGINT) AS mh1,
-      |  min(('0x'||substr(md5('2:'||tok),1,8))::BIGINT) AS mh2,
-      |  min(('0x'||substr(md5('3:'||tok),1,8))::BIGINT) AS mh3,
-      |  min(('0x'||substr(md5('4:'||tok),1,8))::BIGINT) AS mh4,
-      |  min(('0x'||substr(md5('5:'||tok),1,8))::BIGINT) AS mh5,
-      |  min(('0x'||substr(md5('6:'||tok),1,8))::BIGINT) AS mh6,
-      |  min(('0x'||substr(md5('7:'||tok),1,8))::BIGINT) AS mh7
-      |  FROM dtok GROUP BY doc_id)""".stripMargin
+      |  min(('0x'||substr(h,1,8))::BIGINT) AS mh0,
+      |  min(('0x'||substr(h,9,8))::BIGINT) AS mh1,
+      |  min(('0x'||substr(h,17,8))::BIGINT) AS mh2,
+      |  min(('0x'||substr(h,25,8))::BIGINT) AS mh3,
+      |  min(('0x'||substr(h,33,8))::BIGINT) AS mh4,
+      |  min(('0x'||substr(h,41,8))::BIGINT) AS mh5,
+      |  min(('0x'||substr(h,49,8))::BIGINT) AS mh6,
+      |  min(('0x'||substr(h,57,8))::BIGINT) AS mh7
+      |  FROM hh GROUP BY doc_id)""".stripMargin
 
   // ------------------------------------------------------------ simhash
 
@@ -381,6 +391,11 @@ object PipelineOps {
           .otherwise(array().cast("array<string>"))
         // One md5 per shingle: its 32 hex chars are four independent
         // 8-char (32-bit) slices — 4× less hashing than 4 seeded md5s.
+        // No distinct pass: min() is idempotent under duplicate shingles,
+        // and array_distinct over ~80 strings is O(n²) per row. The
+        // explode/groupBy shape keeps the md5 inside whole-stage codegen
+        // (a narrow array_min(transform) variant measured 2× slower —
+        // HOF lambdas evaluate interpreted).
         val aggs = (0 until 4).map(j =>
           min(conv(substring(col("h"), 1 + 8 * j, 8), 16, 10).cast("long")).as(s"sm$j"))
         t(s, dir, "documents")
