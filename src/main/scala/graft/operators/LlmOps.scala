@@ -15,10 +15,12 @@ import graft.functions.VectorFunctions
   *     fingerprint is tiny, so the shuffle moves 16 bytes + doc_id per row
   *     regardless of document size (project BEFORE shuffling).
   *   - i2 near-dedup: candidate generation is bucketed — pairs are only
-  *     formed inside a `source` bucket via an equi-join on (source, token),
-  *     never an unbucketed all-pairs self-join. The declared scale path is
-  *     MinHash+LSH banding (implemented as i7), which bounds candidates per
-  *     band-bucket independently of corpus size.
+  *     formed inside a `source` bucket via an equi-join on
+  *     (source, prefix token), never an unbucketed all-pairs self-join.
+  *     The declared scale path is MinHash+LSH banding, wired end-to-end
+  *     as i14 (PipelineOps) over this file's verify stage and asserted
+  *     output-identical to i2; band buckets bound candidates
+  *     independently of corpus size.
   *   - i3 similarity: one-vs-all is a single narrow pass — the query vector
   *     is a broadcast 1-row dimension; no shuffle at all. The scale path
   *     for many-query ANN is IVF-style routing (implemented as i11).
