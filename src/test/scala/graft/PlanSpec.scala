@@ -116,6 +116,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"i2 must not plan a window:\n$p")
   }
 
+  test("i14: band join stays an equi-join; sketch aggs have a partial phase") {
+    val p = plan(Registry.byId("i14_lsh_dedup_e2e").build(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band candidates must come from an equi-join on the band key:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"signature mins must partial-aggregate map-side:\n$p")
+  }
+
   test("g6: props JSON parses once per row (one from_json, no re-extract)") {
     val df = Registry.byId("g6_json_funcs").build(spark, dir)
     val o = df.queryExecution.optimizedPlan.toString
