@@ -43,25 +43,30 @@ object LlmOps {
         explode(array_distinct(split(col("text"), " "))).as("token"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_tok"))
 
-  /** Token sets as sorted 60-bit md5-derived longs. The uniform hash
-    * value IS the global token order the prefix filter needs (lossless
-    * under any fixed total order) — no vocabulary rank table; a df-rank
-    * variant would funnel the whole vocabulary through one unpartitioned
-    * window task, a 100 TB straggler. Hash collisions (~|V|²/2^61) would
-    * merge two tokens on the Spark side only; none occur on the test
-    * vocabulary and the verify join intersects 8-byte longs instead of
-    * strings. The explode/groupBy shape keeps the md5 inside whole-stage
-    * codegen and the shuffle carries 8-byte hashes, never text (a narrow
-    * `transform` variant measured slower — HOF lambdas evaluate
-    * interpreted). Shared by the prefix-filtered near-dedup (i2) and the
-    * LSH end-to-end path (i14, PipelineOps).
+  /** Token sets as sorted xxhash64 longs. The uniform hash value IS the
+    * global token order the prefix filter needs (lossless under any fixed
+    * total order) — no vocabulary rank table; a df-rank variant would
+    * funnel the whole vocabulary through one unpartitioned window task, a
+    * 100 TB straggler. The hash never crosses engines: the oracle joins
+    * raw token strings, and Jaccard depends only on intersection COUNTS,
+    * which any per-engine-injective rehash preserves — so the native
+    * 64-bit xxhash64 (one codegen'd long op) replaces the earlier
+    * md5→substring→conv chain (three string ops per token, measured ~2×
+    * the hash cost). Collisions (~|V|²/2^65) would merge two tokens on
+    * the Spark side only; none occur on the test vocabulary and the
+    * verify join intersects 8-byte longs instead of strings. The
+    * explode/groupBy shape keeps hashing inside whole-stage codegen and
+    * the shuffle carries 8-byte hashes, never text (a narrow `transform`
+    * variant measured slower — HOF lambdas evaluate interpreted). Shared
+    * by the prefix-filtered near-dedup (i2) and the LSH end-to-end path
+    * (i14, PipelineOps).
     */
   def hashedTokenSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
       .select(col("doc_id"), col("source"),
-        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("rk"))
+        xxhash64(col("token")).as("rk"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sort_array(collect_set(col("rk"))).as("rks"))
       .withColumn("n_tok", size(col("rks")).cast("long"))

@@ -60,6 +60,23 @@ object PipelineOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** xxhash64 twin of [[minhashSig]] for consumers whose OUTPUT never
+    * exposes signature values (i14: bands are internal candidate keys;
+    * the oracle is the exact unfiltered SQL). Eight independent hash
+    * functions via seed-prefix columns — pure codegen'd long ops, no hex
+    * strings. Same sketch property (min over a uniform per-token hash →
+    * P[mh_j agrees] = J), so the band-recall bound (miss ≤ (1−J)^8) is
+    * unchanged; i7/i8/MinHashAgg keep the md5 scheme because their
+    * oracles reproduce the signature VALUES in DuckDB.
+    */
+  def minhashSigFast(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(j =>
+      min(xxhash64(lit(j), col("tok"))).as(s"mh$j"))
+    distinctTok(docs)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   private val duckSigCte =
     """dtok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
       |hh AS (SELECT doc_id, source, md5('0:'||tok)||md5('1:'||tok) AS h FROM dtok),
@@ -427,19 +444,25 @@ object PipelineOps {
       (s, dir) => {
         val toks = split(col("text"), " ")
         val idx = sequence(lit(1), size(toks) - 2)
-        // Shingles become 60-bit md5-derived longs BEFORE the join: the
-        // quadratic equi-join shuffles 8-byte keys, not 17-char strings.
-        // Hashing is identical on both engines, so candidate sets and
-        // intersection counts agree exactly even if a collision ever fired
-        // (none expected: ~260k shingles vs 2^60).
+        // Shingles become xxhash64 longs BEFORE the join: the quadratic
+        // equi-join shuffles 8-byte keys, not 17-char strings. The hash
+        // never crosses engines — the oracle hashes with md5 on its side,
+        // and the output (pairs + count-derived Jaccard) is invariant
+        // under any per-engine-injective rehash — so the native 64-bit
+        // xxhash64 (one codegen'd long op) replaces the
+        // md5→substring→conv string chain. Collisions (~260k shingles vs
+        // 2^64) would merge two shingles on one engine only; none occur
+        // on the test corpus. The hash sits AFTER the explode so it runs
+        // in a codegen'd projection, not inside the interpreted transform
+        // lambda (the i11 shape); distinctness moves to the post-hash
+        // groupBy's collect_set, which dedups anyway.
         val shingles = when(size(toks) >= 3,
-          array_distinct(transform(idx, i =>
-            conv(substring(md5(concat_ws(" ",
-              element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))),
-              1, 15), 16, 10).cast("long"))))
-          .otherwise(array().cast("array<bigint>"))
+          transform(idx, i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
         val sh = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), explode(shingles).as("s"))
+          .select(col("doc_id"), col("source"), explode(shingles).as("sstr"))
+          .select(col("doc_id"), col("source"), xxhash64(col("sstr")).as("s"))
         // Lossless prefix filter at θ=0.5 (same pigeonhole as i2): under
         // ANY one global shingle order, J ≥ 0.5 forces a shared shingle
         // inside each doc's first n - ceil(n/2) + 1 shingles. The uniform
@@ -504,7 +527,7 @@ object PipelineOps {
         val sets = LlmOps.hashedTokenSets(docs)
         val bandCols = (0 until NumHashes).map(j =>
           struct(lit(j).as("b"), col(s"mh$j").as("v")))
-        val bands = minhashSig(docs)
+        val bands = minhashSigFast(docs)
           .select(col("doc_id"), col("source"),
             explode(array(bandCols: _*)).as("band"))
           .select(col("doc_id"), col("source"),
