@@ -90,11 +90,84 @@ object LlmOps {
       .orderBy("doc_id1", "doc_id2")
   }
 
-  /** DuckDB form of the exact J ≥ 0.9 same-source near-dup (UNFILTERED —
-    * any lossless candidate filter on the Spark side must reproduce it).
+  /** The i2 pipeline: hashed token sets → lossless prefix filter →
+    * (source, prefix-token) candidate equi-join → exact Jaccard ≥ 0.9
+    * verify. Shared by i2 itself and the cluster resolution (i15).
     */
-  val exactNearDupOracle: String = sql(
-    """WITH dtok AS (
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sets = hashedTokenSets(docs)
+    // Integer-exact prefix length: n - ceil(9n/10) + 1 (double ceil of
+    // 0.9·n mis-rounds, e.g. 0.9*20 → 18.000000000000004).
+    val prefixLen = (col("n_tok") - ((col("n_tok") * 9 + 9) / 10).cast("long") + 1)
+    val prefixed = sets.select(col("doc_id"), col("source"),
+      explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
+    val cand = prefixed.alias("a")
+      .join(prefixed.alias("b"),
+        col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .distinct()
+    verifyJaccard(cand, sets)
+  }
+
+  /** Connected components over an undirected pair graph by min-label
+    * propagation, to a checked fixpoint: (doc_id, canon_id = component
+    * min, cluster_size). Every round is fully distributed (equi-join +
+    * min agg on 8-byte ids); the driver only reads the one-long
+    * changed-count that decides convergence — no row data ever reaches
+    * the driver. Rounds = graph diameter; each round's result is
+    * persisted and the previous round unpersisted, so lineage stays one
+    * round deep.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    // Both directions in ONE pass over the (expensive) pair pipeline — a
+    // union of two selects would evaluate `pairs` twice before the cache.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_id1").as("es"), col("doc_id2").as("ed")),
+        struct(col("doc_id2").as("es"), col("doc_id1").as("ed")))).as("e"))
+      .select(col("e.es").as("es"), col("e.ed").as("ed"))
+      .persist()
+    var cur = edges.select(col("es").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 64 // chain diameter 2^64 — unreachable in practice
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges
+        .join(cur.select(col("doc_id").as("ed"), col("lbl")), Seq("ed"))
+        .groupBy(col("es")).agg(min(col("lbl")).as("nlbl"))
+      val next = cur.select(col("doc_id").as("es"), col("lbl"))
+        .join(nbrMin, Seq("es"), "left")
+        .select(col("es").as("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"),
+          (col("nlbl") < col("lbl")).as("chg"))
+        .withColumnRenamed("lbl2", "lbl")
+        .persist()
+      converged = next.filter(col("chg")).limit(1).count() == 0L
+      cur.unpersist()
+      cur = next
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    // Detach the fixpoint from its round-by-round lineage, then release
+    // the loop caches: consumers see a flat, already-materialized table.
+    val labels = cur.select(col("doc_id"), col("lbl")).localCheckpoint(true)
+    cur.unpersist()
+    edges.unpersist()
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("canon_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** CTE list computing the exact J ≥ 0.9 same-source near-dup pairs as
+    * `nd(doc_id1, doc_id2, jaccard)` — shared by the pair oracle (i2/i14)
+    * and the cluster-resolution oracle (i15).
+    */
+  private val nearDupPairsCte: String =
+    """dtok AS (
       |   SELECT doc_id, source, token,
       |     count(*) OVER (PARTITION BY doc_id) AS n_tok
       |   FROM (SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS token
@@ -104,10 +177,18 @@ object LlmOps {
       |     min(a.n_tok) AS n1, min(b.n_tok) AS n2, count(*) AS inter
       |   FROM dtok a JOIN dtok b
       |     ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
-      |   GROUP BY 1, 2)
-      | SELECT doc_id1, doc_id2,
-      |   round(inter * 1.0 / (n1 + n2 - inter), 3) AS jaccard
-      | FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.9
+      |   GROUP BY 1, 2),
+      | nd AS (
+      |   SELECT doc_id1, doc_id2,
+      |     round(inter * 1.0 / (n1 + n2 - inter), 3) AS jaccard
+      |   FROM pairs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.9)"""
+
+  /** DuckDB form of the exact J ≥ 0.9 same-source near-dup (UNFILTERED —
+    * any lossless candidate filter on the Spark side must reproduce it).
+    */
+  val exactNearDupOracle: String = sql(
+    s"""WITH $nearDupPairsCte
+      | SELECT doc_id1, doc_id2, jaccard FROM nd
       | ORDER BY doc_id1, doc_id2""")
 
   val qs: Seq[Q] = Seq(
@@ -144,22 +225,68 @@ object LlmOps {
     // intermediate ~50× on dup-heavy data with no semantic change (the
     // oracle still computes the unfiltered form).
     Q("i2_dedup_near",
-      (s, dir) => {
-        val sets = hashedTokenSets(t(s, dir, "documents"))
-        // Integer-exact prefix length: n - ceil(9n/10) + 1 (double ceil of
-        // 0.9·n mis-rounds, e.g. 0.9*20 → 18.000000000000004).
-        val prefixLen = (col("n_tok") - ((col("n_tok") * 9 + 9) / 10).cast("long") + 1)
-        val prefixed = sets.select(col("doc_id"), col("source"),
-          explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
-        val cand = prefixed.alias("a")
-          .join(prefixed.alias("b"),
-            col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
-          .distinct()
-        verifyJaccard(cand, sets)
-      },
+      (s, dir) => nearDupPairs(t(s, dir, "documents")),
       Some(exactNearDupOracle)),
+
+    // Near-dup CLUSTER RESOLUTION — the step a training pipeline runs
+    // after pair finding: connected components over the pair graph, one
+    // canonical doc (component-min doc_id) per cluster, so "drop all but
+    // the canonical" is a single anti-join downstream. Implemented as
+    // distributed min-label propagation (the Pregel/GraphX shape): each
+    // round every node takes the min label among itself and its
+    // neighbors; converges in O(diameter) all-distributed rounds — dup
+    // clusters are shallow (near-copies of one original), so diameter
+    // stays small at any corpus size. Each round is one equi-join + one
+    // partial-agg min shuffle on 8-byte ids; iterates to a CHECKED
+    // fixpoint, never a guessed round count. (For adversarially chained
+    // graphs the log-round large-star/small-star contraction is the
+    // drop-in upgrade; the per-round plan shape is the same.) The oracle
+    // is a recursive CTE computing min reachable id — exact transitive
+    // closure, independent of the propagation schedule.
+    Q("i15_dedup_clusters",
+      (s, dir) => nearDupClusters(nearDupPairs(t(s, dir, "documents"))),
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                  | edges AS (
+                  |   SELECT doc_id1 AS s, doc_id2 AS d FROM nd
+                  |   UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                  | reach(doc_id, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.doc_id),
+                  | lbl AS (SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id),
+                  | cs AS (SELECT canon_id, count(*) AS cluster_size FROM lbl GROUP BY canon_id)
+                  | SELECT l.doc_id, l.canon_id, c.cluster_size
+                  | FROM lbl l JOIN cs c ON l.canon_id = c.canon_id
+                  | ORDER BY l.doc_id"""))),
+
+    // Deterministic train/val/test split — content-addressed sampling:
+    // the bucket is a pure hash of doc_id (salted so it is independent of
+    // every other hash in the engine), so the assignment is reproducible
+    // across runs, engines, and repartitionings, needs no RNG state, and
+    // any k% sample is just `bucket < k`. Stratification is free in
+    // expectation: a uniform hash splits every stratum at the same rate.
+    // Narrow codegen projection; the only shuffle is the output sort.
+    // md5 (not xxhash64) because the assignment must be REPRODUCIBLE
+    // OUTSIDE the engine too — the split is a corpus-level contract.
+    Q("i16_split_assign",
+      (s, dir) => {
+        val bucket = conv(substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 100
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "validation")
+              .otherwise("test"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""SELECT doc_id, source,
+                 |   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+                 |   CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                 |        WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'validation'
+                 |        ELSE 'test' END AS split
+                 | FROM documents ORDER BY doc_id"""))),
 
     // ------------------------------------------------- similarity search
     // Brute-force one-vs-all cosine top-k: the query vector (vec_id=0) is

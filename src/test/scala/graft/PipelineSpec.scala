@@ -101,6 +101,46 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i15 cluster resolution == driver-side union-find on the same pairs") {
+    // The distributed min-label fixpoint must agree with a trivial
+    // union-find over the collected pair list (test-only collect).
+    val pairs = Registry.byId("i2_dedup_near").build(spark, dir)
+      .select("doc_id1", "doc_id2").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val canon = nodes.map(n => n -> find(n)).toMap
+    val sizes = canon.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = nodes.toSeq.sorted
+      .map(n => (n, canon(n), sizes(canon(n)))).toDF("doc_id", "canon_id", "cluster_size")
+    val got = Registry.byId("i15_dedup_clusters").build(spark, dir)
+    assertSameRows(got, expected)
+    // canonical ids are component minima, so never above their members
+    assert(got.filter(col("canon_id") > col("doc_id")).isEmpty)
+  }
+
+  test("i16 split assignment is a pure function of doc_id at the declared rates") {
+    val a = Registry.byId("i16_split_assign").build(spark, dir).collect()
+    // bucket in [0,100); split matches the bucket band
+    a.foreach { r =>
+      val (b, s) = (r.getLong(2), r.getString(3))
+      assert(b >= 0 && b < 100)
+      assert(s == (if (b < 80) "train" else if (b < 90) "validation" else "test"))
+    }
+    // deterministic: a second independent build bit-agrees
+    val b = Registry.byId("i16_split_assign").build(spark, dir).collect()
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
+    // the hash actually stratifies: all three splits occupied at 500 docs
+    assert(a.map(_.getString(3)).toSet == Set("train", "validation", "test"))
+  }
+
   test("i10 IVF top-10 contains the query itself at sim 1.0") {
     val top = Registry.byId("i10_ann_ivf").build(spark, dir).collect()
     assert(top.length == 10)
