@@ -128,9 +128,16 @@ object LlmOps {
         struct(col("doc_id2").as("es"), col("doc_id1").as("ed")))).as("e"))
       .select(col("e.es").as("es"), col("e.ed").as("ed"))
       .persist()
+    // Every round is eagerly localCheckpoint'ed: the iteration state
+    // becomes a flat materialized table each time, so round N+1's plan
+    // never re-derives rounds 0..N. (A persist()-based loop measured
+    // per-round cost DOUBLING — the cross-round cache fragments were
+    // not reused and each round recomputed its whole lineage; eager
+    // checkpointing is the standard lineage-truncation pattern for
+    // iterative Spark algorithms.)
     var cur = edges.select(col("es").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     val maxRounds = 64 // chain diameter 2^64 — unreachable in practice
@@ -144,17 +151,13 @@ object LlmOps {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"),
           (col("nlbl") < col("lbl")).as("chg"))
         .withColumnRenamed("lbl2", "lbl")
-        .persist()
+        .localCheckpoint(true)
       converged = next.filter(col("chg")).limit(1).count() == 0L
-      cur.unpersist()
       cur = next
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
-    // Detach the fixpoint from its round-by-round lineage, then release
-    // the loop caches: consumers see a flat, already-materialized table.
-    val labels = cur.select(col("doc_id"), col("lbl")).localCheckpoint(true)
-    cur.unpersist()
+    val labels = cur.select(col("doc_id"), col("lbl"))
     edges.unpersist()
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
