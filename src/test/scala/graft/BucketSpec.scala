@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join: the pre-shuffle technique for repeated
+  * large⋈large joins at 100 TB. Writing both fact tables bucketed on the
+  * join key with the same bucket count lets every subsequent join run
+  * with ZERO shuffle exchanges — the bucketing metadata satisfies the
+  * join's required distribution, so each task reads matching buckets
+  * from both sides. One write-time shuffle is amortized over every later
+  * join/aggregate on that key (the same reason the reference pins one
+  * goroutine per shard: co-location beats re-partitioning per query).
+  */
+class BucketSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("join of same-bucketed tables plans no shuffle exchange and matches the plain join") {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+    orders.write.format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_bucketed")
+    customer.write.format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_bucketed")
+    // Force the shuffle-join path (at sf0.001 Catalyst would broadcast
+    // the dim and hide the property under test).
+    withBroadcastDisabled {
+      val j = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not re-shuffle either side:\n$p")
+      val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      assertSameRows(j, plain)
+    }
+  }
+
+  test("aggregation on the bucket key also skips the shuffle") {
+    withBroadcastDisabled {
+      val agg = spark.table("orders_bucketed")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        s"groupBy on the bucket key must reuse the bucketing:\n$p")
+      assert(agg.count() ==
+        Tables.load(spark, dir, "orders").select("o_custkey").distinct().count())
+    }
+  }
+
+  private def withBroadcastDisabled(body: => Unit): Unit = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+}
