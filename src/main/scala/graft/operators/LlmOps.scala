@@ -165,6 +165,18 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Salted-md5 split bucket in [0,100) over doc_id, and its 80/10/10
+    * band label — shared by i16 and the curation pipeline (i17,
+    * PipelineOps). md5 on purpose: the split is a corpus-level contract
+    * reproducible OUTSIDE the engine.
+    */
+  val splitBucket: Column = conv(substring(
+    md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+    16, 10).cast("long") % 100
+
+  def splitBand(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+
   /** CTE list computing the exact J ≥ 0.9 same-source near-dup pairs as
     * `nd(doc_id1, doc_id2, jaccard)` — shared by the pair oracle (i2/i14)
     * and the cluster-resolution oracle (i15).
@@ -272,18 +284,11 @@ object LlmOps {
     // md5 (not xxhash64) because the assignment must be REPRODUCIBLE
     // OUTSIDE the engine too — the split is a corpus-level contract.
     Q("i16_split_assign",
-      (s, dir) => {
-        val bucket = conv(substring(
-          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
-          16, 10).cast("long") % 100
+      (s, dir) =>
         t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), bucket.as("bucket"))
-          .withColumn("split",
-            when(col("bucket") < 80, "train")
-              .when(col("bucket") < 90, "validation")
-              .otherwise("test"))
-          .orderBy("doc_id")
-      },
+          .select(col("doc_id"), col("source"), splitBucket.as("bucket"))
+          .withColumn("split", splitBand(col("bucket")))
+          .orderBy("doc_id"),
       Some(sql("""SELECT doc_id, source,
                  |   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
                  |   CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'

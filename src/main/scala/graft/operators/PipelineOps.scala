@@ -24,8 +24,12 @@ import graft.functions.{TextFunctions, VectorFunctions}
   *   - i10 routes each query to nprobe=2 of k centroids, so the scan is
   *     |cluster| · nprobe instead of the full corpus; centroids are a
   *     broadcast dimension.
-  *   - All hashes are md5-derived (engine-portable, oracle-checkable);
-  *     all vector math is index-ordered double HOFs (SURVEY §7 H3).
+  *   - Hashes whose VALUES cross to the DuckDB oracle (i7/i8/i11
+  *     signatures, split buckets) are md5-derived — engine-portable,
+  *     oracle-checkable. Hashes that stay engine-internal (i13/i14
+  *     candidate keys) use native xxhash64: the outputs are pairs +
+  *     count-derived Jaccard, invariant under any per-engine-injective
+  *     rehash. All vector math is index-ordered double HOFs (§7 H3).
   */
 object PipelineOps {
 
@@ -133,6 +137,25 @@ object PipelineOps {
   private def markerScore(textCol: Column, words: Seq[String]): Column =
     size(filter(split(textCol, " "), tk => tk.isin(words.map(_.asInstanceOf[Any]): _*)))
       .cast("long")
+
+  /** Per-doc token stats (n_tok, n_uniq, n_stop as longs) carried next to
+    * the full row — the shared first stage of quality scoring (j2) and
+    * the curation pipeline (i17). One projection, all codegen.
+    */
+  private def docTokStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+      markerScore(col("text"), Seq("a", "the")).as("n_stop"))
+
+  /** The j2 quality formula over docTokStats columns — kept as ONE shared
+    * expression so j2 and i17 can never drift (the oracle reproduces the
+    * identical op order, so the rounded doubles bit-agree cross-engine).
+    */
+  private val qualityExpr: Column = round(
+    least(col("n_tok") / 100.0, lit(1.0)) * 0.4 +
+      (col("n_uniq") / col("n_tok")) * 0.3 +
+      (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3, 3)
 
   // ------------------------------------------------------------ queries
 
@@ -276,18 +299,11 @@ object PipelineOps {
     // combined into a bounded score. Pure projection — codegen, no shuffle.
     Q("j2_quality_score",
       (s, dir) =>
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"),
-            size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
-            markerScore(col("text"), Seq("a", "the")).as("n_stop"))
+        docTokStats(t(s, dir, "documents"))
           .select(col("doc_id"), col("n_tok"),
             round(col("n_stop") / col("n_tok"), 3).as("stop_ratio"),
             round(lit(1.0) - col("n_uniq") / col("n_tok"), 3).as("dup_ratio"),
-            round(
-              least(col("n_tok") / 100.0, lit(1.0)) * 0.4 +
-                (col("n_uniq") / col("n_tok")) * 0.3 +
-                (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3, 3).as("quality"))
+            qualityExpr.as("quality"))
           .orderBy("doc_id"),
       Some(sql("""SELECT doc_id, n_tok,
                  | round(n_stop/n_tok, 3) AS stop_ratio,
@@ -577,6 +593,48 @@ object PipelineOps {
                  |   FROM sims)
                  | SELECT label, i, j, sim FROM ranked WHERE rn <= 5
                  | ORDER BY label, i, j"""))),
+
+    // The curation pipeline COMPOSED end-to-end in one declarative plan:
+    // language filter → quality score ≥ θ (the shared j2 formula on the
+    // ROUNDED value, so the boundary compare is the bit-identical double
+    // both engines already hash-match in j2) → exact dedup (min doc_id
+    // per md5 fingerprint) → deterministic split assignment (i16 bands).
+    // This is the "a user can run their whole preprocessing job as one
+    // query" claim made real: Catalyst fuses the narrow stages into one
+    // codegen pass over the scan; the only shuffles are the dedup
+    // window's hash partition (on the 16-byte fingerprint, after the
+    // filters have already dropped non-surviving rows) and the output
+    // sort. Filter-before-fingerprint matters at 100 TB: quality and
+    // language cuts run scan-side, so the dedup shuffle moves only the
+    // surviving fraction of the corpus.
+    Q("i17_curation_e2e",
+      (s, dir) =>
+        docTokStats(t(s, dir, "documents").filter(col("lang") === "en"))
+          .select(col("doc_id"), col("text"), qualityExpr.as("quality"))
+          .filter(col("quality") >= 0.64)
+          .select(col("doc_id"), col("quality"), md5(col("text")).as("fp"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("quality"),
+            LlmOps.splitBand(LlmOps.splitBucket).as("split"))
+          .orderBy("doc_id"),
+      Some(sql("""WITH q AS (
+                 |   SELECT doc_id, text,
+                 |     round(least(n_tok/100.0, 1.0)*0.4 + (n_uniq/n_tok)*0.3 + (1.0 - n_stop/n_tok)*0.3, 3) AS quality
+                 |   FROM (SELECT doc_id, text,
+                 |     len(string_split(text,' '))::BIGINT AS n_tok,
+                 |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |    FROM documents WHERE lang = 'en')),
+                 | f AS (SELECT doc_id, quality, md5(text) AS fp FROM q WHERE quality >= 0.64),
+                 | d AS (SELECT doc_id, quality,
+                 |   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+                 | SELECT doc_id, quality,
+                 |   CASE WHEN ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80 THEN 'train'
+                 |        WHEN ('0x'||substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 90 THEN 'validation'
+                 |        ELSE 'test' END AS split
+                 | FROM d WHERE rn = 1 ORDER BY doc_id"""))),
 
     // Multimodal binary column: the document payload as real `binary`
     // bytes with typed metadata extracted by a (deterministic, stubbed)

@@ -124,6 +124,16 @@ class PlanSpec extends SparkTestBase {
       s"signature mins must partial-aggregate map-side:\n$p")
   }
 
+  test("i17: lang filter reaches the scan; exactly one hash shuffle (the dedup window)") {
+    val df = Registry.byId("i17_curation_e2e").build(spark, dir)
+    val p = plan(df)
+    assert(p.replaceAll("\\s", "").contains("EqualTo(lang,en)"),
+      s"language cut must push into the parquet scan:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"curation must shuffle once (fingerprint window), got $hashShuffles:\n$p")
+  }
+
   test("g6: props JSON parses once per row (one from_json, no re-extract)") {
     val df = Registry.byId("g6_json_funcs").build(spark, dir)
     val o = df.queryExecution.optimizedPlan.toString
