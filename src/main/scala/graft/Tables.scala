@@ -41,6 +41,16 @@ object Tables {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Hive-layout partitioned parquet write — the delivery format for a
+    * curated corpus: readers filtering on a partition column (`split`,
+    * `lang`, …) prune whole directories at PLANNING time, so a
+    * train-split consumer of a 100 TB corpus never lists, opens, or
+    * scans the other splits' files. Asserted in SinkSpec (partition
+    * filters on read-back + lossless round-trip).
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+
   /** Events at-or-after `startMicros`, with the predicate applied to the
     * RAW int64 nanos column so it pushes down into the parquet scan
     * (row-group/page skipping) — the engine form of the reference's

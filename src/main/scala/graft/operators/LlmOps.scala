@@ -274,6 +274,35 @@ object LlmOps {
                   | FROM lbl l JOIN cs c ON l.canon_id = c.canon_id
                   | ORDER BY l.doc_id"""))),
 
+    // The APPLY step that finishes near-dedup: drop every cluster member
+    // except its canonical doc, keep everything unclustered — the output
+    // IS the deduplicated corpus a training run reads. One left-anti
+    // join of the corpus against the (tiny) non-canonical member list;
+    // at 100 TB the drop list is the clustered fraction only, so the
+    // anti-join broadcasts or shuffles ids, never text.
+    Q("i18_dedup_apply",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val drop = nearDupClusters(nearDupPairs(docs))
+          .filter(col("doc_id") =!= col("canon_id"))
+          .select(col("doc_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                  | edges AS (
+                  |   SELECT doc_id1 AS s, doc_id2 AS d FROM nd
+                  |   UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                  | reach(doc_id, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.doc_id),
+                  | lbl AS (SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id)
+                  | SELECT doc_id, source, lang FROM documents
+                  | WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> canon_id)
+                  | ORDER BY doc_id"""))),
+
     // Deterministic train/val/test split — content-addressed sampling:
     // the bucket is a pure hash of doc_id (salted so it is independent of
     // every other hash in the engine), so the assignment is reproducible

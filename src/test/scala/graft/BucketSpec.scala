@@ -18,8 +18,13 @@ class BucketSpec extends SparkTestBase {
   test("join of same-bucketed tables plans no shuffle exchange and matches the plain join") {
     val orders = Tables.load(spark, dir, "orders")
     val customer = Tables.load(spark, dir, "customer")
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-    spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+    // The in-memory catalog dies with each test JVM but the warehouse
+    // directory survives — DROP TABLE alone would leave a stale location
+    // and the next run's saveAsTable fails LOCATION_ALREADY_EXISTS.
+    Seq("orders_bucketed", "customer_bucketed").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmrf(new java.io.File(s"/tmp/graft-test-warehouse/$tbl"))
+    }
     orders.write.format("parquet")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("orders_bucketed")
@@ -52,6 +57,11 @@ class BucketSpec extends SparkTestBase {
       assert(agg.count() ==
         Tables.load(spark, dir, "orders").select("o_custkey").distinct().count())
     }
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmrf)
+    f.delete(): Unit
   }
 
   private def withBroadcastDisabled(body: => Unit): Unit = {

@@ -126,6 +126,21 @@ class PipelineSpec extends SparkTestBase {
     assert(got.filter(col("canon_id") > col("doc_id")).isEmpty)
   }
 
+  test("i18 kept corpus = total docs minus non-canonical cluster members") {
+    val total = Tables.load(spark, dir, "documents").count()
+    val clusters = Registry.byId("i15_dedup_clusters").build(spark, dir)
+    val dropped = clusters.filter(col("doc_id") =!= col("canon_id")).count()
+    val kept = Registry.byId("i18_dedup_apply").build(spark, dir)
+    assert(kept.count() == total - dropped)
+    // every canonical doc survives; no dropped member does
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    clusters.collect().foreach { r =>
+      val (d, c) = (r.getLong(0), r.getLong(1))
+      assert(keptIds.contains(c), s"canonical $c must be kept")
+      if (d != c) assert(!keptIds.contains(d), s"member $d must be dropped")
+    }
+  }
+
   test("i16 split assignment is a pure function of doc_id at the declared rates") {
     val a = Registry.byId("i16_split_assign").build(spark, dir).collect()
     // bucket in [0,100); split matches the bucket band
