@@ -559,6 +559,59 @@ object PipelineOps {
       },
       Some(LlmOps.exactNearDupOracle)),
 
+    // Train↔eval CONTAMINATION screening — the leakage check a training
+    // pipeline runs before any benchmark claim: for every train doc, the
+    // fraction of its 3-token shingles that appear ANYWHERE in the eval
+    // set (containment, not Jaccard — a 50-token eval prompt buried in a
+    // 10k-token train doc is still leakage). The eval side is collapsed
+    // to ONE distinct shingle set and broadcast — benchmark suites are
+    // tiny next to a 100 TB corpus, so the probe is a broadcast hash
+    // join against every train shingle, no shuffle of the corpus side
+    // and no pair explosion. Shingles are engine-internal xxhash64 longs
+    // (the i13 rule: counts are hash-invariant); the oracle joins raw
+    // shingle strings. Eval set here: doc_id < 50, a deterministic
+    // stand-in for a real benchmark list.
+    Q("i19_contamination",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val idx = sequence(lit(1), size(toks) - 2)
+        val shingles = when(size(toks) >= 3,
+          transform(idx, i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), explode(shingles).as("sstr"))
+          .select(col("doc_id"), xxhash64(col("sstr")).as("sh"))
+          .distinct()
+        val evalSh = sh.filter(col("doc_id") < 50).select(col("sh")).distinct()
+        val trainSh = sh.filter(col("doc_id") >= 50)
+        val sizes = trainSh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"))
+        val shared = trainSh.join(broadcast(evalSh), Seq("sh"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        val containment = col("n_shared") / col("n_sh")
+        sizes.join(shared, Seq("doc_id"))
+          .filter(containment >= 0.2)
+          .select(col("doc_id"), col("n_shared"),
+            round(containment, 3).as("containment"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH sh AS (
+                 |   SELECT DISTINCT doc_id,
+                 |     unnest(list_transform(range(1, len(toks)-1),
+                 |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                 |   FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+                 |         WHERE len(string_split(text,' ')) >= 3)),
+                 | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+                 | tr AS (SELECT * FROM sh WHERE doc_id >= 50),
+                 | sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+                 | shd AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (s) GROUP BY doc_id)
+                 | SELECT sz.doc_id, n_shared,
+                 |   round(n_shared * 1.0 / n_sh, 3) AS containment
+                 | FROM sz JOIN shd ON sz.doc_id = shd.doc_id
+                 | WHERE n_shared * 1.0 / n_sh >= 0.2
+                 | ORDER BY sz.doc_id"""))),
+
     // Embedding-similarity dedup machinery, label-bucketed: all pairs
     // WITHIN a label bucket (never across the corpus), cosine in
     // index-ordered double, top-5 pairs per label by (rounded sim, ids).

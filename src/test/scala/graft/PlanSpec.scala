@@ -134,6 +134,13 @@ class PlanSpec extends SparkTestBase {
       s"curation must shuffle once (fingerprint window), got $hashShuffles:\n$p")
   }
 
+  test("i19: eval shingle set broadcasts; the corpus side never sort-merges") {
+    val p = plan(Registry.byId("i19_contamination").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny eval set must broadcast against train shingles:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side sort-merge:\n$p")
+  }
+
   test("g6: props JSON parses once per row (one from_json, no re-extract)") {
     val df = Registry.byId("g6_json_funcs").build(spark, dir)
     val o = df.queryExecution.optimizedPlan.toString
