@@ -128,35 +128,43 @@ object LlmOps {
         struct(col("doc_id2").as("es"), col("doc_id1").as("ed")))).as("e"))
       .select(col("e.es").as("es"), col("e.ed").as("ed"))
       .persist()
-    // Every round is eagerly localCheckpoint'ed: the iteration state
-    // becomes a flat materialized table each time, so round N+1's plan
-    // never re-derives rounds 0..N. (A persist()-based loop measured
-    // per-round cost DOUBLING — the cross-round cache fragments were
-    // not reused and each round recomputed its whole lineage; eager
-    // checkpointing is the standard lineage-truncation pattern for
-    // iterative Spark algorithms.)
-    var cur = edges.select(col("es").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint(true)
-    var converged = false
-    var rounds = 0
-    val maxRounds = 64 // chain diameter 2^64 — unreachable in practice
-    while (!converged && rounds < maxRounds) {
+    // One propagation step: every node takes the min label among itself
+    // and its neighbors; `chg` records whether anything changed vs the
+    // input (labels are monotone non-increasing).
+    def step(prev: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(cur.select(col("doc_id").as("ed"), col("lbl")), Seq("ed"))
+        .join(prev.select(col("doc_id").as("ed"), col("lbl")), Seq("ed"))
         .groupBy(col("es")).agg(min(col("lbl")).as("nlbl"))
-      val next = cur.select(col("doc_id").as("es"), col("lbl"))
+      prev.select(col("doc_id").as("es"), col("lbl"))
         .join(nbrMin, Seq("es"), "left")
         .select(col("es").as("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"),
           (col("nlbl") < col("lbl")).as("chg"))
         .withColumnRenamed("lbl2", "lbl")
+    }
+    // TWO steps per materialization cycle, eagerly localCheckpoint'ed:
+    // the checkpoint makes the iteration state a flat table so cycle
+    // N+1's plan never re-derives cycles 0..N (a persist()-based loop
+    // measured per-round cost DOUBLING — cross-round cache fragments
+    // were not reused and each round recomputed its whole lineage), and
+    // batching two steps halves the count/checkpoint driver actions —
+    // the per-job overhead, not the data, dominates each round. The
+    // stop test stays exact: if the SECOND step changed nothing, its
+    // input was already a fixpoint.
+    var cur = edges.select(col("es").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var cycles = 0
+    val maxCycles = 32 // 64 steps — a chain diameter no real corpus has
+    while (!converged && cycles < maxCycles) {
+      val next = step(step(cur.select(col("doc_id"), col("lbl"))))
         .localCheckpoint(true)
       converged = next.filter(col("chg")).limit(1).count() == 0L
       cur = next
-      rounds += 1
+      cycles += 1
     }
-    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    require(converged, s"label propagation did not converge in ${2 * maxCycles} steps")
     val labels = cur.select(col("doc_id"), col("lbl"))
     edges.unpersist()
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))

@@ -407,6 +407,85 @@ object PipelineOps {
                  |   GROUP BY vec_id)
                  | SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10"""))),
 
+    // The MANY-query form of i10 — batch ANN, the shape a retrieval or
+    // dedup-by-embedding job actually runs: every query routes to its
+    // nprobe=2 nearest centroids, candidates are only the corpus vectors
+    // ASSIGNED to those clusters, top-3 per query by rounded cosine.
+    // Scale: the query batch (with its probe list) broadcasts — queries
+    // are tiny next to the corpus; the corpus is touched once to assign
+    // clusters and once to score candidates, and the only shuffle is the
+    // per-query top-k window over narrow (qid, vec_id, sim) triples —
+    // |corpus|·nprobe/k candidate rows per query, never all-pairs.
+    Q("i20_ann_batch",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val assigned = emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            round(VectorFunctions.dot(col("embedding"), col("cemb")), 6).as("cd"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val queries = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val probes = queries.crossJoin(broadcast(cent))
+          .select(col("qid"), col("qemb"), col("cid"),
+            round(VectorFunctions.dot(col("qemb"), col("cemb")), 6).as("qd"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("qd").desc, col("cid"))))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("qemb"), col("cid"))
+        assigned.join(broadcast(probes), Seq("cid"))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("sim"))
+          .orderBy("qid", "rank")
+      },
+      Some(sql("""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+                 | adot AS (
+                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+                 |   FROM (SELECT e.vec_id, c.cid,
+                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM embeddings e, cent c)
+                 |   GROUP BY 1, 2),
+                 | assigned AS (
+                 |   SELECT vec_id, cid FROM (
+                 |     SELECT vec_id, cid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+                 |     FROM adot) WHERE rn = 1),
+                 | q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 20),
+                 | qdot AS (
+                 |   SELECT qid, cid, round(sum(p), 6) AS qd
+                 |   FROM (SELECT q.qid, c.cid,
+                 |           unnest(q.qemb)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM q, cent c)
+                 |   GROUP BY 1, 2),
+                 | probes AS (
+                 |   SELECT qid, cid FROM (
+                 |     SELECT qid, cid,
+                 |       row_number() OVER (PARTITION BY qid ORDER BY qd DESC, cid) AS rn
+                 |     FROM qdot) WHERE rn <= 2),
+                 | sims AS (
+                 |   SELECT qid, vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT pr.qid, e.vec_id,
+                 |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e
+                 |           JOIN assigned a ON e.vec_id = a.vec_id
+                 |           JOIN probes pr ON a.cid = pr.cid
+                 |           JOIN q ON q.qid = pr.qid)
+                 |   GROUP BY 1, 2)
+                 | SELECT qid, rank, vec_id, sim FROM (
+                 |   SELECT qid, vec_id, sim,
+                 |     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                 |   FROM sims) WHERE rank <= 3
+                 | ORDER BY qid, rank"""))),
+
     // Shingle MinHash (the shingle→minhash→band pipeline's sketch step):
     // 3-token shingles capture local word ORDER (unigram sets — i7 —
     // cannot tell "a b c" from "c b a"), then 4 seeded minhashes over the
