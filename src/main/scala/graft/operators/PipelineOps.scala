@@ -157,6 +157,18 @@ object PipelineOps {
       (col("n_uniq") / col("n_tok")) * 0.3 +
       (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3, 3)
 
+  /** The STATELESS prefix of the curation pipeline (lang cut → quality
+    * threshold → md5 fingerprint), shared by batch i17 and the streaming
+    * twin: it applies unchanged to a micro-batch of a document stream —
+    * only the canonical-per-fingerprint choice needs state (window in
+    * batch, `graft.streaming.CuratedDedup` in streaming).
+    */
+  def curationCandidates(docs: DataFrame): DataFrame =
+    docTokStats(docs.filter(col("lang") === "en"))
+      .select(col("doc_id"), col("text"), qualityExpr.as("quality"))
+      .filter(col("quality") >= 0.64)
+      .select(md5(col("text")).as("fp"), col("doc_id"), col("quality"))
+
   // ------------------------------------------------------------ queries
 
   val qs: Seq[Q] = Seq(
@@ -741,10 +753,7 @@ object PipelineOps {
     // surviving fraction of the corpus.
     Q("i17_curation_e2e",
       (s, dir) =>
-        docTokStats(t(s, dir, "documents").filter(col("lang") === "en"))
-          .select(col("doc_id"), col("text"), qualityExpr.as("quality"))
-          .filter(col("quality") >= 0.64)
-          .select(col("doc_id"), col("quality"), md5(col("text")).as("fp"))
+        curationCandidates(t(s, dir, "documents"))
           .withColumn("rn",
             row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
           .filter(col("rn") === 1)

@@ -8,8 +8,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.operators.StreamingOps
-import graft.streaming.{Replay, Running, StatefulRunning}
+import graft.operators.{PipelineOps, StreamingOps}
+import graft.streaming.{CuratedDedup, CuratedDoc, Replay, Running, StatefulRunning}
 
 /** Stream ≡ batch equivalence for every SURVEY §2.C operator (the unified
   * model: one logic function, two execution modes), plus the T-only rows —
@@ -251,6 +251,30 @@ class StreamingSpec extends SparkTestBase {
     val want = batchDF.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("us"))
     assertSameRows(spark.table("filesrc_t"), want)
+  }
+
+  test("streaming curation (stateful canonical dedup) == batch i17") {
+    // The composed pipeline runs incrementally: the stateless prefix
+    // (lang cut, quality threshold, fingerprint) maps over each
+    // micro-batch; canonical-per-fingerprint selection is keyed state.
+    // Feed is SHUFFLED (not doc_id-ordered) to prove the min-doc_id fold
+    // is arrival-order independent — dropDuplicates would not be.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSeq
+    val feed = new scala.util.Random(42).shuffle(docs)
+    val updates = Replay.run(spark, feed, 5, OutputMode.Update())(ds =>
+      CuratedDedup(PipelineOps.curationCandidates(
+        ds.toDF("doc_id", "text", "lang")).as[CuratedDoc]).toDF())
+    // Update mode emits one row per (fingerprint, micro-batch that
+    // touched it); the final state per fingerprint is its min-doc_id row.
+    val finalStates = updates.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("quality"), col("doc_id")).as("quality"))
+      .select(col("doc_id"), col("quality"))
+    val got = finalStates.select(col("doc_id"), col("quality"),
+      graft.operators.LlmOps.splitBand(graft.operators.LlmOps.splitBucket).as("split"))
+    val want = Registry.byId("i17_curation_e2e").build(spark, dir)
+    assertSameRows(got, want)
   }
 
   test("graceful shutdown: stop() drains without error") {
