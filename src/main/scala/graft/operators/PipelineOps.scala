@@ -364,6 +364,36 @@ object PipelineOps {
                  | SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
                  | FROM fp ORDER BY doc_id"""))),
 
+    // Corpus length distribution per source: exact interpolated
+    // quantiles of the token count. EXACT percentile is the oracled
+    // form (both engines do linear interpolation at rank p·(n−1));
+    // the 100 TB path is percentile_approx — a fixed-size mergeable
+    // sketch that partial-aggregates map-side instead of sorting each
+    // group — asserted within ±1 token of exact in PipelineSpec (the
+    // sketch is T-tier for the same reason as HLL: approx answers
+    // can't hash-match a DuckDB oracle).
+    Q("j5_length_quantiles",
+      (s, dir) => {
+        val nTok = size(split(col("text"), " ")).cast("long")
+        t(s, dir, "documents")
+          .select(col("source"), nTok.as("n_tok"))
+          .groupBy(col("source"))
+          .agg(
+            round(percentile(col("n_tok"), lit(0.25)), 3).as("p25"),
+            round(percentile(col("n_tok"), lit(0.5)), 3).as("p50"),
+            round(percentile(col("n_tok"), lit(0.75)), 3).as("p75"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some(sql("""SELECT source,
+                 |   round(quantile_cont(n_tok, 0.25), 3) AS p25,
+                 |   round(quantile_cont(n_tok, 0.5), 3) AS p50,
+                 |   round(quantile_cont(n_tok, 0.75), 3) AS p75,
+                 |   count(*) AS n_docs
+                 | FROM (SELECT source, len(string_split(text,' '))::BIGINT AS n_tok
+                 |       FROM documents)
+                 | GROUP BY source ORDER BY source"""))),
+
     // IVF-routed ANN: k=8 centroids (vec_id<8 as the deterministic
     // "trained" codebook), each vector assigned to its nearest centroid
     // (6dp-rounded dot, centroid-id tie-break), query probes its nprobe=2

@@ -156,6 +156,21 @@ class PipelineSpec extends SparkTestBase {
     assert(a.map(_.getString(3)).toSet == Set("train", "validation", "test"))
   }
 
+  test("j5 percentile_approx sketch lands within 1 token of the exact quantiles") {
+    // The mergeable-sketch path a 100 TB run uses in place of the exact
+    // per-group sort; accuracy 10000 on these group sizes should be
+    // near-exact.
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val both = docs.groupBy(col("source")).agg(
+      percentile(col("n_tok"), lit(0.5)).as("exact"),
+      percentile_approx(col("n_tok"), lit(0.5), lit(10000)).as("approx"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getLong(2)) <= 1.0,
+        s"approx median off by > 1 token for ${r.getString(0)}")
+    }
+  }
+
   test("i10 IVF top-10 contains the query itself at sim 1.0") {
     val top = Registry.byId("i10_ann_ivf").build(spark, dir).collect()
     assert(top.length == 10)

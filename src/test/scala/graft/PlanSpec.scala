@@ -134,6 +134,22 @@ class PlanSpec extends SparkTestBase {
       s"curation must shuffle once (fingerprint window), got $hashShuffles:\n$p")
   }
 
+  test("i18: AQE converts the drop-list anti-join to broadcast at runtime") {
+    // Pre-execution the checkpointed drop list has no usable stats, so
+    // the initial plan is a sort-merge anti-join; once the list
+    // materializes small, adaptive execution must re-plan it as a
+    // broadcast — exactly the runtime behavior the 100 TB run relies on
+    // (and the safe default: a genuinely huge drop list stays shuffled).
+    val df = Registry.byId("i18_dedup_apply").build(spark, dir)
+    // drive THIS query execution (a write/count would execute a clone
+    // and leave this AdaptiveSparkPlan unfinalized)
+    df.queryExecution.executedPlan.executeCollect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), s"plan must be adaptive-final:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"small drop list must broadcast-anti-join the corpus at runtime:\n$p")
+  }
+
   test("i19: eval shingle set broadcasts; the corpus side never sort-merges") {
     val p = plan(Registry.byId("i19_contamination").build(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
