@@ -23,7 +23,8 @@ import graft.functions.VectorFunctions
   *     independently of corpus size.
   *   - i3 similarity: one-vs-all is a single narrow pass — the query vector
   *     is a broadcast 1-row dimension; no shuffle at all. The scale path
-  *     for many-query ANN is IVF-style routing (implemented as i11).
+  *     for many-query ANN is IVF-style routing (single-query i10,
+  *     query-batch i20, both in PipelineOps).
   *   - All vector math is `zip_with`/`aggregate` HOFs in double precision
   *     (VectorFunctions) — codegen-friendly, no UDF serialization, and the
   *     index-ordered fold keeps results reproducible across partitionings
