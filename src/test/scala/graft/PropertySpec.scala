@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{EnvelopeOps, LlmOps}
+
+/** Property-based tests (SURVEY §5 layer 4), run as model-based
+  * differential checks: scalacheck generates adversarial inputs, ONE
+  * Spark job evaluates the operator column/pipeline over the whole
+  * generated batch, and each row is compared against an independent pure
+  * Scala model (or an algebraic law). Fixed seeds keep the suite
+  * deterministic; batching keeps it one job per property instead of one
+  * job per scalacheck case.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+      .collect { case Some(a) => a }
+      .take(n).toSeq
+
+  test("short_host_id derivation is total and matches the reference model on arbitrary keys") {
+    // Arbitrary partition keys: printable junk, with and without ':'
+    // segments and task// instance/ prefixes, empty segments included.
+    val seg = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const(""),
+      Gen.oneOf("task/x", "instance/y", "task/", "instance/", "a.b.c.d"))
+    val keyGen = for {
+      n <- Gen.choose(1, 4)
+      segs <- Gen.listOfN(n, seg)
+    } yield segs.mkString(":")
+    val keys = sample(keyGen, 300, seed = 1L).distinct
+    // the reference's rule (main.go:252-262): last ':'-segment, then
+    // strip ONE leading "task/" or "instance/"
+    def model(k: String): String = {
+      val last = k.split(":", -1).last
+      if (last.startsWith("task/")) last.stripPrefix("task/")
+      else if (last.startsWith("instance/")) last.stripPrefix("instance/")
+      else last
+    }
+    val got = keys.toDF("host_id")
+      .select(col("host_id"), EnvelopeOps.shortHostId(col("host_id")).as("s"))
+      .as[(String, String)].collect()
+    got.foreach { case (k, s) =>
+      assert(s != null, s"derivation must be total, null for key '$k'")
+      assert(s == model(k), s"key '$k': got '$s', model '${model(k)}'")
+    }
+  }
+
+  test("near-dup verify: Jaccard is symmetric, bounded, and matches a set model") {
+    // Random same-source docs over a tiny vocabulary (forces overlaps).
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = sample(docGen, 60, seed = 2L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "s0", "en", ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "source", "lang", "text")
+    val pairs = LlmOps.nearDupPairs(df)
+      .as[(Long, Long, Double)].collect()
+    val sets = docs.map { case (id, _, _, t) => id -> t.split(" ").toSet }.toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (sets(a), sets(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    // every emitted pair matches the set model, is >= 0.9, and is
+    // canonically ordered (symmetry: the (b, a) form never appears)
+    val seen = pairs.map(p => (p._1, p._2)).toSet
+    pairs.foreach { case (a, b, j) =>
+      assert(a < b && !seen.contains((b, a)))
+      assert(j >= 0.9 && j <= 1.0)
+      assert(math.abs(j - BigDecimal(jac(a, b)).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // completeness: the model finds no qualifying pair the operator missed
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b && jac(a, b) >= 0.9
+    } yield (a, b)).toSet
+    assert(seen == want, s"missing=${want -- seen} extra=${seen -- want}")
+  }
+
+  test("exact dedup is idempotent and keeps one row per distinct text") {
+    val word = Gen.oneOf("x", "y", "z")
+    val docGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word))
+    val docs = sample(docGen, 80, seed = 3L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    def dedup(d: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      d.withColumn("fp", md5(col("text")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("text"))
+    }
+    val once = dedup(df)
+    assertSameRows(dedup(once), once)
+    assert(once.count() == docs.map(_._2).distinct.size)
+    // the kept representative is the min doc_id of its text group
+    val minIds = docs.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    assert(once.select("doc_id").as[Long].collect().toSet == minIds)
+  }
+}
