@@ -31,8 +31,12 @@ object Bench {
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // Dev-only subset filter (comma-separated ids); the driver never sets
-    // it, so protocol runs always measure the full registry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // it, so protocol runs always measure the full registry. Ids are
+    // trimmed, and a blank/empty variable means NO filter — a bench that
+    // silently measured zero queries would print a bogus healthy total.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

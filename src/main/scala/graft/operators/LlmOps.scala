@@ -116,9 +116,12 @@ object LlmOps {
     * min, cluster_size). Every round is fully distributed (equi-join +
     * min agg on 8-byte ids); the driver only reads the one-long
     * changed-count that decides convergence — no row data ever reaches
-    * the driver. Rounds = graph diameter; each round's result is
-    * persisted and the previous round unpersisted, so lineage stays one
-    * round deep.
+    * the driver. Steps = graph diameter; each cycle's label table is
+    * eagerly localCheckpoint'ed, so LINEAGE stays flat. The checkpoint
+    * BLOCKS of superseded cycles are released by the ContextCleaner
+    * when their plans are GC'd, not synchronously — transient storage
+    * is up to #cycles small (doc_id, lbl) tables, bounded by the
+    * cluster-member count, not the corpus.
     */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     // Both directions in ONE pass over the (expensive) pair pipeline — a
@@ -155,19 +158,20 @@ object LlmOps {
     var cur = edges.select(col("es").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint(true)
-    var converged = false
-    var cycles = 0
-    val maxCycles = 32 // 64 steps — a chain diameter no real corpus has
-    while (!converged && cycles < maxCycles) {
-      val next = step(step(cur.select(col("doc_id"), col("lbl"))))
-        .localCheckpoint(true)
-      converged = next.filter(col("chg")).limit(1).count() == 0L
-      cur = next
-      cycles += 1
-    }
-    require(converged, s"label propagation did not converge in ${2 * maxCycles} steps")
+    try {
+      var converged = false
+      var cycles = 0
+      val maxCycles = 32 // 64 steps — a chain diameter no real corpus has
+      while (!converged && cycles < maxCycles) {
+        val next = step(step(cur.select(col("doc_id"), col("lbl"))))
+          .localCheckpoint(true)
+        converged = next.filter(col("chg")).limit(1).count() == 0L
+        cur = next
+        cycles += 1
+      }
+      require(converged, s"label propagation did not converge in ${2 * maxCycles} steps")
+    } finally edges.unpersist() // release the edge cache even on failure
     val labels = cur.select(col("doc_id"), col("lbl"))
-    edges.unpersist()
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("canon_id"), col("cluster_size"))

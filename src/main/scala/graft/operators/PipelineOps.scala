@@ -653,7 +653,8 @@ object PipelineOps {
     // oracled against the same UNFILTERED exact SQL as i2. Banding is
     // 8 bands × 1 row (candidate iff ANY of the 8 minhash components
     // agrees): for a true J ≥ 0.9 pair the miss probability is
-    // (1-J)^8 ≤ 1e-8, and the md5-derived hashes are deterministic, so
+    // (1-J)^8 ≤ 1e-8, and the xxhash64 signatures (minhashSigFast —
+    // engine-internal, never reproduced by an oracle) are deterministic, so
     // on the test corpus the output is EXACTLY i2's (asserted in
     // PipelineSpec at two scale factors). At scale the band value is the
     // shuffle key — candidates per bucket are bounded by bucket size,

@@ -26,8 +26,11 @@ object CuratedDedup {
 
   def fold(key: String, rows: Iterator[CuratedDoc],
       state: GroupState[CuratedDoc]): CuratedDoc = {
-    var s = state.getOption.getOrElse(CuratedDoc(key, Long.MaxValue, 0.0))
-    rows.foreach { r => if (r.doc_id < s.doc_id) s = r }
+    // No sentinel: a Long.MaxValue initial state could itself win (and a
+    // real doc_id == Long.MaxValue would lose to it); fold over the
+    // actual candidates instead. `rows` is non-empty — with NoTimeout
+    // the function is only invoked for keys that received data.
+    val s = (state.getOption ++ rows).minBy(_.doc_id)
     state.update(s)
     s
   }

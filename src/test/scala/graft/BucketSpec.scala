@@ -15,22 +15,26 @@ class BucketSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("join of same-bucketed tables plans no shuffle exchange and matches the plain join") {
-    val orders = Tables.load(spark, dir, "orders")
-    val customer = Tables.load(spark, dir, "customer")
-    // The in-memory catalog dies with each test JVM but the warehouse
-    // directory survives — DROP TABLE alone would leave a stale location
-    // and the next run's saveAsTable fails LOCATION_ALREADY_EXISTS.
+  /** Idempotent setup shared by every test so each can run in isolation.
+    * The in-memory catalog dies with each test JVM but the warehouse
+    * directory survives — DROP TABLE alone would leave a stale location
+    * and the next run's saveAsTable fails LOCATION_ALREADY_EXISTS.
+    */
+  private lazy val bucketedTables: Unit = {
     Seq("orders_bucketed", "customer_bucketed").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       rmrf(new java.io.File(s"/tmp/graft-test-warehouse/$tbl"))
     }
-    orders.write.format("parquet")
+    Tables.load(spark, dir, "orders").write.format("parquet")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("orders_bucketed")
-    customer.write.format("parquet")
+    Tables.load(spark, dir, "customer").write.format("parquet")
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .mode("overwrite").saveAsTable("customer_bucketed")
+  }
+
+  test("join of same-bucketed tables plans no shuffle exchange and matches the plain join") {
+    bucketedTables
     // Force the shuffle-join path (at sf0.001 Catalyst would broadcast
     // the dim and hide the property under test).
     withBroadcastDisabled {
@@ -41,13 +45,16 @@ class BucketSpec extends SparkTestBase {
       val p = j.queryExecution.executedPlan.toString
       assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
         s"bucketed join must not re-shuffle either side:\n$p")
-      val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      val plain = Tables.load(spark, dir, "orders")
+        .join(Tables.load(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
       assertSameRows(j, plain)
     }
   }
 
   test("aggregation on the bucket key also skips the shuffle") {
+    bucketedTables
     withBroadcastDisabled {
       val agg = spark.table("orders_bucketed")
         .groupBy("o_custkey").agg(count(lit(1)).as("n"))
