@@ -157,6 +157,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"no corpus-side sort-merge:\n$p")
   }
 
+  test("i20: batch ANN broadcasts the query/probe side; corpus never sort-merges") {
+    val p = plan(Registry.byId("i20_ann_batch").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"probe list must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side sort-merge:\n$p")
+  }
+
+  test("j5: quantile aggregate keeps a map-side partial phase") {
+    val p = plan(Registry.byId("j5_length_quantiles").build(spark, dir))
+    assert(p.contains("partial_percentile") || p.contains("partial_"),
+      s"percentiles must partial-aggregate before the shuffle:\n$p")
+  }
+
   test("g6: props JSON parses once per row (one from_json, no re-extract)") {
     val df = Registry.byId("g6_json_funcs").build(spark, dir)
     val o = df.queryExecution.optimizedPlan.toString
