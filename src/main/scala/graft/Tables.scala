@@ -41,6 +41,40 @@ object Tables {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events envelope as an explicit schema, for non-parquet sources.
+    * Explicit on purpose: schema INFERENCE is a scale antipattern — it
+    * scans the input once before the real job does (twice through
+    * 100 TB), and a malformed line can silently flip a column type.
+    */
+  val eventSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+
+  /** Spark's default JSON timestampFormat is MILLISECOND precision —
+    * a naive dump silently truncates the envelope's microsecond event
+    * times. Both sides of the JSONL path pin a µs format instead.
+    */
+  private val jsonTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Events from JSON-lines — the migration-path source: the reference
+    * tails JSON records, so a dumped stream is a JSONL file. PERMISSIVE
+    * mode yields null fields for malformed lines, the reference's
+    * null-on-parse-failure contract (reference `main.go:275-277`);
+    * asserted in SourceSpec along with a lossless parquet↔jsonl
+    * round-trip.
+    */
+  def readEventsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema)
+      .option("timestampFormat", jsonTsFormat).json(path)
+
+  /** µs-lossless JSONL dump of an events DataFrame (SourceSpec asserts
+    * the round-trip).
+    */
+  def writeEventsJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", jsonTsFormat).json(path)
+
   /** Hive-layout partitioned parquet write — the delivery format for a
     * curated corpus: readers filtering on a partition column (`split`,
     * `lang`, …) prune whole directories at PLANNING time, so a

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Non-parquet source surface: JSON-lines in with an EXPLICIT schema (no
+  * inference pass over the input) and the reference's silent-null
+  * contract for malformed records.
+  */
+class SourceSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("events round-trip losslessly through JSON-lines with an explicit schema") {
+    val out = "/tmp/graft-test-events-jsonl"
+    val orig = Tables.load(spark, dir, "events")
+    Tables.writeEventsJson(orig, out)
+    val back = Tables.readEventsJson(spark, out)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    assertSameRows(back, orig)
+  }
+
+  test("malformed JSON lines become null-field rows, not failures") {
+    // the reference prints nothing and moves on when a record's payload
+    // fails to parse (main.go:275-277); PERMISSIVE mode is the same
+    // contract at the source level.
+    // hand-written file: appending to Spark's own output would break its
+    // .crc checksum sidecar and fail the read for the wrong reason
+    val out = Files.createTempDirectory("graft-test-events-broken")
+    val good = (1 to 5).map(i =>
+      s"""{"event_id":$i,"ts":"2024-01-0${i}T00:00:00.000001Z","user_id":$i,""" +
+        s""""event_type":"view","value":$i.5,"props":"{}"}""")
+    Files.write(out.resolve("part-000.json"),
+      (good :+ "{not json at all").mkString("\n").getBytes)
+    val back = Tables.readEventsJson(spark, out.toString)
+    assert(back.count() == 6, "the broken line must surface as a row")
+    assert(back.filter(col("event_id").isNull).count() == 1,
+      "the broken row carries null fields, and no exception is thrown")
+  }
+}
