@@ -36,6 +36,35 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
   private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
 
+  // ------------------------------------------------------------ ANN core
+
+  /** The k-row centroid table collapsed to a ONE-row array of
+    * (cid, cemb) structs — the broadcastable form of the codebook. The
+    * global collect_list runs over k rows (an Exchange SinglePartition of
+    * k centroids, not corpus data).
+    */
+  private def centroidArray(cent: DataFrame): DataFrame =
+    cent.agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
+
+  /** Nearest-centroid assignment with ZERO corpus shuffle: the codebook
+    * broadcasts as a 1-row array and the argmax runs INLINE per corpus
+    * row — `array_max` over (6dp-rounded dot, -cid) structs, so ties
+    * break to the smallest cid exactly like the `row_number` formulation,
+    * without fanning every vector into k rows and hash-Exchanging 8× the
+    * widest column in the system to re-group what one task already held.
+    * The k-element HOF is trivial next to an Exchange (the repo's
+    * "HOF lambdas are interpreted" caveat measured 2-3× on per-TOKEN
+    * lambdas; here it is k=8 dots per row, all index-ordered doubles).
+    */
+  private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroidArray(cent)))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          round(VectorFunctions.dot(col("embedding"), c.getField("cemb")), 6).as("cd"),
+          (-c.getField("cid")).as("ncid")))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best").getField("ncid")).as("cid"))
+
   // ------------------------------------------------------------ minhash
 
   private val NumHashes = 8
@@ -398,19 +427,15 @@ object PipelineOps {
     // "trained" codebook), each vector assigned to its nearest centroid
     // (6dp-rounded dot, centroid-id tie-break), query probes its nprobe=2
     // nearest centroids and ranks only those clusters. Centroids and the
-    // query vector are broadcast; the corpus never self-joins.
+    // query vector are broadcast; the corpus never self-joins, and the
+    // assignment never shuffles (broadcast centroid ARRAY + inline argmax,
+    // see assignToCentroids).
     Q("i10_ann_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val cent = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-        val assigned = emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            round(VectorFunctions.dot(col("embedding"), col("cemb")), 6).as("cd"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
+        val assigned = assignToCentroids(emb, cent)
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
         val probe = cent.crossJoin(broadcast(qv))
           .select(col("cid"), round(VectorFunctions.dot(col("cemb"), col("qemb")), 6).as("qd"))
@@ -463,22 +488,18 @@ object PipelineOps {
         val emb = t(s, dir, "embeddings")
         val cent = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-        val assigned = emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            round(VectorFunctions.dot(col("embedding"), col("cemb")), 6).as("cd"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cid"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
+        val assigned = assignToCentroids(emb, cent)
         val queries = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-        val probes = queries.crossJoin(broadcast(cent))
-          .select(col("qid"), col("qemb"), col("cid"),
-            round(VectorFunctions.dot(col("qemb"), col("cemb")), 6).as("qd"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("qd").desc, col("cid"))))
-          .filter(col("rn") <= 2)
-          .select(col("qid"), col("qemb"), col("cid"))
+        // nprobe=2 routing, same shuffle-free shape as the assignment:
+        // sort the 8 inline scores, keep two — no per-qid window needed.
+        val probes = queries.crossJoin(broadcast(centroidArray(cent)))
+          .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
+            struct(
+              (-round(VectorFunctions.dot(col("qemb"), c.getField("cemb")), 6)).as("nqd"),
+              c.getField("cid").as("cid")))), 1, 2))
+          .select(col("qid"), col("qemb"), explode(col("pr")).as("p"))
+          .select(col("qid"), col("qemb"), col("p").getField("cid").as("cid"))
         assigned.join(broadcast(probes), Seq("cid"))
           .select(col("qid"), col("vec_id"),
             round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
@@ -707,12 +728,16 @@ object PipelineOps {
           .distinct()
         val evalSh = sh.filter(col("doc_id") < 50).select(col("sh")).distinct()
         val trainSh = sh.filter(col("doc_id") >= 50)
-        val sizes = trainSh.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_sh"))
-        val shared = trainSh.join(broadcast(evalSh), Seq("sh"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        // ONE pass over the train side: the broadcast eval set left-joins
+        // a `hit` marker onto every train shingle, and a single
+        // groupBy(doc_id) computes size and shared-count together — the
+        // two-aggregation form evaluated the whole trainSh subtree
+        // (explode + distinct shuffle over the corpus) twice.
         val containment = col("n_shared") / col("n_sh")
-        sizes.join(shared, Seq("doc_id"))
+        trainSh
+          .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("sh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_shared"))
           .filter(containment >= 0.2)
           .select(col("doc_id"), col("n_shared"),
             round(containment, 3).as("containment"))

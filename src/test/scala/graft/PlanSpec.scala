@@ -157,10 +157,41 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"no corpus-side sort-merge:\n$p")
   }
 
+  test("i19: single pass over the train side — documents scanned exactly twice") {
+    // One scan feeds the eval probe set, ONE feeds the train side; the
+    // two-aggregation (sizes + shared) form evaluated the train subtree —
+    // explode + corpus-wide distinct — twice, i.e. three scans total.
+    val p = plan(Registry.byId("i19_contamination").build(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2,
+      s"expected 2 documents scans (eval + one train pass), got $scans:\n$p")
+  }
+
   test("i20: batch ANN broadcasts the query/probe side; corpus never sort-merges") {
     val p = plan(Registry.byId("i20_ann_batch").build(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"probe list must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no corpus-side sort-merge:\n$p")
+  }
+
+  test("i10/i20: centroid assignment is shuffle-free (broadcast array, inline argmax)") {
+    // The crossJoin+window formulation fanned every vector into k rows
+    // (embedding payload included) and hash-Exchanged all k·N of them to
+    // pick a per-vector argmax. The broadcast-centroid-array form must
+    // plan NO window and, for i10 (whose final top-k is a
+    // TakeOrderedAndProject), no non-broadcast Exchange anywhere except
+    // the k-row codebook collapse (Exchange SinglePartition over 8 rows).
+    val p10 = plan(Registry.byId("i10_ann_ivf").build(spark, dir))
+    assert(!p10.contains("Window"), s"i10 must not plan a window:\n$p10")
+    assert(!p10.contains("Exchange hashpartitioning") &&
+      !p10.contains("Exchange rangepartitioning"),
+      s"i10 must not shuffle corpus data:\n$p10")
+    // i20 keeps exactly ONE hash Exchange: the final per-query top-k
+    // window over narrow (qid, vec_id, sim) triples. Assignment and
+    // probe routing contribute none.
+    val p20 = plan(Registry.byId("i20_ann_batch").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p20).size
+    assert(hashShuffles == 1,
+      s"i20 must shuffle once (candidate top-k), got $hashShuffles:\n$p20")
   }
 
   test("j5: quantile aggregate keeps a map-side partial phase") {
