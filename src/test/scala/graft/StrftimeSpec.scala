@@ -96,6 +96,40 @@ class StrftimeSparkSpec extends SparkTestBase {
     assert(got.getString(3) == s"ts=$epoch.123456")
   }
 
+  test("long-tail C tokens match glibc C-locale strftime") {
+    // Expected strings generated with `LC_ALL=C TZ=UTC date` for
+    // 2024-03-05 (Tue), 2024-01-01 (Mon, week-00 boundary), and
+    // 2021-01-03 (Sun, ISO week 53 of the PRIOR year).
+    def fmts(s: String, fmt: String): String =
+      Seq(s).toDF("s").select(
+        Strftime.format(col("s").cast("timestamp"), fmt)).head().getString(0)
+    val tue = "2024-03-05 07:08:09"
+    assert(fmts(tue, "%C") == "20")
+    assert(fmts(tue, "%u %w") == "2 2")
+    assert(fmts(tue, "%U %W %V") == "09 10 10")
+    assert(fmts(tue, "%e|%k|%l") == " 5| 7| 7")
+    assert(fmts(tue, "%r") == "07:08:09 AM")
+    assert(fmts(tue, "%R") == "07:08")
+    assert(fmts(tue, "%D = %x") == "03/05/24 = 03/05/24")
+    assert(fmts(tue, "%X") == "07:08:09")
+    assert(fmts(tue, "%c") == "Tue Mar  5 07:08:09 2024")
+    assert(fmts(tue, "%v") == " 5-Mar-2024")   // lestrrat %v = %e-%b-%Y
+    assert(fmts(tue, "%h") == "Mar")
+    assert(fmts(tue, "a%nb%tc") == "a\nb\tc")
+    val mon = "2024-01-01 00:30:00"
+    assert(fmts(mon, "%u %w") == "1 1")
+    assert(fmts(mon, "%U %W %V") == "00 01 01")
+    assert(fmts(mon, "%e|%k|%l") == " 1| 0|12")
+    assert(fmts(mon, "%r") == "12:30:00 AM")
+    val sun = "2021-01-03 13:05:00"
+    assert(fmts(sun, "%u %w") == "7 0")
+    assert(fmts(sun, "%U %W %V") == "01 00 53")
+    assert(fmts(sun, "%k|%l") == "13| 1")
+    assert(fmts(sun, "%r") == "01:05:00 PM")
+    // A token the reference library itself rejects still falls back.
+    assert(fmts(tue, "%G") == "2024-03-05T07:08:09.000000Z")
+  }
+
   test("formatGo renders a Go layout; unsupported layout falls back") {
     val df = Seq("2024-03-05 07:08:09.123456").toDF("s")
       .select(col("s").cast("timestamp").as("ts"))
