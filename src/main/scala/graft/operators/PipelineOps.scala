@@ -56,6 +56,36 @@ object PipelineOps {
     * "HOF lambdas are interpreted" caveat measured 2-3× on per-TOKEN
     * lambdas; here it is k=8 dots per row, all index-ordered doubles).
     */
+  /** All within-label embedding pairs (i < j) with HOT-LABEL salting:
+    * a label whose row count reaches `hotThreshold` has its self-join
+    * split across `salts` buckets — the left side keys on
+    * `hash(vec_id) % salts`, the right side replicates to every salt
+    * value, so each pair still matches exactly once (at the left row's
+    * salt) while the hot label's quadratic work spreads over `salts`
+    * tasks instead of one straggler (the saltedJoin pattern,
+    * RelationalOps, applied to a self-join). Cold labels get salt
+    * count 1: bit-identical to the plain join, no replication. The
+    * per-label counts are a broadcast dimension — labels are few.
+    * Output: (label, i, j, ea, eb); SkewSpec asserts ≡ the unsalted
+    * join under a manufactured hot label.
+    */
+  private[graft] def labelPairs(e: DataFrame,
+      hotThreshold: Long = 4096, salts: Int = 16): DataFrame = {
+    val g = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .select(col("label"),
+        when(col("n") >= hotThreshold, lit(salts)).otherwise(lit(1)).as("g"))
+    val a = e.join(broadcast(g), "label")
+      .select(col("label"), col("vec_id").as("i"), col("embedding").as("ea"),
+        pmod(xxhash64(col("vec_id")), col("g")).as("s1"))
+    val b = e.join(broadcast(g), "label")
+      .select(col("label").as("label2"), col("vec_id").as("j"),
+        col("embedding").as("eb"),
+        explode(sequence(lit(0), col("g") - 1)).as("s2"))
+    a.join(b, col("label") === col("label2") && col("s1") === col("s2") &&
+        col("i") < col("j"))
+      .select(col("label"), col("i"), col("j"), col("ea"), col("eb"))
+  }
+
   private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("best", array_max(transform(col("cents"), c =>
@@ -762,16 +792,15 @@ object PipelineOps {
     // Embedding-similarity dedup machinery, label-bucketed: all pairs
     // WITHIN a label bucket (never across the corpus), cosine in
     // index-ordered double, top-5 pairs per label by (rounded sim, ids).
+    // Bucket size is data-dependent, so a hot label salts (labelPairs):
+    // above the threshold its self-join spreads over 16 salt buckets —
+    // the quadratic term is bounded per TASK, not just per label.
     // On near-orthogonal synthetic vectors a fixed threshold returns
     // nothing, so the op ranks instead — same join/bucket shape a real
     // near-dup threshold would use.
     Q("i12_embed_pair_sim",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val a = e.select(col("label"), col("vec_id").as("i"), col("embedding").as("ea"))
-        val b = e.select(col("label").as("label2"), col("vec_id").as("j"),
-          col("embedding").as("eb"))
-        val pairs = a.join(b, col("label") === col("label2") && col("i") < col("j"))
+        val pairs = labelPairs(t(s, dir, "embeddings"))
           .select(col("label"), col("i"), col("j"),
             round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
         pairs.withColumn("rn", row_number().over(

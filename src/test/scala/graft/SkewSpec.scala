@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.RelationalOps
+import graft.operators.{PipelineOps, RelationalOps}
 
 /** Salted-join correctness: salting redistributes a hot key across
   * buckets without changing the join result.
@@ -33,5 +33,23 @@ class SkewSpec extends SparkTestBase {
       .select("row_id", "v")
     assertSameRows(salted, plain)
     assert(salted.count() == 10000)
+  }
+
+  test("hot-label pair self-join: salted == unsalted under a manufactured hot label") {
+    // One label holds 200 vectors (19,900 pairs), others 3 each — the
+    // skew shape i12 meets when a real corpus has a dominant label.
+    val rows = (0 until 200).map(i => (99, i.toLong)) ++
+      (0 until 30).map(i => (i % 10, (1000 + i).toLong))
+    val e = rows.toDF("label", "vec_id")
+      .withColumn("embedding",
+        array((0 until 4).map(d => (col("vec_id") * (d + 1)).cast("float")): _*))
+    // Threshold 100 forces ONLY label 99 onto the salted path (g=16);
+    // the cold labels stay on the g=1 plain path in the same run.
+    val salted = PipelineOps.labelPairs(e, hotThreshold = 100, salts = 16)
+      .select("label", "i", "j")
+    val unsalted = PipelineOps.labelPairs(e, hotThreshold = Long.MaxValue, salts = 16)
+      .select("label", "i", "j")
+    assertSameRows(salted, unsalted)
+    assert(salted.count() == 200L * 199 / 2 + 10 * 3)
   }
 }
