@@ -111,67 +111,91 @@ object LlmOps {
     verifyJaccard(cand, sets)
   }
 
-  /** Connected components over an undirected pair graph by min-label
-    * propagation, to a checked fixpoint: (doc_id, canon_id = component
-    * min, cluster_size). Every round is fully distributed (equi-join +
-    * min agg on 8-byte ids); the driver only reads the one-long
-    * changed-count that decides convergence — no row data ever reaches
-    * the driver. Steps = graph diameter; each cycle's label table is
-    * eagerly localCheckpoint'ed, so LINEAGE stays flat. The checkpoint
-    * BLOCKS of superseded cycles are released by the ContextCleaner
-    * when their plans are GC'd, not synchronously — transient storage
-    * is up to #cycles small (doc_id, lbl) tables, bounded by the
-    * cluster-member count, not the corpus.
+  /** One large-star round: every node u connects its STRICTLY LARGER
+    * neighbors to the minimum of its neighborhood (incl. itself) — long
+    * tails fold toward small ids, roughly halving component "depth" per
+    * round (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", CIKM 2014). Input/output: undirected edge set, one row per
+    * edge, no self-loops.
     */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
-    // Both directions in ONE pass over the (expensive) pair pipeline — a
-    // union of two selects would evaluate `pairs` twice before the cache.
-    val edges = pairs
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(explode(array(
+      struct(col("u"), col("v")),
+      struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.filter(col("v") > col("u")).join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** One small-star round: edges point big→small; every node u connects
+    * its smaller-or-equal neighborhood (and itself) to its minimum
+    * neighbor — stars flatten to depth 1.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir.join(m, "u")
       .select(explode(array(
-        struct(col("doc_id1").as("es"), col("doc_id2").as("ed")),
-        struct(col("doc_id2").as("es"), col("doc_id1").as("ed")))).as("e"))
-      .select(col("e.es").as("es"), col("e.ed").as("ed"))
-      .persist()
-    // One propagation step: every node takes the min label among itself
-    // and its neighbors; `chg` records whether anything changed vs the
-    // input (labels are monotone non-increasing).
-    def step(prev: DataFrame): DataFrame = {
-      val nbrMin = edges
-        .join(prev.select(col("doc_id").as("ed"), col("lbl")), Seq("ed"))
-        .groupBy(col("es")).agg(min(col("lbl")).as("nlbl"))
-      prev.select(col("doc_id").as("es"), col("lbl"))
-        .join(nbrMin, Seq("es"), "left")
-        .select(col("es").as("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"),
-          (col("nlbl") < col("lbl")).as("chg"))
-        .withColumnRenamed("lbl2", "lbl")
-    }
-    // TWO steps per materialization cycle, eagerly localCheckpoint'ed:
-    // the checkpoint makes the iteration state a flat table so cycle
-    // N+1's plan never re-derives cycles 0..N (a persist()-based loop
-    // measured per-round cost DOUBLING — cross-round cache fragments
-    // were not reused and each round recomputed its whole lineage), and
-    // batching two steps halves the count/checkpoint driver actions —
-    // the per-job overhead, not the data, dominates each round. The
-    // stop test stays exact: if the SECOND step changed nothing, its
-    // input was already a fixpoint.
-    var cur = edges.select(col("es").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
+        struct(col("v").as("a"), col("m").as("b")),
+        struct(col("u").as("a"), col("m").as("b")))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Connected components over an undirected pair graph by the
+    * ALTERNATING large-star/small-star algorithm (Kiveris et al., CIKM
+    * 2014), to a checked fixpoint: (doc_id, canon_id = component min,
+    * cluster_size). Rounds are O(log n) in component size — NOT
+    * O(diameter) like min-label propagation, so an adversarial
+    * transitive near-dup chain (A~B~C~…) converges in a dozen rounds
+    * where propagation needed one round per hop (PropertySpec drives a
+    * 500-node path through it). Every round is fully distributed
+    * (equi-join + min agg on 8-byte id pairs); the driver only reads
+    * the per-round count + a one-long emptiness probe that decide
+    * convergence — no row data ever reaches the driver. Each round's
+    * edge set is eagerly localCheckpoint'ed so lineage stays flat; the
+    * checkpoint blocks of superseded rounds are released by the
+    * ContextCleaner when their plans are GC'd — transient storage is
+    * #rounds small edge tables, bounded by the pair count, not the
+    * corpus.
+    */
+  def nearDupClusters(pairs: DataFrame,
+      maxRounds: Int = 32 /* ~3·log2(n) worst case — covers any corpus */): DataFrame = {
+    // Canonical big→small edge form; node set extracted in the same
+    // pass over the (expensive) pair pipeline via the checkpoint below.
+    val canon = pairs.select(
+        greatest(col("doc_id1"), col("doc_id2")).as("u"),
+        least(col("doc_id1"), col("doc_id2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    try {
-      var converged = false
-      var cycles = 0
-      val maxCycles = 32 // 64 steps — a chain diameter no real corpus has
-      while (!converged && cycles < maxCycles) {
-        val next = step(step(cur.select(col("doc_id"), col("lbl"))))
-          .localCheckpoint(true)
-        converged = next.filter(col("chg")).limit(1).count() == 0L
-        cur = next
-        cycles += 1
-      }
-      require(converged, s"label propagation did not converge in ${2 * maxCycles} steps")
-    } finally edges.unpersist() // release the edge cache even on failure
-    val labels = cur.select(col("doc_id"), col("lbl"))
+    val nodes = canon.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct()
+    var cur = canon
+    var curCnt = cur.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextCnt = next.count()
+      // Distinct edge sets of equal size are equal iff the anti-join is
+      // empty; limit(1) keeps the probe a short-circuit, not a scan.
+      converged = nextCnt == curCnt &&
+        next.join(cur, Seq("u", "v"), "left_anti").limit(1).count() == 0L
+      cur = next
+      curCnt = nextCnt
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // Fixpoint = disjoint stars: every non-center node has exactly one
+    // edge to its component min. The union adds (n, n) for every node,
+    // so centers label themselves and the min-agg is total.
+    val labels = cur.select(col("u").as("doc_id"), col("v").as("lbl"))
+      .union(nodes.select(col("doc_id"), col("doc_id").as("lbl")))
+      .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "lbl")
       .select(col("doc_id"), col("lbl").as("canon_id"), col("cluster_size"))

@@ -102,4 +102,51 @@ class PropertySpec extends SparkTestBase {
     val minIds = docs.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
     assert(once.select("doc_id").as[Long].collect().toSet == minIds)
   }
+
+  test("cluster resolution survives a 500-node adversarial chain in O(log n) rounds") {
+    // A path graph is the worst case star contraction exists for: its
+    // diameter is n-1, so min-label propagation needs one round per hop
+    // (a 500-chain would blow any sane round budget), while the
+    // alternating algorithm folds depth geometrically. maxRounds=12
+    // pins the log bound: log2(500) ≈ 9.
+    val n = 500L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_id1", "doc_id2")
+    val got = LlmOps.nearDupClusters(chain, maxRounds = 12)
+    assert(got.count() == n)
+    // One component, canon = global min, size = n for every node.
+    assert(got.select("canon_id").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(got.select("cluster_size").distinct().as[Long].collect().toSeq == Seq(n))
+  }
+
+  test("cluster resolution matches union-find on random multi-component graphs") {
+    // Random sparse graphs: many components of varying shape (isolated
+    // edges, triangles via duplicates, reversed + self pairs thrown in).
+    val edgeGen = for {
+      a <- Gen.choose(0L, 120L)
+      b <- Gen.choose(0L, 120L)
+    } yield (a, b)
+    val edges = sample(edgeGen, 150, seed = 7L)
+    val df = edges.toDF("doc_id1", "doc_id2")
+    // Self-pairs are degenerate input (a doc is trivially its own dup);
+    // drop them from the model exactly as canonicalization drops them —
+    // but keep the NODE if it appears in any real pair.
+    val real = edges.filter(p => p._1 != p._2)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    real.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = real.flatMap(p => Seq(p._1, p._2)).distinct
+    val canon = nodes.map(x => x -> find(x)).toMap
+    val sizes = canon.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = nodes.sorted
+      .map(x => (x, canon(x), sizes(canon(x))))
+      .toDF("doc_id", "canon_id", "cluster_size")
+    assertSameRows(LlmOps.nearDupClusters(df.filter(col("doc_id1") =!= col("doc_id2"))),
+      expected)
+  }
 }
