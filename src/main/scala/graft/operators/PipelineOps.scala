@@ -886,7 +886,43 @@ object PipelineOps {
                  | (16 + (h // 240) % 240)::BIGINT AS height,
                  | CASE WHEN h % 3 = 0 THEN 'png' WHEN h % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS fmt
                  | FROM (SELECT doc_id, text, ('0x'||substr(md5(text),1,4))::BIGINT AS h FROM documents)
-                 | ORDER BY doc_id""")))
+                 | ORDER BY doc_id"""))),
+
+    // The m2 feature path made ORACLE-CHECKABLE: stub features for every
+    // doc through the real typed-Dataset mapPartitions plumbing, then
+    // cosine top-10 against doc 0's vector via the i3 broadcast shape —
+    // the media-embedding stage itself is hash-checked, not just
+    // ScalaTest'd. Features divide bin counts in double and round ONCE
+    // to float, so the oracle reproduces the stored bits with
+    // CAST(count/len AS FLOAT); both engines then rank the same rounded
+    // cosine with a doc_id tie-break (byte histograms of homogeneous
+    // text tie heavily at 1.000 — the tie-break carries the ordering).
+    Q("m2_feature_topk",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        val feats = extractFeatures(payloads).toDF()
+        val qv = feats.filter(col("doc_id") === 0).select(col("features").as("qf"))
+        feats.crossJoin(broadcast(qv))
+          .select(col("doc_id"),
+            round(VectorFunctions.cosine(col("features"), col("qf")), 3).as("sim"))
+          .orderBy(col("sim").desc, col("doc_id")).limit(10)
+      },
+      Some(sql("""WITH ch AS (SELECT doc_id, ord(unnest(string_split(text,''))) AS o FROM documents),
+                 | f AS (SELECT doc_id, o // 16 AS bin, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+                 | fv AS (SELECT f.doc_id, bin,
+                 |     CAST(CAST(CAST(c AS DOUBLE) / l.n AS FLOAT) AS DOUBLE) AS v
+                 |   FROM f JOIN (SELECT doc_id, octet_length(text::BLOB) AS n FROM documents) l
+                 |     ON f.doc_id = l.doc_id),
+                 | norms AS (SELECT doc_id, sqrt(sum(v*v)) AS nm FROM fv GROUP BY doc_id),
+                 | dots AS (SELECT a.doc_id, sum(a.v * q.v) AS d
+                 |   FROM fv a JOIN (SELECT bin, v FROM fv WHERE doc_id = 0) q USING (bin)
+                 |   GROUP BY a.doc_id)
+                 | SELECT d.doc_id, round(d.d / (na.nm * (SELECT nm FROM norms WHERE doc_id = 0)), 3) AS sim
+                 | FROM dots d JOIN norms na ON d.doc_id = na.doc_id
+                 | ORDER BY sim DESC, d.doc_id LIMIT 10""")))
   )
 
   /** Typed metadata record produced by the stubbed media decoder. */
@@ -911,8 +947,12 @@ object PipelineOps {
       it.map { case (id, bytes) =>
         val hist = new Array[Float](16)
         bytes.foreach(b => hist((b & 0xFF) >> 4) += 1f)
-        val total = math.max(1f, bytes.length.toFloat)
-        MediaFeatures(id, hist.map(_ / total))
+        // Divide in DOUBLE, round once to float: bin counts are exact in
+        // either width, so the stored float is bit-reproducible from SQL
+        // (`CAST(count/len AS FLOAT)`) — what lets m2_feature_topk
+        // hash-check this mapPartitions path against the DuckDB oracle.
+        val total = math.max(1, bytes.length).toDouble
+        MediaFeatures(id, hist.map(h => (h / total).toFloat))
       }
     }
   }
