@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{concat, date_format, dayofmonth, dayofweek, dayofyear, floor, hour, lit, lpad, pmod, unix_timestamp, weekday, weekofyear, year}
+import org.apache.spark.sql.functions.{concat, date_format, dayofmonth, dayofweek, dayofyear, floor, format_string, hour, lit, lpad, pmod, unix_timestamp, weekday, weekofyear, year}
 
 /** strftime-style timestamp formatting on Spark columns.
   *
@@ -76,7 +76,9 @@ object Strftime {
     */
   private val structural: Map[Char, Column => Column] = Map(
     's' -> (ts => unix_timestamp(ts).cast("string")),
-    'C' -> (ts => lpad(floor(year(ts) / 100).cast("string"), 2, "0")),
+    // %C is MINIMUM-width 2 (a year ≥ 10000 prints 3+ digits); lpad
+    // would truncate, format_string only pads.
+    'C' -> (ts => format_string("%02d", floor(year(ts) / 100).cast("int"))),
     'e' -> (ts => lpad(dayofmonth(ts).cast("string"), 2, " ")),
     'k' -> (ts => lpad(hour(ts).cast("string"), 2, " ")),
     'l' -> (ts => lpad((pmod(hour(ts) + lit(11), lit(12)) + 1).cast("string"), 2, " ")),

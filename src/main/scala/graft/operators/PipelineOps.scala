@@ -46,16 +46,6 @@ object PipelineOps {
   private def centroidArray(cent: DataFrame): DataFrame =
     cent.agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
 
-  /** Nearest-centroid assignment with ZERO corpus shuffle: the codebook
-    * broadcasts as a 1-row array and the argmax runs INLINE per corpus
-    * row — `array_max` over (6dp-rounded dot, -cid) structs, so ties
-    * break to the smallest cid exactly like the `row_number` formulation,
-    * without fanning every vector into k rows and hash-Exchanging 8× the
-    * widest column in the system to re-group what one task already held.
-    * The k-element HOF is trivial next to an Exchange (the repo's
-    * "HOF lambdas are interpreted" caveat measured 2-3× on per-TOKEN
-    * lambdas; here it is k=8 dots per row, all index-ordered doubles).
-    */
   /** All within-label embedding pairs (i < j) with HOT-LABEL salting:
     * a label whose row count reaches `hotThreshold` has its self-join
     * split across `salts` buckets — the left side keys on
@@ -86,6 +76,16 @@ object PipelineOps {
       .select(col("label"), col("i"), col("j"), col("ea"), col("eb"))
   }
 
+  /** Nearest-centroid assignment with ZERO corpus shuffle: the codebook
+    * broadcasts as a 1-row array and the argmax runs INLINE per corpus
+    * row — `array_max` over (6dp-rounded dot, -cid) structs, so ties
+    * break to the smallest cid exactly like the `row_number` formulation,
+    * without fanning every vector into k rows and hash-Exchanging 8× the
+    * widest column in the system to re-group what one task already held.
+    * The k-element HOF is trivial next to an Exchange (the repo's
+    * "HOF lambdas are interpreted" caveat measured 2-3× on per-TOKEN
+    * lambdas; here it is k=8 dots per row, all index-ordered doubles).
+    */
   private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("best", array_max(transform(col("cents"), c =>
@@ -900,29 +900,46 @@ object PipelineOps {
     Q("m2_feature_topk",
       (s, dir) => {
         import s.implicits._
-        val payloads = t(s, dir, "documents")
+        def payloads = t(s, dir, "documents")
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          // Empty payloads have an all-zero feature vector (0/0 cosine =
+          // NaN, which desc-sorts FIRST); both engines exclude them.
+          .filter(length(col("payload")) > 0)
           .as[(Long, Array[Byte])]
         val feats = extractFeatures(payloads).toDF()
-        val qv = feats.filter(col("doc_id") === 0).select(col("features").as("qf"))
+        // Query features from a PRE-FILTERED scan: the doc_id predicate
+        // pushes into parquet, so the corpus-wide encoder runs once, not
+        // once per branch (with a real accelerator-batched encoder the
+        // second full pass would double the dominant stage).
+        val qv = extractFeatures(payloads.filter(col("doc_id") === 0))
+          .toDF().select(col("features").as("qf"))
         feats.crossJoin(broadcast(qv))
           .select(col("doc_id"),
             round(VectorFunctions.cosine(col("features"), col("qf")), 3).as("sim"))
           .orderBy(col("sim").desc, col("doc_id")).limit(10)
       },
-      Some(sql("""WITH ch AS (SELECT doc_id, ord(unnest(string_split(text,''))) AS o FROM documents),
-                 | f AS (SELECT doc_id, o // 16 AS bin, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+      // Byte-exact oracle for ANY content (not just ASCII): hex() spells
+      // each byte as two hex digits, and the HIGH nibble — hex char at
+      // position 2i+1 — IS the 16-bin histogram bin. Docs sharing no bin
+      // with doc 0 keep sim 0 via the LEFT join, matching Spark's dense
+      // vectors.
+      Some(sql("""WITH hx AS (SELECT doc_id, hex(text::BLOB) AS h, octet_length(text::BLOB) AS n
+                 |   FROM documents WHERE octet_length(text::BLOB) > 0),
+                 | ch AS (SELECT doc_id,
+                 |     unnest(list_transform(range(0, n), i -> substr(h, 2*i+1, 1))) AS nib
+                 |   FROM hx),
+                 | f AS (SELECT doc_id, ('0x'||nib)::INT AS bin, count(*)::BIGINT AS c
+                 |   FROM ch GROUP BY 1, 2),
                  | fv AS (SELECT f.doc_id, bin,
-                 |     CAST(CAST(CAST(c AS DOUBLE) / l.n AS FLOAT) AS DOUBLE) AS v
-                 |   FROM f JOIN (SELECT doc_id, octet_length(text::BLOB) AS n FROM documents) l
-                 |     ON f.doc_id = l.doc_id),
+                 |     CAST(CAST(CAST(c AS DOUBLE) / hx.n AS FLOAT) AS DOUBLE) AS v
+                 |   FROM f JOIN hx ON f.doc_id = hx.doc_id),
                  | norms AS (SELECT doc_id, sqrt(sum(v*v)) AS nm FROM fv GROUP BY doc_id),
                  | dots AS (SELECT a.doc_id, sum(a.v * q.v) AS d
                  |   FROM fv a JOIN (SELECT bin, v FROM fv WHERE doc_id = 0) q USING (bin)
                  |   GROUP BY a.doc_id)
-                 | SELECT d.doc_id, round(d.d / (na.nm * (SELECT nm FROM norms WHERE doc_id = 0)), 3) AS sim
-                 | FROM dots d JOIN norms na ON d.doc_id = na.doc_id
-                 | ORDER BY sim DESC, d.doc_id LIMIT 10""")))
+                 | SELECT na.doc_id, round(coalesce(d.d, 0) / (na.nm * (SELECT nm FROM norms WHERE doc_id = 0)), 3) AS sim
+                 | FROM norms na LEFT JOIN dots d ON na.doc_id = d.doc_id
+                 | ORDER BY sim DESC, na.doc_id LIMIT 10""")))
   )
 
   /** Typed metadata record produced by the stubbed media decoder. */

@@ -126,6 +126,8 @@ class StrftimeSparkSpec extends SparkTestBase {
     assert(fmts(sun, "%U %W %V") == "01 00 53")
     assert(fmts(sun, "%k|%l") == "13| 1")
     assert(fmts(sun, "%r") == "01:05:00 PM")
+    // %C is minimum-width, not truncating: century 100 prints 3 digits.
+    assert(fmts("10000-01-01 00:00:00", "%C") == "100")
     // A token the reference library itself rejects still falls back.
     assert(fmts(tue, "%G") == "2024-03-05T07:08:09.000000Z")
   }
