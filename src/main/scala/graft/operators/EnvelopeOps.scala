@@ -146,6 +146,24 @@ object EnvelopeOps {
              | strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso, strftime(ts, '%Y/%m/%d %H:%M') AS slashed
              | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
+    // The computed day-of-week / week-number tokens under the hash gate:
+    // these are the structural formulas java.time patterns can't express
+    // (%u ISO dow, %w Sunday-dow, %U/%W POSIX week numbers, %V ISO week)
+    // — DuckDB's strftime implements the same POSIX semantics, so every
+    // event timestamp differentially checks the arithmetic (StrftimeSpec
+    // pins the year-boundary cases the fixture window may not cover).
+    Q("a5b_strftime_weeks",
+      (s, dir) =>
+        ev(s, dir).select(
+          col("event_id"),
+          Strftime.format(col("ts"), "%u|%w").as("dow"),
+          Strftime.format(col("ts"), "%U|%W|%V").as("weeks"),
+          Strftime.format(col("ts"), "%j %T").as("yday_time"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, strftime(ts, '%u|%w') AS dow, strftime(ts, '%U|%W|%V') AS weeks,
+             | strftime(ts, '%j %T') AS yday_time
+             | FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
     // The start-offset predicate is applied to the raw ns column inside
     // Tables.eventsSince so it pushes into the parquet scan (the
     // reference's server-side AT_TIMESTAMP, main.go:300-305); PlanSpec
