@@ -83,8 +83,12 @@ object NsTimestampPushdown extends Rule[LogicalPlan] {
     }
 }
 
-/** `spark.sql.extensions` entry point registering the engine's rules. */
+/** `spark.sql.extensions` entry point registering the engine's rules and
+  * native functions.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NsTimestampPushdown)
+    ext.injectFunction(graft.functions.DotProduct.description)
+  }
 }
