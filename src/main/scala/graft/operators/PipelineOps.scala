@@ -939,7 +939,105 @@ object PipelineOps {
                  |   GROUP BY a.doc_id)
                  | SELECT na.doc_id, round(coalesce(d.d, 0) / (na.nm * (SELECT nm FROM norms WHERE doc_id = 0)), 3) AS sim
                  | FROM norms na LEFT JOIN dots d ON na.doc_id = d.doc_id
-                 | ORDER BY sim DESC, na.doc_id LIMIT 10""")))
+                 | ORDER BY sim DESC, na.doc_id LIMIT 10"""))),
+
+    // ----------------------------------------------- mixture + delivery
+
+    // Per-source mixture sampling — content-addressed like the i16 split:
+    // a doc survives iff its salted md5 bucket falls under its source's
+    // target rate (here rate(srcK) = 100 − 4K, a deliberately skewed
+    // mixture: src0 fully kept, src19 at 24%). Because the bucket is a
+    // pure hash of doc_id, the sample is reproducible across runs,
+    // engines and repartitionings, needs no RNG state, composes with the
+    // split (independent salts ⇒ independent buckets), and any rate
+    // change is a pure filter change — no reshuffle, no new corpus scan
+    // artifacts. At 100 TB this is the mixture-weighting step of corpus
+    // assembly: a narrow codegen scan + filter, zero shuffles except the
+    // output sort; the per-source rate is an expression, not even a
+    // broadcast dim. md5 (not xxhash64) because the sample, like the
+    // split, is a corpus-level contract reproducible OUTSIDE the engine.
+    Q("i21_sample_stratified",
+      (s, dir) => {
+        val bucket = conv(substring(
+          md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 100
+        val rate = lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            bucket.as("bucket"), rate.as("rate"))
+          .filter(col("bucket") < col("rate"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH b AS (SELECT doc_id, source,
+                 |     ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+                 |     100 - 4 * CAST(substr(source, 4) AS INT) AS rate
+                 |   FROM documents)
+                 | SELECT doc_id, source, bucket, rate FROM b
+                 | WHERE bucket < rate ORDER BY doc_id"""))),
+
+    // Token-budget sharding — the delivery step that packs the corpus
+    // into ~equal-TOKEN output shards (training wants byte/token-balanced
+    // files, not row-balanced ones): in doc_id order, shard k holds the
+    // docs whose running token total lands in [k·BUDGET, (k+1)·BUDGET).
+    // The running total is the textbook scale trap: ONE window over the
+    // whole corpus is a single-partition sort — the exact shape the r3
+    // i2 rework removed. Instead, a two-level prefix sum:
+    //   1. bucket docs into B contiguous doc_id ranges (monotone in
+    //      doc_id, so (bucket, doc_id) order ≡ global doc_id order);
+    //   2. per-bucket running sums under a PARTITIONED window (B-way
+    //      parallel, each partition 1/B of the corpus);
+    //   3. per-bucket totals (a B-row aggregate) get their exclusive
+    //      prefix via a window that is unpartitioned but runs over ≤B
+    //      rows POST-aggregation — bounded by the constant B, not the
+    //      corpus (PlanSpec pins this: every unpartitioned window in the
+    //      plan sits above an aggregation);
+    //   4. broadcast the B offsets back and add.
+    // Integer arithmetic end-to-end, so the decomposition is EXACTLY the
+    // global running sum, and the DuckDB oracle can use the naive global
+    // window form. At 100 TB: B scales with the cluster (B ≈ cores), the
+    // corpus is touched by exactly one extra narrow aggregate, and no
+    // stage sees more than 1/B of the data in one task.
+    Q("i22_token_shards",
+      (s, dir) => {
+        val B = 32
+        val budget = 2000L
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+        val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+        // Integer `div` keeps the bucket exact for any 64-bit doc_id
+        // (double division would wobble past 2^53).
+        val bucketed = docs.crossJoin(broadcast(maxId))
+          .withColumn("bucket", expr(s"doc_id * $B div (max_id + 1)"))
+        val inBucket = bucketed.withColumn("cum_in",
+          sum(col("tok")).over(
+            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+        val offsets = bucketed.groupBy(col("bucket"))
+          .agg(sum(col("tok")).as("btok"))
+          .withColumn("offset", coalesce(
+            sum(col("btok")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        inBucket.join(broadcast(offsets), "bucket")
+          .withColumn("cum_before", col("offset") + col("cum_in") - col("tok"))
+          .withColumn("shard_id", expr(s"cum_before div $budget"))
+          .groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("tok_total"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("shard_id")
+      },
+      Some(sql("""WITH tk AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok
+                 |   FROM documents),
+                 | c AS (SELECT doc_id, tok,
+                 |     COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                 |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
+                 |   FROM tk)
+                 | SELECT cb // 2000 AS shard_id, count(*)::BIGINT AS n_docs,
+                 |   SUM(tok)::BIGINT AS tok_total,
+                 |   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+                 | FROM c GROUP BY 1 ORDER BY 1""")))
   )
 
   /** Typed metadata record produced by the stubbed media decoder. */

@@ -200,6 +200,29 @@ class PlanSpec extends SparkTestBase {
       s"percentiles must partial-aggregate before the shuffle:\n$p")
   }
 
+  test("i21: sampling is a pure scan-side filter — no hash shuffle at all") {
+    val p = plan(Registry.byId("i21_sample_stratified").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"mixture sampling must not shuffle (filter + output sort only):\n$p")
+  }
+
+  test("i22: every unpartitioned window sits above an aggregation, never the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = Registry.byId("i22_token_shards").build(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window nodes in the prefix-sum plan")
+    // The corpus-side running sum must be partitioned (B-way parallel)...
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "per-bucket running sum must be a partitioned window")
+    // ...and any unpartitioned window (the B-row offset cumsum) must be
+    // bounded by an aggregation below it — the single-partition-sort-of-
+    // the-corpus shape (the r3 i2 scale-killer) must never reappear.
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"unpartitioned window runs over raw corpus rows:\n$w")
+    }
+  }
+
   test("g6: props JSON parses once per row (one from_json, no re-extract)") {
     val df = Registry.byId("g6_json_funcs").build(spark, dir)
     val o = df.queryExecution.optimizedPlan.toString
