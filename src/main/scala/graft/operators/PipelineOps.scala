@@ -941,6 +941,64 @@ object PipelineOps {
                  | FROM norms na LEFT JOIN dots d ON na.doc_id = d.doc_id
                  | ORDER BY sim DESC, na.doc_id LIMIT 10"""))),
 
+    // One Lloyd refinement step for the IVF codebook — the "training"
+    // that i10/i20's deterministic stub codebook (vec_id<8) stands in
+    // for: assign every vector to its nearest centroid (the shuffle-free
+    // broadcast-array argmax, assignToCentroids), then recompute each
+    // centroid as its members' element-wise mean. Output is (cid, pos,
+    // n_members, cmean) rows, not float arrays (the output contract
+    // forbids raw float-array columns), ordered totally.
+    //
+    // Determinism (§7 H2): a grouped SUM of doubles is summation-order-
+    // dependent, so the mean is computed over MICRO-QUANTIZED elements —
+    // round(v·1e6) as int64 — whose sum is exact and order-free in both
+    // engines (≤3.3e13 per group, far under 2^63); one double division
+    // at the end is a single IEEE op on identical operands. The same
+    // trick as "decimal internal, double output", in integer clothes.
+    //
+    // Scale: assignment never shuffles; posexplode fans dim× narrow
+    // (cid, pos, long) rows that partial-aggregate map-side, so the only
+    // shuffle carries ≤ k·dim·partitions partial rows — independent of
+    // corpus size. Iterating = re-running with the emitted codebook;
+    // each step is one linear pass (the loop belongs to the caller, like
+    // i15's contraction rounds).
+    Q("i23_kmeans_step",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        assignToCentroids(emb, cent)
+          .select(col("cid"), posexplode(col("embedding")))
+          .select(col("cid"), col("pos").cast("long").as("pos"),
+            round(col("col").cast("double") * 1e6).cast("long").as("vq"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(count(lit(1)).as("n_members"), sum(col("vq")).as("sq"))
+          .select(col("cid"), col("pos"), col("n_members"),
+            round(col("sq").cast("double") / col("n_members") / 1e6, 6).as("cmean"))
+          .orderBy("cid", "pos")
+      },
+      Some(sql("""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+                 | adot AS (
+                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+                 |   FROM (SELECT e.vec_id, c.cid,
+                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM embeddings e, cent c)
+                 |   GROUP BY 1, 2),
+                 | assigned AS (
+                 |   SELECT vec_id, cid FROM (
+                 |     SELECT vec_id, cid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+                 |     FROM adot) WHERE rn = 1),
+                 | px AS (
+                 |   SELECT a.cid,
+                 |     unnest(range(0, len(e.embedding))) AS pos,
+                 |     unnest(list_transform(range(0, len(e.embedding)),
+                 |       i -> round(e.embedding[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id)
+                 | SELECT cid, pos, count(*)::BIGINT AS n_members,
+                 |   round(sum(vq)::DOUBLE / count(*) / 1e6, 6) AS cmean
+                 | FROM px GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
     // ----------------------------------------------- mixture + delivery
 
     // Per-source mixture sampling — content-addressed like the i16 split:

@@ -207,6 +207,48 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i23 Lloyd step: quantized means track the true means within the grid") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val got = Registry.byId("i23_kmeans_step").build(spark, dir).collect()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // Every centroid emits exactly `dim` positions, membership is
+    // constant across a centroid's positions, and members total the
+    // corpus (every vector assigned exactly once).
+    val byCid = got.groupBy(_.getLong(0))
+    byCid.foreach { case (cid, rows) =>
+      assert(rows.length == dim, s"cid $cid must emit $dim positions")
+      assert(rows.map(_.getLong(2)).distinct.length == 1,
+        s"cid $cid membership must be constant across positions")
+    }
+    assert(byCid.map(_._2.head.getLong(2)).sum == emb.count(),
+      "cluster memberships must partition the corpus")
+    // The micro-quantized mean may differ from the true double mean by at
+    // most half the 1e-6 grid (plus the final 6dp rounding).
+    val truth = Registry.byId("i23_kmeans_step").build(spark, dir)
+      .select(col("cid"), col("pos"), col("cmean")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    import spark.implicits._
+    val naive = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect()
+    val centroids = naive.filter(_._1 < 8).map { case (id, e) => id -> e }.toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val assign = naive.map { case (id, e) =>
+      val best = centroids.toSeq
+        .map { case (cid, c) => (BigDecimal(dot(e, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP), -cid) }
+        .max
+      (id, -best._2, e)
+    }
+    assign.groupBy(_._2).foreach { case (cid, members) =>
+      (0 until dim).foreach { p =>
+        val mean = members.map(_._3(p).toDouble).sum / members.length
+        val gotMean = truth((cid, p.toLong))
+        assert(math.abs(gotMean - mean) <= 0.5e-6 + 0.5e-6 + 1e-9,
+          s"cid=$cid pos=$p quantized mean $gotMean vs true $mean")
+      }
+    }
+  }
+
   test("i21 sample is reproducible and respects every per-source rate bound") {
     val got = Registry.byId("i21_sample_stratified").build(spark, dir)
     // Deterministic: a second independent build is row-identical.

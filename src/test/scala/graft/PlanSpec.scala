@@ -200,6 +200,18 @@ class PlanSpec extends SparkTestBase {
       s"percentiles must partial-aggregate before the shuffle:\n$p")
   }
 
+  test("i23: Lloyd step shuffles only k·dim partial sums, never the corpus") {
+    val p = plan(Registry.byId("i23_kmeans_step").build(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      s"assignment must stay broadcast, no corpus sort-merge:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("Partial"),
+      s"the mean must partial-aggregate map-side before the shuffle:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"exactly one shuffle (the (cid,pos) partial-agg exchange), got $hashShuffles:\n$p")
+  }
+
   test("i21: sampling is a pure scan-side filter — no hash shuffle at all") {
     val p = plan(Registry.byId("i21_sample_stratified").build(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"),
