@@ -53,13 +53,19 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.sql} and ${right.dataType.sql}")
     }
 
+  // Hoisted off the interpreted eval path: inside HOF lambdas (the k-wide
+  // centroid argmax in i10/i20/i23) nullSafeEval runs per (row × centroid),
+  // so the dataType pattern-match must not repeat per call.
+  private lazy val leftIsFloat = elemOf(left).contains(FloatType)
+  private lazy val rightIsFloat = elemOf(right).contains(FloatType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val xf = elemOf(left).contains(FloatType)
-    val yf = elemOf(right).contains(FloatType)
+    val xf = leftIsFloat
+    val yf = rightIsFloat
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -202,14 +202,19 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
-  /** Salted-md5 split bucket in [0,100) over doc_id, and its 80/10/10
-    * band label — shared by i16 and the curation pipeline (i17,
-    * PipelineOps). md5 on purpose: the split is a corpus-level contract
-    * reproducible OUTSIDE the engine.
+  /** Salted-md5 bucket in [0,100) over doc_id. One definition for every
+    * content-addressed assignment (split bands, mixture sampling):
+    * distinct salts give independent buckets, and the md5 arithmetic is a
+    * corpus-level contract reproducible OUTSIDE the engine.
     */
-  val splitBucket: Column = conv(substring(
-    md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8),
+  def saltedBucket(salt: String): Column = conv(substring(
+    md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8),
     16, 10).cast("long") % 100
+
+  /** The i16/i17 train/val/test bucket — `saltedBucket` under the split
+    * salt.
+    */
+  val splitBucket: Column = saltedBucket("split:")
 
   def splitBand(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")

@@ -934,11 +934,12 @@ object PipelineOps {
                  |     CAST(CAST(CAST(c AS DOUBLE) / hx.n AS FLOAT) AS DOUBLE) AS v
                  |   FROM f JOIN hx ON f.doc_id = hx.doc_id),
                  | norms AS (SELECT doc_id, sqrt(sum(v*v)) AS nm FROM fv GROUP BY doc_id),
+                 | q0 AS (SELECT nm AS nm0 FROM norms WHERE doc_id = 0),
                  | dots AS (SELECT a.doc_id, sum(a.v * q.v) AS d
                  |   FROM fv a JOIN (SELECT bin, v FROM fv WHERE doc_id = 0) q USING (bin)
                  |   GROUP BY a.doc_id)
-                 | SELECT na.doc_id, round(coalesce(d.d, 0) / (na.nm * (SELECT nm FROM norms WHERE doc_id = 0)), 3) AS sim
-                 | FROM norms na LEFT JOIN dots d ON na.doc_id = d.doc_id
+                 | SELECT na.doc_id, round(coalesce(d.d, 0) / (na.nm * q0.nm0), 3) AS sim
+                 | FROM norms na CROSS JOIN q0 LEFT JOIN dots d ON na.doc_id = d.doc_id
                  | ORDER BY sim DESC, na.doc_id LIMIT 10"""))),
 
     // One Lloyd refinement step for the IVF codebook — the "training"
@@ -1016,9 +1017,7 @@ object PipelineOps {
     // split, is a corpus-level contract reproducible OUTSIDE the engine.
     Q("i21_sample_stratified",
       (s, dir) => {
-        val bucket = conv(substring(
-          md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 8),
-          16, 10).cast("long") % 100
+        val bucket = LlmOps.saltedBucket("sample:")
         val rate = lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")
         t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
@@ -1063,10 +1062,12 @@ object PipelineOps {
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("tok"))
         val maxId = docs.agg(max(col("doc_id")).as("max_id"))
-        // Integer `div` keeps the bucket exact for any 64-bit doc_id
-        // (double division would wobble past 2^53).
+        // Integer `div` with the width computed FIRST: `doc_id * B` would
+        // overflow Long past doc_id ≈ 2^58 (hash-derived 64-bit ids), and
+        // double division would wobble past 2^53. Width ≥ 1 and the
+        // bucket stays in [0, B), contiguous and monotone in doc_id.
         val bucketed = docs.crossJoin(broadcast(maxId))
-          .withColumn("bucket", expr(s"doc_id * $B div (max_id + 1)"))
+          .withColumn("bucket", expr(s"doc_id div ((max_id div $B) + 1)"))
         val inBucket = bucketed.withColumn("cum_in",
           sum(col("tok")).over(
             Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
@@ -1118,11 +1119,14 @@ object PipelineOps {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val hist = new Array[Float](16)
-        bytes.foreach(b => hist((b & 0xFF) >> 4) += 1f)
-        // Divide in DOUBLE, round once to float: bin counts are exact in
-        // either width, so the stored float is bit-reproducible from SQL
-        // (`CAST(count/len AS FLOAT)`) — what lets m2_feature_topk
+        // Long counts: a float accumulator would saturate at 2^24 — a
+        // ~17 MB payload concentrated in one bin would silently stop
+        // counting, diverging from the oracle's exact BIGINT counts.
+        val hist = new Array[Long](16)
+        bytes.foreach(b => hist((b & 0xFF) >> 4) += 1L)
+        // Divide in DOUBLE, round once to float: long counts are exact in
+        // double up to 2^53, so the stored float is bit-reproducible from
+        // SQL (`CAST(count/len AS FLOAT)`) — what lets m2_feature_topk
         // hash-check this mapPartitions path against the DuckDB oracle.
         val total = math.max(1, bytes.length).toDouble
         MediaFeatures(id, hist.map(h => (h / total).toFloat))

@@ -223,10 +223,10 @@ class PipelineSpec extends SparkTestBase {
     assert(byCid.map(_._2.head.getLong(2)).sum == emb.count(),
       "cluster memberships must partition the corpus")
     // The micro-quantized mean may differ from the true double mean by at
-    // most half the 1e-6 grid (plus the final 6dp rounding).
-    val truth = Registry.byId("i23_kmeans_step").build(spark, dir)
-      .select(col("cid"), col("pos"), col("cmean")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // most half the 1e-6 grid (plus the final 6dp rounding). Read the
+    // means from the rows already collected — no second pipeline run.
+    val truth = got
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     import spark.implicits._
     val naive = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .collect()
