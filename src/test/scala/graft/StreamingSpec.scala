@@ -277,6 +277,24 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming mixture sampling == batch i21 (stateless, arrival-order free)") {
+    // The sampling filter is content-addressed and stateless, so the
+    // SAME expression applies per micro-batch with no state store; a
+    // shuffled feed must still reproduce the batch sample exactly.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(17).shuffle(docs)
+    val sampled = Replay.run(spark, feed, 4, OutputMode.Append())(ds => {
+      val df = ds.toDF("doc_id", "source")
+      df.select(col("doc_id"), col("source"),
+          graft.operators.LlmOps.saltedBucket("sample:").as("bucket"),
+          (lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")).as("rate"))
+        .filter(col("bucket") < col("rate"))
+    })
+    val want = Registry.byId("i21_sample_stratified").build(spark, dir)
+    assertSameRows(sampled, want)
+  }
+
   test("graceful shutdown: stop() drains without error") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
