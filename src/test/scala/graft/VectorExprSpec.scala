@@ -22,6 +22,18 @@ class VectorExprSpec extends SparkTestBase {
       .collect { case Some(a) => a }
       .take(n).toSeq
 
+  /** Bit-level double agreement: NaN == NaN, +0.0 != -0.0. (Scala's `==`
+    * on boxed doubles is NUMERIC equality — NaN != NaN — so it cannot
+    * assert the bit-identical contract.)
+    */
+  private def sameBits(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.doubleToRawLongBits(x) ==
+        java.lang.Double.doubleToRawLongBits(y)
+    case _ => false
+  }
+
   /** The previous formulation, kept verbatim as the reference semantics. */
   private def hofDot(a: Column, b: Column): Column =
     aggregate(
@@ -38,9 +50,7 @@ class VectorExprSpec extends SparkTestBase {
     val df = pairs.toDF("a", "b").select(
       VectorFunctions.dot(col("a"), col("b")).as("native"),
       hofDot(col("a"), col("b")).as("hof"))
-    // java.lang.Double.equals compares bits (and NaN == NaN), which is
-    // exactly the contract: same summation order, same result bits.
-    df.collect().foreach(r => assert(r.get(0) == r.get(1),
+    df.collect().foreach(r => assert(sameBits(r.get(0), r.get(1)),
       s"native dot diverged from the HOF reference fold: ${r.get(0)} vs ${r.get(1)}"))
   }
 
@@ -67,6 +77,22 @@ class VectorExprSpec extends SparkTestBase {
     assert(vals(3).isEmpty && vals(4).isEmpty, "length mismatch must yield null")
     assert(vals(5).isEmpty && vals(6).isEmpty, "null element must yield null")
     assert(vals(7).contains(23.0))
+  }
+
+  test("graft_dot matches the HOF fold on NaN, infinities and signed zeros") {
+    val specials = Seq(
+      (Seq(Float.NaN, 1f), Seq(1f, 1f)),                       // NaN propagates
+      (Seq(Float.PositiveInfinity, 1f), Seq(1f, 1f)),          // +Inf
+      (Seq(Float.PositiveInfinity, 1f), Seq(0f, 1f)),          // Inf*0 = NaN
+      (Seq(Float.NegativeInfinity, Float.PositiveInfinity), Seq(1f, 1f)), // -Inf + Inf = NaN
+      (Seq(-0.0f, -0.0f), Seq(0.0f, 5f)),                      // signed zero
+      (Seq(Float.MinPositiveValue, 1e30f), Seq(1e30f, 1e30f))  // denormal + overflow-ish
+    )
+    val df = specials.toDF("a", "b").select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof"))
+    df.collect().foreach(r => assert(sameBits(r.get(0), r.get(1)),
+      s"IEEE-corner divergence: native=${r.get(0)} hof=${r.get(1)}"))
   }
 
   test("graft_dot accepts double arrays and mixed float/double sides") {
