@@ -75,6 +75,32 @@ object Tables {
     df.write.mode("overwrite")
       .option("timestampFormat", jsonTsFormat).json(path)
 
+  /** Events from CSV — the other common log-delivery format, completing
+    * the source matrix (parquet / JSONL / CSV). Same explicit schema and
+    * µs-pinned timestampFormat as the JSONL path; PERMISSIVE nulls for
+    * malformed rows. The `props` payload is a JSON string full of commas
+    * and double quotes, so both sides pin RFC-4180 quoting
+    * (`escape = "` → quotes double instead of backslash-escaping, which
+    * is what every external CSV producer emits); asserted lossless in
+    * SourceSpec.
+    */
+  def readEventsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema)
+      .option("header", "true")
+      .option("timestampFormat", jsonTsFormat)
+      .option("escape", "\"")
+      .csv(path)
+
+  /** µs-lossless RFC-4180 CSV dump of an events DataFrame (SourceSpec
+    * asserts the round-trip).
+    */
+  def writeEventsCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", jsonTsFormat)
+      .option("escape", "\"")
+      .csv(path)
+
   /** Hive-layout partitioned parquet write — the delivery format for a
     * curated corpus: readers filtering on a partition column (`split`,
     * `lang`, …) prune whole directories at PLANNING time, so a

@@ -21,6 +21,32 @@ class SourceSpec extends SparkTestBase {
     assertSameRows(back, orig)
   }
 
+  test("events round-trip losslessly through RFC-4180 CSV with an explicit schema") {
+    val out = "/tmp/graft-test-events-csv"
+    val orig = Tables.load(spark, dir, "events")
+    Tables.writeEventsCsv(orig, out)
+    val back = Tables.readEventsCsv(spark, out)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // props is a JSON string full of commas and double quotes — the
+    // round-trip certifies the quoting contract, not just the schema.
+    assertSameRows(back, orig)
+    assert(back.filter(col("props").contains("\"")).count() > 0,
+      "fixture must actually exercise embedded quotes")
+  }
+
+  test("malformed CSV rows become null-field rows, not failures") {
+    val out = Files.createTempDirectory("graft-test-events-csv-broken")
+    val good = (1 to 5).map(i =>
+      s"""$i,2024-01-0${i}T00:00:00.000001Z,$i,view,$i.5,"{""k"":$i}"""")
+    Files.write(out.resolve("part-000.csv"),
+      ("event_id,ts,user_id,event_type,value,props" +: good :+
+        "not,a,number,here,oops").mkString("\n").getBytes)
+    val back = Tables.readEventsCsv(spark, out.toString)
+    assert(back.count() == 6, "the broken row must surface as a row")
+    assert(back.filter(col("event_id").isNull).count() == 1,
+      "the broken row carries null fields, and no exception is thrown")
+  }
+
   test("malformed JSON lines become null-field rows, not failures") {
     // the reference prints nothing and moves on when a record's payload
     // fails to parse (main.go:275-277); PERMISSIVE mode is the same
