@@ -1000,6 +1000,56 @@ object PipelineOps {
                  |   round(sum(vq)::DOUBLE / count(*) / 1e6, 6) AS cmean
                  | FROM px GROUP BY 1, 2 ORDER BY 1, 2"""))),
 
+    // Embedding-cosine near-dup — the vector-space member of the dedup
+    // family (token-based: i2/i9/i13/i14): candidate pairs come from the
+    // IVF cluster bucket (two vectors must share a nearest centroid), the
+    // same shuffle-free assignment as i10/i20, then exact cosine ranks
+    // the candidates. The fixture's random vectors have no true dups
+    // (max pairwise cosine ≈ 0.51), so the operator emits the TOP-20
+    // most-similar candidate pairs and leaves the J-threshold to the
+    // caller — same machinery either way, and the oracle checks the full
+    // candidate-rank pipeline rather than a vacuously-empty filter.
+    // Scale: the within-cluster self-join bounds the quadratic term by
+    // cluster size, so k must grow with the corpus (k ≈ N/target_bucket);
+    // a hot cluster salts exactly like labelPairs. The final top-k is a
+    // TakeOrderedAndProject over narrow (i, j, sim) triples.
+    Q("i24_embed_near_dup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val assigned = assignToCentroids(emb, cent)
+        val a = assigned.select(col("cid"), col("vec_id").as("i"), col("embedding").as("ea"))
+        val b = assigned.select(col("cid").as("cid2"), col("vec_id").as("j"), col("embedding").as("eb"))
+        a.join(b, col("cid") === col("cid2") && col("i") < col("j"))
+          .select(col("cid"), col("i"), col("j"),
+            round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
+          .orderBy(col("sim").desc, col("i"), col("j")).limit(20)
+      },
+      Some(sql("""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+                 | adot AS (
+                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+                 |   FROM (SELECT e.vec_id, c.cid,
+                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM embeddings e, cent c)
+                 |   GROUP BY 1, 2),
+                 | assigned AS (
+                 |   SELECT vec_id, cid FROM (
+                 |     SELECT vec_id, cid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+                 |     FROM adot) WHERE rn = 1),
+                 | pairs AS (
+                 |   SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+                 |     round((SELECT sum(x * y) FROM (SELECT
+                 |        unnest(ea.embedding)::DOUBLE AS x,
+                 |        unnest(eb.embedding)::DOUBLE AS y)), 3) AS sim
+                 |   FROM assigned a JOIN assigned b
+                 |     ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 |   JOIN embeddings ea ON ea.vec_id = a.vec_id
+                 |   JOIN embeddings eb ON eb.vec_id = b.vec_id)
+                 | SELECT cid, i, j, sim FROM pairs
+                 | ORDER BY sim DESC, i, j LIMIT 20"""))),
+
     // ----------------------------------------------- mixture + delivery
 
     // Per-source mixture sampling — content-addressed like the i16 split:

@@ -212,6 +212,14 @@ class PlanSpec extends SparkTestBase {
       s"exactly one shuffle (the (cid,pos) partial-agg exchange), got $hashShuffles:\n$p")
   }
 
+  test("i24: candidate pairs come from the cluster equi-join; top-k never full-sorts") {
+    val p = plan(Registry.byId("i24_embed_near_dup").build(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin [cid"),
+      s"pair candidates must be the cid equi-join, never all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-20 must plan as TakeOrderedAndProject, not a full sort:\n$p")
+  }
+
   test("i21: sampling is a pure scan-side filter — no hash shuffle at all") {
     val p = plan(Registry.byId("i21_sample_stratified").build(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"),
