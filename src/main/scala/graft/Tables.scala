@@ -79,10 +79,17 @@ object Tables {
     * the source matrix (parquet / JSONL / CSV). Same explicit schema and
     * µs-pinned timestampFormat as the JSONL path; PERMISSIVE nulls for
     * malformed rows. The `props` payload is a JSON string full of commas
-    * and double quotes, so both sides pin RFC-4180 quoting
-    * (`escape = "` → quotes double instead of backslash-escaping, which
-    * is what every external CSV producer emits); asserted lossless in
-    * SourceSpec.
+    * and double quotes, so both sides pin quote-doubling (`escape = "`,
+    * RFC-4180 style rather than backslash-escaping); asserted lossless
+    * in SourceSpec. Two deliberate contract bounds:
+    *   - fields must be newline-free (`multiLine` stays OFF — a
+    *     multi-line CSV is not splittable, one file = one task at
+    *     100 TB). JSON payloads satisfy this by construction: raw
+    *     control characters are illegal inside JSON strings, so a
+    *     newline can only appear escaped as the two characters `\n`;
+    *   - Spark's CSV reader maps empty string fields to null (empty and
+    *     missing are indistinguishable in CSV); the envelope never emits
+    *     empty strings, but an external producer's `""` arrives as null.
     */
   def readEventsCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventSchema)

@@ -36,6 +36,19 @@ object PipelineOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
   private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
 
+  /** The i21 mixture-sample projection+filter over a (doc_id, source)
+    * frame: salted content-addressed bucket under the per-source rate
+    * (rate(srcK) = 100 − 4K). One definition shared by the batch registry
+    * query and the streaming twin (StreamingSpec), so stream and batch
+    * provably run the SAME expression — the filter is stateless, which is
+    * what makes it streamable unchanged.
+    */
+  def mixtureSample(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
+        LlmOps.saltedBucket("sample:").as("bucket"),
+        (lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")).as("rate"))
+      .filter(col("bucket") < col("rate"))
+
   // ------------------------------------------------------------ ANN core
 
   /** The k-row centroid table collapsed to a ONE-row array of
@@ -86,6 +99,26 @@ object PipelineOps {
     * "HOF lambdas are interpreted" caveat measured 2-3× on per-TOKEN
     * lambdas; here it is k=8 dots per row, all index-ordered doubles).
     */
+  /** Oracle CTE block for nearest-centroid assignment — `cent` (the
+    * vec_id<8 codebook), `adot` (6dp-rounded dot per vector x centroid),
+    * `assigned` (smallest-cid argmax winner): the SQL twin of
+    * [[assignToCentroids]], interpolated verbatim into the i10/i20/i23/
+    * i24 oracles so the assignment contract has exactly ONE SQL source.
+    */
+  private val centroidAssignCte: String =
+    """cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+      | adot AS (
+      |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+      |   FROM (SELECT e.vec_id, c.cid,
+      |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+      |         FROM embeddings e, cent c)
+      |   GROUP BY 1, 2),
+      | assigned AS (
+      |   SELECT vec_id, cid FROM (
+      |     SELECT vec_id, cid,
+      |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+      |     FROM adot) WHERE rn = 1)"""
+
   private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("best", array_max(transform(col("cents"), c =>
@@ -476,19 +509,8 @@ object PipelineOps {
             round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
           .orderBy(col("sim").desc, col("vec_id")).limit(10)
       },
-      Some(sql("""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
-                 | cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
-                 | adot AS (
-                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
-                 |   FROM (SELECT e.vec_id, c.cid,
-                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
-                 |         FROM embeddings e, cent c)
-                 |   GROUP BY 1, 2),
-                 | assigned AS (
-                 |   SELECT vec_id, cid FROM (
-                 |     SELECT vec_id, cid,
-                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
-                 |     FROM adot) WHERE rn = 1),
+      Some(sql(s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+                 | $centroidAssignCte,
                  | probe AS (
                  |   SELECT cid FROM (
                  |     SELECT cid, round(sum(p), 6) AS qd
@@ -540,18 +562,7 @@ object PipelineOps {
             col("vec_id"), col("sim"))
           .orderBy("qid", "rank")
       },
-      Some(sql("""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
-                 | adot AS (
-                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
-                 |   FROM (SELECT e.vec_id, c.cid,
-                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
-                 |         FROM embeddings e, cent c)
-                 |   GROUP BY 1, 2),
-                 | assigned AS (
-                 |   SELECT vec_id, cid FROM (
-                 |     SELECT vec_id, cid,
-                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
-                 |     FROM adot) WHERE rn = 1),
+      Some(sql(s"""WITH $centroidAssignCte,
                  | q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 20),
                  | qdot AS (
                  |   SELECT qid, cid, round(sum(p), 6) AS qd
@@ -978,18 +989,7 @@ object PipelineOps {
             round(col("sq").cast("double") / col("n_members") / 1e6, 6).as("cmean"))
           .orderBy("cid", "pos")
       },
-      Some(sql("""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
-                 | adot AS (
-                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
-                 |   FROM (SELECT e.vec_id, c.cid,
-                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
-                 |         FROM embeddings e, cent c)
-                 |   GROUP BY 1, 2),
-                 | assigned AS (
-                 |   SELECT vec_id, cid FROM (
-                 |     SELECT vec_id, cid,
-                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
-                 |     FROM adot) WHERE rn = 1),
+      Some(sql(s"""WITH $centroidAssignCte,
                  | px AS (
                  |   SELECT a.cid,
                  |     unnest(range(0, len(e.embedding))) AS pos,
@@ -1026,18 +1026,7 @@ object PipelineOps {
             round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
           .orderBy(col("sim").desc, col("i"), col("j")).limit(20)
       },
-      Some(sql("""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
-                 | adot AS (
-                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
-                 |   FROM (SELECT e.vec_id, c.cid,
-                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
-                 |         FROM embeddings e, cent c)
-                 |   GROUP BY 1, 2),
-                 | assigned AS (
-                 |   SELECT vec_id, cid FROM (
-                 |     SELECT vec_id, cid,
-                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
-                 |     FROM adot) WHERE rn = 1),
+      Some(sql(s"""WITH $centroidAssignCte,
                  | pairs AS (
                  |   SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
                  |     round((SELECT sum(x * y) FROM (SELECT
@@ -1066,15 +1055,7 @@ object PipelineOps {
     // broadcast dim. md5 (not xxhash64) because the sample, like the
     // split, is a corpus-level contract reproducible OUTSIDE the engine.
     Q("i21_sample_stratified",
-      (s, dir) => {
-        val bucket = LlmOps.saltedBucket("sample:")
-        val rate = lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            bucket.as("bucket"), rate.as("rate"))
-          .filter(col("bucket") < col("rate"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => mixtureSample(t(s, dir, "documents")).orderBy("doc_id"),
       Some(sql("""WITH b AS (SELECT doc_id, source,
                  |     ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
                  |     100 - 4 * CAST(substr(source, 4) AS INT) AS rate

@@ -214,8 +214,14 @@ class PlanSpec extends SparkTestBase {
 
   test("i24: candidate pairs come from the cluster equi-join; top-k never full-sorts") {
     val p = plan(Registry.byId("i24_embed_near_dup").build(spark, dir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin [cid"),
-      s"pair candidates must be the cid equi-join, never all-pairs:\n$p")
+    // The assignment stage legitimately plans BroadcastNestedLoopJoins
+    // (the 1-row centroid-array broadcast, once per self-join side); the
+    // PAIR join itself must stay a cid equi-join — so the BNLJ count must
+    // not exceed the two assignment broadcasts, and no CartesianProduct
+    // may appear anywhere.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(!p.contains("CartesianProduct") && bnlj <= 2,
+      s"pair candidates must be the cid equi-join, never all-pairs (bnlj=$bnlj):\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-20 must plan as TakeOrderedAndProject, not a full sort:\n$p")
   }

@@ -284,13 +284,8 @@ class StreamingSpec extends SparkTestBase {
     val docs = Tables.load(spark, dir, "documents")
       .select("doc_id", "source").as[(Long, String)].collect().toSeq
     val feed = new scala.util.Random(17).shuffle(docs)
-    val sampled = Replay.run(spark, feed, 4, OutputMode.Append())(ds => {
-      val df = ds.toDF("doc_id", "source")
-      df.select(col("doc_id"), col("source"),
-          graft.operators.LlmOps.saltedBucket("sample:").as("bucket"),
-          (lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")).as("rate"))
-        .filter(col("bucket") < col("rate"))
-    })
+    val sampled = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.mixtureSample(ds.toDF("doc_id", "source")))
     val want = Registry.byId("i21_sample_stratified").build(spark, dir)
     assertSameRows(sampled, want)
   }
