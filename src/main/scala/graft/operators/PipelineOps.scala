@@ -1165,6 +1165,36 @@ object PipelineOps {
     }
   }
 
+  /** Resized payload: parent doc, target dims, resampled bytes. */
+  final case class MediaResized(doc_id: Long, width: Long, height: Long, payload: Array[Byte])
+
+  /** Resize — the transcode stage of a multimodal pipeline (decode →
+    * RESIZE → feature-extract → frame-sample): binary in, binary out at
+    * a fixed target budget. The "resampler" is a deterministic
+    * byte-stride subsample to w·h bytes (real image codecs are
+    * unavailable offline), but the plumbing is the real thing: a fixed
+    * output-size contract (every row ≤ w·h bytes, exactly w·h once the
+    * input exceeds it — what lets a downstream trainer pre-allocate),
+    * per-partition iteration for an accelerator-batched codec, zero
+    * shuffle.
+    */
+  def resizePayloads(payloads: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      w: Int, h: Int): org.apache.spark.sql.Dataset[MediaResized] = {
+    import payloads.sparkSession.implicits._
+    val target = w * h
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val out =
+          if (bytes.length <= target) bytes
+          else {
+            val stride = bytes.length.toDouble / target
+            Array.tabulate(target)(i => bytes((i * stride).toInt))
+          }
+        MediaResized(id, w.toLong, h.toLong, out)
+      }
+    }
+  }
+
   /** Frame sampling — one row per sampled fixed-size "frame" (byte slice)
     * at a uniform stride, at most `maxFrames` per payload. The generator
     * shape (one input row → N output rows, order-stable) is exactly what

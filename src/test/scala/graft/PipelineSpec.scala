@@ -179,6 +179,29 @@ class PipelineSpec extends SparkTestBase {
       "unit-normalized query must match itself at cosine 1.0")
   }
 
+  test("resize stub honors the fixed output-size contract, deterministically") {
+    val payloads = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val (w, h) = (8, 4) // 32-byte budget — smaller than most docs
+    val out = PipelineOps.resizePayloads(payloads, w, h).collect()
+    assert(out.length == payloads.count())
+    val orig = payloads.collect().toMap
+    out.foreach { r =>
+      val n = orig(r.doc_id).length
+      assert(r.payload.length == math.min(n, w * h),
+        s"doc ${r.doc_id}: resized ${r.payload.length} bytes, input $n, budget ${w * h}")
+      assert(r.width == w && r.height == h)
+      // subsample bytes must come from the input in order (stride pick)
+      if (n > 0) assert(r.payload.head == orig(r.doc_id).head,
+        "stride resample must keep the first byte")
+    }
+    // determinism + partition-stability: a repartitioned run is identical
+    val again = PipelineOps.resizePayloads(payloads.repartition(7), w, h)
+      .collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    assert(out.forall(r => again(r.doc_id) == r.payload.toSeq))
+  }
+
   test("i22 two-level prefix sum == the naive global-window running sum") {
     import org.apache.spark.sql.expressions.Window
     // The naive form (fine at test scale, a single-partition sort at real
