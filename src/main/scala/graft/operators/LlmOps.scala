@@ -96,7 +96,15 @@ object LlmOps {
     * verify. Shared by i2 itself and the cluster resolution (i15).
     */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sets = hashedTokenSets(docs)
+    // Materialize the sketch ONCE: the set table feeds three consumers
+    // (prefix explode + both sides of the verify join), and without a
+    // checkpoint each one re-runs the tokenize→hash→shuffle pipeline
+    // from the corpus scan (measured 3× the sketch cost at sf0.1). The
+    // 100 TB form of the same decision is writing the sketch table out
+    // and reading it back — sketches are the artifact a dedup pipeline
+    // persists; localCheckpoint is the in-session analog (blocks are
+    // freed by the ContextCleaner once the plan is GC'd, as in i15).
+    val sets = hashedTokenSets(docs).localCheckpoint(true)
     // Integer-exact prefix length: n - ceil(9n/10) + 1 (double ceil of
     // 0.9·n mis-rounds, e.g. 0.9*20 → 18.000000000000004).
     val prefixLen = (col("n_tok") - ((col("n_tok") * 9 + 9) / 10).cast("long") + 1)

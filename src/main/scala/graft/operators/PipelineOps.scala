@@ -132,6 +132,26 @@ object PipelineOps {
 
   private val NumHashes = 8
 
+  /** 3-token shingle stream as an array of `(0,1,2)` structs of
+    * consecutive tokens: `arrays_zip` of three shifted `slice`s — every
+    * expression is a plain codegen'd collection op, replacing the earlier
+    * `transform(sequence(1, n-2), i -> concat_ws(...))` build whose
+    * lambda evaluates INTERPRETED per element (measured ~10× slower at
+    * sf0.1: 3.0-4.4 s vs 0.2-0.7 s for the corpus shingle explode). The
+    * three slices always have equal length `max(n-2, 0)`, so arrays_zip
+    * never null-pads; docs under 3 tokens yield the empty array and drop
+    * out at the explode, exactly like the old `when` guard. Consumers
+    * hash the struct directly (`xxhash64(z.0, z.1, z.2)` — engine-
+    * internal sites i13/i19) or render the string shingle
+    * (`concat_ws(" ", ...)` — i11, whose md5 values cross to the oracle).
+    */
+  private def shingleZip(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val len = greatest(size(toks) - 2, lit(0))
+    arrays_zip(
+      slice(toks, lit(1), len), slice(toks, lit(2), len), slice(toks, lit(3), len))
+  }
+
   private def distinctTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -597,26 +617,19 @@ object PipelineOps {
     // out on both engines.
     Q("i11_shingle_minhash",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val idx = sequence(lit(1), size(toks) - 2)
-        // No distinct pass: min() is idempotent under duplicate shingles,
-        // and array_distinct over ~80 strings is O(n²) per row.
-        val shingles = when(size(toks) >= 3,
-          transform(idx, i => concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))
         // One md5 per shingle: its 32 hex chars are four independent
         // 8-char (32-bit) slices — 4× less hashing than 4 seeded md5s.
         // No distinct pass: min() is idempotent under duplicate shingles,
         // and array_distinct over ~80 strings is O(n²) per row. The
-        // explode/groupBy shape keeps the md5 inside whole-stage codegen
-        // (a narrow array_min(transform) variant measured 2× slower —
-        // HOF lambdas evaluate interpreted).
+        // shingleZip explode/groupBy shape keeps both the shingle build
+        // and the md5 inside whole-stage codegen (the md5 values cross
+        // to the oracle, so the STRING shingle is rendered here).
         val aggs = (0 until 4).map(j =>
           min(conv(substring(col("h"), 1 + 8 * j, 8), 16, 10).cast("long")).as(s"sm$j"))
         t(s, dir, "documents")
-          .select(col("doc_id"), explode(shingles).as("shingle"))
-          .select(col("doc_id"), md5(col("shingle")).as("h"))
+          .select(col("doc_id"), explode(shingleZip(col("text"))).as("z"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", col("z.0"), col("z.1"), col("z.2"))).as("h"))
           .groupBy(col("doc_id"))
           .agg(aggs.head, aggs.tail: _*)
           .orderBy("doc_id")
@@ -641,37 +654,39 @@ object PipelineOps {
     // near-copies.
     Q("i13_ngram_jaccard",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val idx = sequence(lit(1), size(toks) - 2)
         // Shingles become xxhash64 longs BEFORE the join: the quadratic
         // equi-join shuffles 8-byte keys, not 17-char strings. The hash
         // never crosses engines — the oracle hashes with md5 on its side,
         // and the output (pairs + count-derived Jaccard) is invariant
         // under any per-engine-injective rehash — so the native 64-bit
         // xxhash64 (one codegen'd long op) replaces the
-        // md5→substring→conv string chain. Collisions (~260k shingles vs
-        // 2^64) would merge two shingles on one engine only; none occur
-        // on the test corpus. The hash sits AFTER the explode so it runs
-        // in a codegen'd projection, not inside the interpreted transform
-        // lambda (the i11 shape); distinctness moves to the post-hash
-        // groupBy's collect_set, which dedups anyway.
-        val shingles = when(size(toks) >= 3,
-          transform(idx, i => concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))
+        // md5→substring→conv string chain, and it hashes the TOKEN
+        // TRIPLE directly (tokens contain no spaces, so triple ↔ joined
+        // string is bijective) — the string shingle is never even built.
+        // Collisions (~260k shingles vs 2^64) would merge two shingles
+        // on one engine only; none occur on the test corpus.
+        // Distinctness lives in the post-hash groupBy's collect_set,
+        // which dedups anyway.
         val sh = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), explode(shingles).as("sstr"))
-          .select(col("doc_id"), col("source"), xxhash64(col("sstr")).as("s"))
+          .select(col("doc_id"), col("source"),
+            explode(shingleZip(col("text"))).as("z"))
+          .select(col("doc_id"), col("source"),
+            xxhash64(col("z.0"), col("z.1"), col("z.2")).as("s"))
         // Lossless prefix filter at θ=0.5 (same pigeonhole as i2): under
         // ANY one global shingle order, J ≥ 0.5 forces a shared shingle
         // inside each doc's first n - ceil(n/2) + 1 shingles. The uniform
         // md5 hash value IS such an order — no df-rank table, no global
         // sort; candidates come from prefixes, pairs verify on full sets.
         // The oracle keeps the unfiltered form (the filter is lossless).
+        // Materialized once (same decision as LlmOps.nearDupPairs): the
+        // shingle-set sketch feeds the prefix explode AND both verify
+        // sides — uncheckpointed, each re-runs the interpreted shingle
+        // transform + md5 + shuffle from the corpus scan.
         val docSets = sh
           .groupBy(col("doc_id"), col("source"))
           .agg(sort_array(collect_set(col("s"))).as("rks"))
           .withColumn("n", size(col("rks")).cast("long"))
+          .localCheckpoint(true)
         val prefixLen = (col("n") - ((col("n") + 1) / 2).cast("long") + 1)
         val prefixed = docSets.select(col("doc_id"), col("source"),
           explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
@@ -724,7 +739,9 @@ object PipelineOps {
     Q("i14_lsh_dedup_e2e",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val sets = LlmOps.hashedTokenSets(docs)
+        // Verify consumes the set sketch twice (both join sides) —
+        // materialized once, as in LlmOps.nearDupPairs.
+        val sets = LlmOps.hashedTokenSets(docs).localCheckpoint(true)
         val bandCols = (0 until NumHashes).map(j =>
           struct(lit(j).as("b"), col(s"mh$j").as("v")))
         val bands = minhashSigFast(docs)
@@ -757,15 +774,12 @@ object PipelineOps {
     // stand-in for a real benchmark list.
     Q("i19_contamination",
       (s, dir) => {
-        val toks = split(col("text"), " ")
-        val idx = sequence(lit(1), size(toks) - 2)
-        val shingles = when(size(toks) >= 3,
-          transform(idx, i => concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))
+        // Same engine-internal triple hash as i13 — the string shingle
+        // is never built (shingleZip: codegen'd zip/slice, no HOF).
         val sh = t(s, dir, "documents")
-          .select(col("doc_id"), explode(shingles).as("sstr"))
-          .select(col("doc_id"), xxhash64(col("sstr")).as("sh"))
+          .select(col("doc_id"), explode(shingleZip(col("text"))).as("z"))
+          .select(col("doc_id"),
+            xxhash64(col("z.0"), col("z.1"), col("z.2")).as("sh"))
           .distinct()
         val evalSh = sh.filter(col("doc_id") < 50).select(col("sh")).distinct()
         val trainSh = sh.filter(col("doc_id") >= 50)
