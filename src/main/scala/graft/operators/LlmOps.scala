@@ -353,6 +353,42 @@ object LlmOps {
                   | WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> canon_id)
                   | ORDER BY doc_id"""))),
 
+    // INCREMENTAL exact dedup — the shape an ingest pipeline actually
+    // runs: a new batch (doc_id ≥ 400 as the deterministic stand-in for
+    // "this crawl") arrives against an existing corpus (doc_id < 400),
+    // and a new doc survives iff its fingerprint appears NEITHER in the
+    // corpus NOR earlier in its own batch (min-doc_id canonical, the i1
+    // rule — arrival order inside a batch is not a dedup decision).
+    // Scale: both probes move 16-byte fingerprints + ids only — the
+    // corpus side projects to its fingerprint set before the anti-join,
+    // so the new batch (small) shuffles against corpus FINGERPRINTS,
+    // never corpus text; the within-batch window partitions by
+    // fingerprint. The streaming twin of this op is CuratedDedup's keyed
+    // state (a fingerprint survives its first batch only).
+    Q("i25_dedup_incremental",
+      (s, dir) => {
+        val fps = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val corpusFps = fps.filter(col("doc_id") < 400).select(col("fp")).distinct()
+        fps.filter(col("doc_id") >= 400)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .join(corpusFps, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+                 | batch AS (SELECT * FROM fps WHERE doc_id >= 400),
+                 | canon AS (
+                 |   SELECT doc_id, fp FROM (
+                 |     SELECT doc_id, fp,
+                 |       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                 |     FROM batch) WHERE rn = 1)
+                 | SELECT doc_id, fp FROM canon
+                 | WHERE fp NOT IN (SELECT fp FROM fps WHERE doc_id < 400)
+                 | ORDER BY doc_id"""))),
+
     // Deterministic train/val/test split — content-addressed sampling:
     // the bucket is a pure hash of doc_id (salted so it is independent of
     // every other hash in the engine), so the assignment is reproducible
@@ -414,6 +450,52 @@ object LlmOps {
       Some(sql("""SELECT term, count(*) AS freq
                  | FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
                  | GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20"""))),
+
+    // TF-IDF top terms per doc — the term-weighting step behind keyword
+    // extraction and per-doc topic tagging. idf is the LINEAR form N/df
+    // (a monotone transform of 1/df): score = tf·N/df is a single
+    // division of exact integers, so the rounded double is bit-identical
+    // cross-engine — ln()-based idf is NOT portable (libm vs JVM intrinsic
+    // may differ in the last ulp and flip a rounding boundary), and any
+    // monotone idf yields the same ranking. Ties (equal exact scores)
+    // break on term asc. Scale: the df table is vocabulary-sized — it
+    // joins on the term key after a partial-agg count; the corpus doc
+    // count rides in as a broadcast 1-row aggregate, NOT a driver-side
+    // collect; per-doc top-5 is a window over narrow (doc, term, tf)
+    // rows.
+    Q("i26_tfidf_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("score", round(col("tf") * col("n_docs") / col("df"), 4))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("term"))))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("rank").cast("long").as("rank"),
+            col("term"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(sql("""WITH tf AS (
+                 |   SELECT doc_id, term, count(*) AS tf
+                 |   FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+                 |   GROUP BY 1, 2),
+                 | df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 | n AS (SELECT count(*) AS n_docs FROM documents),
+                 | scored AS (
+                 |   SELECT doc_id, term, round(tf * n_docs * 1.0 / df, 4) AS score
+                 |   FROM tf JOIN df USING (term), n),
+                 | ranked AS (
+                 |   SELECT doc_id, term, score,
+                 |     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+                 |   FROM scored)
+                 | SELECT doc_id, rank, term, score FROM ranked
+                 | WHERE rank <= 5 ORDER BY doc_id, rank"""))),
 
     // Per-(lang, source) document facets: count, avg chars, avg tokens.
     Q("i5_text_facets",

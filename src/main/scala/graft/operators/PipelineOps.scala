@@ -119,6 +119,40 @@ object PipelineOps {
       |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
       |     FROM adot) WHERE rn = 1)"""
 
+  /** Oracle CTE block for the i20 batch-ANN pipeline, ending in
+    * `ivf(qid, rank, vec_id, sim)` — the SQL twin of [[annBatchTop3]],
+    * shared by the i20 oracle and the recall evaluation (i28) so the
+    * graded plan and its evaluation have one SQL source.
+    */
+  private val annBatchCte: String =
+    s"""$centroidAssignCte,
+      | q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 20),
+      | qdot AS (
+      |   SELECT qid, cid, round(sum(p), 6) AS qd
+      |   FROM (SELECT q.qid, c.cid,
+      |           unnest(q.qemb)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+      |         FROM q, cent c)
+      |   GROUP BY 1, 2),
+      | probes AS (
+      |   SELECT qid, cid FROM (
+      |     SELECT qid, cid,
+      |       row_number() OVER (PARTITION BY qid ORDER BY qd DESC, cid) AS rn
+      |     FROM qdot) WHERE rn <= 2),
+      | sims AS (
+      |   SELECT qid, vec_id, round(sum(p), 3) AS sim
+      |   FROM (SELECT pr.qid, e.vec_id,
+      |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+      |         FROM embeddings e
+      |           JOIN assigned a ON e.vec_id = a.vec_id
+      |           JOIN probes pr ON a.cid = pr.cid
+      |           JOIN q ON q.qid = pr.qid)
+      |   GROUP BY 1, 2),
+      | ivf AS (
+      |   SELECT qid, rank, vec_id, sim FROM (
+      |     SELECT qid, vec_id, sim,
+      |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      |     FROM sims) WHERE rank <= 3)"""
+
   private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("best", array_max(transform(col("cents"), c =>
@@ -127,6 +161,38 @@ object PipelineOps {
           (-c.getField("cid")).as("ncid")))))
       .select(col("vec_id"), col("embedding"),
         (-col("best").getField("ncid")).as("cid"))
+
+  /** The i20 batch-ANN pipeline (20 queries, nprobe=2 routing, per-query
+    * top-3): factored out so the recall evaluation (i28) scores the SAME
+    * plan the i20 registry entry ships — an eval that re-derived its own
+    * IVF path could silently drift from the one being graded. Output:
+    * (qid, rank, vec_id, sim), unordered.
+    */
+  private def annBatchTop3(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val assigned = assignToCentroids(emb, cent)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    // nprobe=2 routing, same shuffle-free shape as the assignment:
+    // sort the 8 inline scores, keep two — no per-qid window needed.
+    val probes = queries.crossJoin(broadcast(centroidArray(cent)))
+      .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
+        struct(
+          (-round(VectorFunctions.dot(col("qemb"), c.getField("cemb")), 6)).as("nqd"),
+          c.getField("cid").as("cid")))), 1, 2))
+      .select(col("qid"), col("qemb"), explode(col("pr")).as("p"))
+      .select(col("qid"), col("qemb"), col("p").getField("cid").as("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("sim"))
+  }
 
   // ------------------------------------------------------------ minhash
 
@@ -145,11 +211,16 @@ object PipelineOps {
     * internal sites i13/i19) or render the string shingle
     * (`concat_ws(" ", ...)` — i11, whose md5 values cross to the oracle).
     */
-  private def shingleZip(textCol: Column): Column = {
+  private def shingleZip(textCol: Column): Column = gramZip(textCol, 3)
+
+  /** The general k-gram form of [[shingleZip]]: struct fields `0`..`k-1`
+    * are the k consecutive tokens (all slices share length
+    * `max(n-k+1, 0)`, so arrays_zip never null-pads).
+    */
+  private[operators] def gramZip(textCol: Column, k: Int): Column = {
     val toks = split(textCol, " ")
-    val len = greatest(size(toks) - 2, lit(0))
-    arrays_zip(
-      slice(toks, lit(1), len), slice(toks, lit(2), len), slice(toks, lit(3), len))
+    val len = greatest(size(toks) - (k - 1), lit(0))
+    arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
   }
 
   private def distinctTok(docs: DataFrame): DataFrame =
@@ -506,6 +577,156 @@ object PipelineOps {
                  |       FROM documents)
                  | GROUP BY source ORDER BY source"""))),
 
+    // Repetition signals (the Gopher-rule family): fraction of the doc
+    // occupied by its most frequent token / bigram / trigram — the
+    // template-spam and boilerplate detector a quality pipeline runs
+    // next to j2's density heuristics (a doc whose top trigram covers
+    // 20% of it is machine-generated however good its stopword ratio
+    // looks). All three fractions are integer-count ratios (exact
+    // cross-engine divisions); grams are engine-internal xxhash64 longs
+    // (the i13 rule — max-of-counts is hash-invariant), so the gram
+    // shuffles carry 8-byte keys, never token strings. Scale: three
+    // (doc_id, gram) partial-agg shuffles + two narrow joins on doc_id;
+    // every aggregate partial-aggregates map-side because a doc's grams
+    // are contiguous in its row.
+    Q("j6_repetition",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def topCnt(k: Int, out: String): DataFrame = {
+          val g =
+            if (k == 1)
+              docs.select(col("doc_id"),
+                explode(split(col("text"), " ")).as("t"))
+                .select(col("doc_id"), xxhash64(col("t")).as("g"))
+            else
+              docs.select(col("doc_id"), explode(gramZip(col("text"), k)).as("z"))
+                .select(col("doc_id"),
+                  xxhash64((0 until k).map(i => col(s"z.$i")): _*).as("g"))
+          g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+            .groupBy(col("doc_id")).agg(max(col("c")).as(out))
+        }
+        docs.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .join(topCnt(1, "m1"), "doc_id")
+          .join(topCnt(2, "m2"), "doc_id")
+          .join(topCnt(3, "m3"), "doc_id")
+          .select(col("doc_id"), col("n_tok"),
+            round(col("m1") / col("n_tok"), 4).as("top_tok_frac"),
+            round(col("m2") / (col("n_tok") - 1), 4).as("top_bigram_frac"),
+            round(col("m3") / (col("n_tok") - 2), 4).as("top_trigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+                 | t1 AS (SELECT doc_id, max(c) AS m1 FROM (
+                 |   SELECT doc_id, g, count(*) AS c FROM
+                 |     (SELECT doc_id, unnest(tk) AS g FROM toks) GROUP BY 1,2) GROUP BY 1),
+                 | t2 AS (SELECT doc_id, max(c) AS m2 FROM (
+                 |   SELECT doc_id, g, count(*) AS c FROM
+                 |     (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 |        i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks) GROUP BY 1,2) GROUP BY 1),
+                 | t3 AS (SELECT doc_id, max(c) AS m3 FROM (
+                 |   SELECT doc_id, g, count(*) AS c FROM
+                 |     (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+                 |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM toks) GROUP BY 1,2) GROUP BY 1)
+                 | SELECT t.doc_id, len(t.tk)::BIGINT AS n_tok,
+                 |   round(m1 * 1.0 / len(t.tk), 4) AS top_tok_frac,
+                 |   round(m2 * 1.0 / (len(t.tk) - 1), 4) AS top_bigram_frac,
+                 |   round(m3 * 1.0 / (len(t.tk) - 2), 4) AS top_trigram_frac
+                 | FROM toks t JOIN t1 USING (doc_id) JOIN t2 USING (doc_id) JOIN t3 USING (doc_id)
+                 | ORDER BY t.doc_id"""))),
+
+    // PII scrub — the redaction pass a corpus runs before anything ships:
+    // emails, phone numbers and IPv4 addresses are counted and replaced
+    // with typed placeholders. The synthetic corpus contains no PII, so
+    // the fixture deterministically INJECTS one of each (derived from
+    // doc_id) before scrubbing — the operator is then provably
+    // non-vacuous: the oracle re-runs the same injection + the same
+    // regexes (simple classes chosen to behave identically under Java
+    // regex and RE2) and the redacted text md5 must match. One narrow
+    // codegen projection, no shuffle; at 100 TB this is a pure map pass.
+    Q("j7_pii_redact",
+      (s, dir) => {
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call +1-555-"),
+          lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"))
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phonePat = "\\+\\d[\\d-]{7,}\\d"
+        val ipPat = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+        val red = regexp_replace(
+          regexp_replace(
+            regexp_replace(pii, lit(emailPat), lit("<EMAIL>")),
+            lit(phonePat), lit("<PHONE>")),
+          lit(ipPat), lit("<IP>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(pii, lit(emailPat), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all(pii, lit(phonePat), lit(0))).cast("long").as("n_phone"),
+            size(regexp_extract_all(pii, lit(ipPat), lit(0))).cast("long").as("n_ip"),
+            length(red).cast("long").as("red_len"),
+            md5(red).as("red_fp"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH pii AS (
+                 |   SELECT doc_id,
+                 |     text || ' contact user' || doc_id || '@mail.example.com or call +1-555-' ||
+                 |     lpad(doc_id::VARCHAR, 4, '0') || ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) AS p
+                 |   FROM documents),
+                 | red AS (
+                 |   SELECT doc_id, p,
+                 |     regexp_replace(
+                 |       regexp_replace(
+                 |         regexp_replace(p, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 |         '\+\d[\d-]{7,}\d', '<PHONE>', 'g'),
+                 |       '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS r
+                 |   FROM pii)
+                 | SELECT doc_id,
+                 |   len(regexp_extract_all(p, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                 |   len(regexp_extract_all(p, '\+\d[\d-]{7,}\d'))::BIGINT AS n_phone,
+                 |   len(regexp_extract_all(p, '\b\d{1,3}(\.\d{1,3}){3}\b'))::BIGINT AS n_ip,
+                 |   len(r)::BIGINT AS red_len, md5(r) AS red_fp
+                 | FROM red ORDER BY doc_id"""))),
+
+    // n-gram novelty — per-doc fraction of 3-token shingles FIRST seen in
+    // that doc, scanning the corpus in doc_id order: the incremental-
+    // crawl signal ("how much of this doc is new text?") that drives
+    // dedup-aware sampling. A shingle's first_seen is its min doc_id —
+    // one partial-agg min per distinct shingle — and novelty is an
+    // integer-count ratio. Engine-internal xxhash64 shingles (counts are
+    // hash-invariant); the oracle joins raw shingle strings. Scale: two
+    // shuffles (distinct shingle min + per-doc count), both on 8-byte
+    // keys.
+    Q("j8_ngram_novelty",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), explode(shingleZip(col("text"))).as("z"))
+          .select(col("doc_id"),
+            xxhash64(col("z.0"), col("z.1"), col("z.2")).as("g"))
+          .distinct()
+        val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+          .select(col("doc_id"), col("n_sh"), col("n_new"),
+            round(col("n_new") / col("n_sh"), 4).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH sh AS (
+                 |   SELECT DISTINCT doc_id,
+                 |     unnest(list_transform(range(1, len(tk)-1),
+                 |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+                 |   FROM (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+                 |         WHERE len(string_split(text,' ')) >= 3)),
+                 | fs AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+                 | SELECT doc_id, count(*)::BIGINT AS n_sh,
+                 |   sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_new,
+                 |   round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS novelty
+                 | FROM sh JOIN fs USING (g)
+                 | GROUP BY doc_id ORDER BY doc_id"""))),
+
     // IVF-routed ANN: k=8 centroids (vec_id<8 as the deterministic
     // "trained" codebook), each vector assigned to its nearest centroid
     // (6dp-rounded dot, centroid-id tie-break), query probes its nprobe=2
@@ -556,59 +777,63 @@ object PipelineOps {
     // per-query top-k window over narrow (qid, vec_id, sim) triples —
     // |corpus|·nprobe/k candidate rows per query, never all-pairs.
     Q("i20_ann_batch",
+      (s, dir) => annBatchTop3(s, dir)
+        .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+        .orderBy("qid", "rank"),
+      Some(sql(s"""WITH $annBatchCte
+                 | SELECT qid, rank, vec_id, sim FROM ivf
+                 | ORDER BY qid, rank"""))),
+
+    // ANN quality evaluation — recall@3 of the IVF-routed batch path
+    // (i20, the SAME factored plan) against exact brute force, per
+    // query: the measurement a pipeline runs before trusting an index
+    // (IVF trades recall for touch-fraction; the trade must be MEASURED,
+    // not assumed). Exact ground truth is brute-force over the query
+    // batch only — at 100 TB recall is always evaluated on a query
+    // SAMPLE, so the exact side is |sample|·|corpus| narrow dot products
+    // with the query batch broadcast, never an all-pairs corpus join,
+    // and never a second corpus pass beyond the one scoring sweep.
+    // recall = n_hit/3.0 is a small-integer division — exact
+    // cross-engine.
+    Q("i28_ann_recall",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cent = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-        val assigned = assignToCentroids(emb, cent)
         val queries = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-        // nprobe=2 routing, same shuffle-free shape as the assignment:
-        // sort the 8 inline scores, keep two — no per-qid window needed.
-        val probes = queries.crossJoin(broadcast(centroidArray(cent)))
-          .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
-            struct(
-              (-round(VectorFunctions.dot(col("qemb"), c.getField("cemb")), 6)).as("nqd"),
-              c.getField("cid").as("cid")))), 1, 2))
-          .select(col("qid"), col("qemb"), explode(col("pr")).as("p"))
-          .select(col("qid"), col("qemb"), col("p").getField("cid").as("cid"))
-        assigned.join(broadcast(probes), Seq("cid"))
+        val exact = emb.crossJoin(broadcast(queries))
           .select(col("qid"), col("vec_id"),
             round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
-          .withColumn("rank", row_number().over(
+          .withColumn("rn", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
-          .filter(col("rank") <= 3)
-          .select(col("qid"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("sim"))
-          .orderBy("qid", "rank")
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val hits = annBatchTop3(s, dir).join(exact, Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        queries.select(col("qid")).join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)) / 3.0, 4).as("recall"))
+          .orderBy("qid")
       },
-      Some(sql(s"""WITH $centroidAssignCte,
-                 | q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 20),
-                 | qdot AS (
-                 |   SELECT qid, cid, round(sum(p), 6) AS qd
-                 |   FROM (SELECT q.qid, c.cid,
-                 |           unnest(q.qemb)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
-                 |         FROM q, cent c)
-                 |   GROUP BY 1, 2),
-                 | probes AS (
-                 |   SELECT qid, cid FROM (
-                 |     SELECT qid, cid,
-                 |       row_number() OVER (PARTITION BY qid ORDER BY qd DESC, cid) AS rn
-                 |     FROM qdot) WHERE rn <= 2),
-                 | sims AS (
+      Some(sql(s"""WITH $annBatchCte,
+                 | exsims AS (
                  |   SELECT qid, vec_id, round(sum(p), 3) AS sim
-                 |   FROM (SELECT pr.qid, e.vec_id,
+                 |   FROM (SELECT q.qid, e.vec_id,
                  |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
-                 |         FROM embeddings e
-                 |           JOIN assigned a ON e.vec_id = a.vec_id
-                 |           JOIN probes pr ON a.cid = pr.cid
-                 |           JOIN q ON q.qid = pr.qid)
-                 |   GROUP BY 1, 2)
-                 | SELECT qid, rank, vec_id, sim FROM (
-                 |   SELECT qid, vec_id, sim,
-                 |     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-                 |   FROM sims) WHERE rank <= 3
-                 | ORDER BY qid, rank"""))),
+                 |         FROM embeddings e, q)
+                 |   GROUP BY 1, 2),
+                 | exact AS (
+                 |   SELECT qid, vec_id FROM (
+                 |     SELECT qid, vec_id,
+                 |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                 |     FROM exsims) WHERE rn <= 3),
+                 | hits AS (
+                 |   SELECT i.qid, count(*) AS n_hit
+                 |   FROM ivf i JOIN exact x ON i.qid = x.qid AND i.vec_id = x.vec_id
+                 |   GROUP BY 1)
+                 | SELECT q.qid, coalesce(n_hit, 0)::BIGINT AS n_hit,
+                 |   round(coalesce(n_hit, 0) / 3.0, 4) AS recall
+                 | FROM q LEFT JOIN hits ON q.qid = hits.qid
+                 | ORDER BY q.qid"""))),
 
     // Shingle MinHash (the shingle→minhash→band pipeline's sketch step):
     // 3-token shingles capture local word ORDER (unigram sets — i7 —
@@ -1013,6 +1238,63 @@ object PipelineOps {
                  | SELECT cid, pos, count(*)::BIGINT AS n_members,
                  |   round(sum(vq)::DOUBLE / count(*) / 1e6, 6) AS cmean
                  | FROM px GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // Symmetric int8 quantization of the embedding column — the 4×
+    // storage/bandwidth step an ANN index runs before sharding (float32
+    // corpus → int8 codes + one scale per vector): q_i =
+    // round(v_i/amax·127), dequantized error tracked exactly. All float
+    // arithmetic is pinned to one operand order and the outputs are
+    // INTEGER-EXACT: an order-sensitive weighted checksum Σ q_i·(i+1)
+    // proves the whole code vector matches without emitting an array
+    // (§7 H4), and the reconstruction error ships as the micro-quantized
+    // long Σ round(err²·1e12) (the i23 rule — order-free exact sums).
+    // Scale: amax is a narrow per-row fold (no shuffle); the per-vector
+    // aggregate partial-aggregates map-side because a vector's elements
+    // never leave their row — the one shuffle carries 5 longs per
+    // vector.
+    Q("i27_embed_quantize",
+      (s, dir) => {
+        val el = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+              .as("amax"))
+          .select(col("vec_id"), col("amax"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("amax"), col("pos"),
+            col("col").cast("double").as("v"))
+          .withColumn("q", when(col("amax") === 0d, lit(0L))
+            .otherwise(round(col("v") / col("amax") * 127).cast("long")))
+        val err = col("v") - col("q") * col("amax") / 127.0
+        el.groupBy(col("vec_id"))
+          .agg(
+            count(lit(1)).as("n_dims"),
+            sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"),
+            sum(col("q") * (col("pos") + 1)).as("qchk"),
+            sum(round(err * err * 1e12).cast("long")).as("e2sum"),
+            round(max(col("amax")), 6).as("amax6"))
+          .orderBy("vec_id")
+      },
+      Some(sql("""WITH am AS (
+                 |   SELECT vec_id, embedding,
+                 |     list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                 |   FROM embeddings),
+                 | px AS (
+                 |   SELECT vec_id, amax,
+                 |     unnest(range(0, len(embedding))) AS pos,
+                 |     unnest(list_transform(range(0, len(embedding)),
+                 |       i -> embedding[i + 1]::DOUBLE)) AS v
+                 |   FROM am),
+                 | qx AS (
+                 |   SELECT vec_id, amax, pos, v,
+                 |     CASE WHEN amax = 0 THEN 0
+                 |          ELSE round(v / amax * 127)::BIGINT END AS q
+                 |   FROM px)
+                 | SELECT vec_id,
+                 |   count(*)::BIGINT AS n_dims,
+                 |   sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END)::BIGINT AS n_sat,
+                 |   sum(q * (pos + 1))::BIGINT AS qchk,
+                 |   sum(round((v - q * amax / 127.0) * (v - q * amax / 127.0) * 1e12)::BIGINT)::BIGINT AS e2sum,
+                 |   round(max(amax), 6) AS amax6
+                 | FROM qx GROUP BY vec_id ORDER BY vec_id"""))),
 
     // Embedding-cosine near-dup — the vector-space member of the dedup
     // family (token-based: i2/i9/i13/i14): candidate pairs come from the
