@@ -108,6 +108,24 @@ object Tables {
       .option("escape", "\"")
       .csv(path)
 
+  /** Events from ORC — the fourth leg of the source matrix (parquet /
+    * JSONL / CSV / ORC): the other splittable columnar format log
+    * warehouses deliver, read with the same explicit schema. ORC stores
+    * timestamps at ns precision natively, so unlike the text paths no
+    * format pinning is needed — the round-trip is lossless at µs by
+    * construction (asserted in SourceSpec). Predicate pushdown and
+    * column pruning work exactly as on parquet (ORC carries row-group
+    * min/max); the scan is splittable per stripe.
+    */
+  def readEventsOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema).orc(path)
+
+  /** ORC dump of an events DataFrame (SourceSpec asserts the lossless
+    * round-trip).
+    */
+  def writeEventsOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-layout partitioned parquet write — the delivery format for a
     * curated corpus: readers filtering on a partition column (`split`,
     * `lang`, …) prune whole directories at PLANNING time, so a

@@ -43,6 +43,38 @@ object PipelineOps {
     * provably run the SAME expression — the filter is stateless, which is
     * what makes it streamable unchanged.
     */
+  /** The j7 PII scrub over a (doc_id, text) frame: deterministic
+    * injection (the fixture is PII-free; one email/phone/IPv4 derived
+    * from doc_id makes the op provably non-vacuous) + pattern counts +
+    * chained typed-placeholder redaction. One shared definition for the
+    * batch registry query and the streaming twin — the projection is
+    * STATELESS, so it maps over micro-batches unchanged (the i21 rule).
+    * Patterns are simple classes chosen to behave identically under
+    * Java regex (Spark) and RE2 (the DuckDB oracle).
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call +1-555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") % 100).cast("string"))
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+\\d[\\d-]{7,}\\d"
+    val ipPat = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(pii, lit(emailPat), lit("<EMAIL>")),
+        lit(phonePat), lit("<PHONE>")),
+      lit(ipPat), lit("<IP>"))
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(pii, lit(emailPat), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(pii, lit(phonePat), lit(0))).cast("long").as("n_phone"),
+      size(regexp_extract_all(pii, lit(ipPat), lit(0))).cast("long").as("n_ip"),
+      length(red).cast("long").as("red_len"),
+      md5(red).as("red_fp"))
+  }
+
   def mixtureSample(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("source"),
         LlmOps.saltedBucket("sample:").as("bucket"),
@@ -217,7 +249,7 @@ object PipelineOps {
     * are the k consecutive tokens (all slices share length
     * `max(n-k+1, 0)`, so arrays_zip never null-pads).
     */
-  private[operators] def gramZip(textCol: Column, k: Int): Column = {
+  private[graft] def gramZip(textCol: Column, k: Int): Column = {
     val toks = split(textCol, " ")
     val len = greatest(size(toks) - (k - 1), lit(0))
     arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
@@ -645,30 +677,7 @@ object PipelineOps {
     // regex and RE2) and the redacted text md5 must match. One narrow
     // codegen projection, no shuffle; at 100 TB this is a pure map pass.
     Q("j7_pii_redact",
-      (s, dir) => {
-        val pii = concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@mail.example.com or call +1-555-"),
-          lpad(col("doc_id").cast("string"), 4, "0"),
-          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-          lit("."), (col("doc_id") % 100).cast("string"))
-        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phonePat = "\\+\\d[\\d-]{7,}\\d"
-        val ipPat = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-        val red = regexp_replace(
-          regexp_replace(
-            regexp_replace(pii, lit(emailPat), lit("<EMAIL>")),
-            lit(phonePat), lit("<PHONE>")),
-          lit(ipPat), lit("<IP>"))
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            size(regexp_extract_all(pii, lit(emailPat), lit(0))).cast("long").as("n_email"),
-            size(regexp_extract_all(pii, lit(phonePat), lit(0))).cast("long").as("n_phone"),
-            size(regexp_extract_all(pii, lit(ipPat), lit(0))).cast("long").as("n_ip"),
-            length(red).cast("long").as("red_len"),
-            md5(red).as("red_fp"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => piiRedact(t(s, dir, "documents")).orderBy("doc_id"),
       Some(sql("""WITH pii AS (
                  |   SELECT doc_id,
                  |     text || ' contact user' || doc_id || '@mail.example.com or call +1-555-' ||

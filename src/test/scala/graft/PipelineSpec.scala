@@ -272,6 +272,73 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i25 incremental dedup == the global i1 canonicals restricted to the batch") {
+    // A batch doc survives incremental dedup iff it is the GLOBAL
+    // canonical of its fingerprint: fp absent from the corpus side means
+    // the global min doc_id lives in the batch, and the batch keeps its
+    // min. So i25's survivors are exactly i1's canonical list ≥ 400 —
+    // the incremental path and the full-corpus path agree on the split.
+    val inc = Registry.byId("i25_dedup_incremental").build(spark, dir)
+      .select("doc_id", "fp")
+    val full = Registry.byId("i1_dedup_exact").build(spark, dir)
+      .filter(col("doc_id") >= 400).select("doc_id", "fp")
+    assertSameRows(inc, full)
+  }
+
+  test("i27 quantization error is bounded by the grid and the max element saturates") {
+    val got = Registry.byId("i27_embed_quantize").build(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val nDims = r.getAs[Long]("n_dims")
+      val nSat = r.getAs[Long]("n_sat")
+      val e2 = r.getAs[Long]("e2sum")
+      val amax = r.getAs[Double]("amax6")
+      // Per-element rounding error ≤ amax/254, so the micro-quantized
+      // error sum is ≤ n_dims·(amax/254)²·1e12 (+1 per-element round-up).
+      val bound = nDims * (amax / 254.0) * (amax / 254.0) * 1e12 + nDims
+      assert(e2 <= bound, s"vec ${r.get(0)}: e2sum $e2 exceeds grid bound $bound")
+      // The element achieving |v| = amax quantizes to ±127 exactly.
+      assert(amax == 0.0 || nSat >= 1, s"vec ${r.get(0)}: max element must saturate")
+    }
+  }
+
+  test("i28 recall is well-formed and every query finds itself") {
+    val got = Registry.byId("i28_ann_recall").build(spark, dir).collect()
+    assert(got.length == 20, "one recall row per query")
+    got.foreach { r =>
+      val nHit = r.getAs[Long]("n_hit")
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      // The query vector is in the corpus, its own cluster is always
+      // probed (the probe argmax IS the assignment argmax), and sim 1.0
+      // ranks first — so at least one of the 3 slots is always a hit.
+      assert(nHit >= 1 && nHit <= 3, s"qid ${r.get(0)}: n_hit $nHit out of range")
+    }
+  }
+
+  test("j8 novelty: the first doc is fully novel and every shingle is new exactly once") {
+    val got = Registry.byId("j8_ngram_novelty").build(spark, dir)
+    val first = got.orderBy("doc_id").limit(1).collect()(0)
+    assert(first.getAs[Double]("novelty") == 1.0,
+      "the lowest doc_id can only contain first-seen shingles")
+    // Σ n_new over docs == number of distinct shingles in the corpus:
+    // each distinct shingle is "new" in exactly one doc (its first).
+    val totalNew = got.agg(sum("n_new")).collect()(0).getLong(0)
+    val distinctShingles = Tables.load(spark, dir, "documents")
+      .select(explode(PipelineOps.gramZip(col("text"), 3)).as("z"))
+      .select(xxhash64(col("z.0"), col("z.1"), col("z.2")).as("g"))
+      .distinct().count()
+    assert(totalNew == distinctShingles,
+      s"sum(n_new)=$totalNew must equal distinct shingle count $distinctShingles")
+  }
+
+  test("j7 redaction provably fires: every doc counts one of each PII class") {
+    val got = Registry.byId("j7_pii_redact").build(spark, dir)
+    assert(got.filter(col("n_email") < 1 || col("n_phone") < 1 || col("n_ip") < 1)
+      .count() == 0,
+      "the deterministic injection must be found by all three patterns")
+  }
+
   test("i21 sample is reproducible and respects every per-source rate bound") {
     val got = Registry.byId("i21_sample_stratified").build(spark, dir)
     // Deterministic: a second independent build is row-identical.

@@ -249,6 +249,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("j7: PII scrub is a pure map pass — no hash shuffle at all") {
+    val p = plan(Registry.byId("j7_pii_redact").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"redaction must not shuffle (project + output sort only):\n$p")
+  }
+
+  test("i27: quantization shuffles only per-vector partial sums") {
+    val p = plan(Registry.byId("i27_embed_quantize").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"quantize must shuffle once (the vec_id partial agg), got $hashShuffles:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"quantize joins nothing — no sort-merge anywhere:\n$p")
+  }
+
+  test("i26: the corpus doc count broadcasts; no cartesian product") {
+    val p = plan(Registry.byId("i26_tfidf_topk").build(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row count must join as a broadcast, got:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product in the tf-idf plan:\n$p")
+  }
+
   test("g6: props JSON parses once per row (one from_json, no re-extract)") {
     val df = Registry.byId("g6_json_funcs").build(spark, dir)
     val o = df.queryExecution.optimizedPlan.toString

@@ -34,6 +34,27 @@ class SourceSpec extends SparkTestBase {
       "fixture must actually exercise embedded quotes")
   }
 
+  test("events round-trip losslessly through ORC with an explicit schema") {
+    val out = "/tmp/graft-test-events-orc"
+    val orig = Tables.load(spark, dir, "events")
+    Tables.writeEventsOrc(orig, out)
+    val back = Tables.readEventsOrc(spark, out)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    assertSameRows(back, orig)
+  }
+
+  test("ORC scans push filters and prune columns like parquet") {
+    val out = "/tmp/graft-test-events-orc"
+    Tables.writeEventsOrc(Tables.load(spark, dir, "events"), out)
+    val plan = Tables.readEventsOrc(spark, out)
+      .filter(col("event_id") > 100).select("event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]"),
+      s"ORC scan must push the predicate:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,event_type:string>"),
+      s"ORC scan must prune to the 2 projected columns:\n$plan")
+  }
+
   test("malformed CSV rows become null-field rows, not failures") {
     val out = Files.createTempDirectory("graft-test-events-csv-broken")
     val good = (1 to 5).map(i =>

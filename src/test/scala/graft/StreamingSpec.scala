@@ -290,6 +290,19 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(sampled, want)
   }
 
+  test("streaming PII scrub == batch j7 (stateless, arrival-order free)") {
+    // Redaction is a pure per-row projection: the SAME expression maps
+    // over each micro-batch with no state store, and a shuffled feed
+    // reproduces the batch scrub exactly.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(23).shuffle(docs)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.piiRedact(ds.toDF("doc_id", "text")))
+    val want = Registry.byId("j7_pii_redact").build(spark, dir)
+    assertSameRows(got, want)
+  }
+
   test("graceful shutdown: stop() drains without error") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
