@@ -40,8 +40,69 @@ object Scratch {
       slice(toks, lit(2), greatest(n - 2, lit(0))),
       slice(toks, lit(3), greatest(n - 2, lit(0))))
 
+    val sets = graft.operators.LlmOps.hashedTokenSets(docs).localCheckpoint(true)
     for (round <- 1 to 2) {
       println(s"--- round $round")
+      time("sigfast from corpus") {
+        val aggs = (0 until 8).map(j =>
+          min(xxhash64(lit(j), col("tok"))).as(s"mh$j"))
+        drain(docs.select(col("doc_id"), col("source"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(aggs.head, aggs.tail: _*))
+      }
+      time("sig from checkpointed sets") {
+        val aggs = (0 until 8).map(j =>
+          min(xxhash64(lit(j), col("rk"))).as(s"mh$j"))
+        drain(sets.select(col("doc_id"), col("source"), explode(col("rks")).as("rk"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(aggs.head, aggs.tail: _*))
+      }
+      time("sig narrow HOF over rks") {
+        val cols = (0 until 8).map(j =>
+          array_min(transform(col("rks"), r => xxhash64(lit(j), r))).as(s"mh$j"))
+        drain(sets.select(col("doc_id") +: col("source") +: cols: _*))
+      }
+      def i14With(sig: org.apache.spark.sql.DataFrame,
+          s2: org.apache.spark.sql.DataFrame): Unit = {
+        val bandCols = (0 until 8).map(j =>
+          struct(lit(j).as("b"), col(s"mh$j").as("v")))
+        val bands = sig
+          .select(col("doc_id"), col("source"), explode(array(bandCols: _*)).as("band"))
+          .select(col("doc_id"), col("source"),
+            col("band.b").as("b"), col("band.v").as("v"))
+        val cand = bands.alias("l")
+          .join(bands.alias("r"),
+            col("l.b") === col("r.b") && col("l.v") === col("r.v") &&
+              col("l.source") === col("r.source") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"))
+          .distinct()
+        drain(graft.operators.LlmOps.verifyJaccard(cand, s2))
+      }
+      time("i14 full: sig from sets") {
+        val aggs = (0 until 8).map(j =>
+          min(xxhash64(lit(j), col("rk"))).as(s"mh$j"))
+        val sig = sets.select(col("doc_id"), col("source"), explode(col("rks")).as("rk"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(aggs.head, aggs.tail: _*)
+        i14With(sig, sets)
+      }
+      time("i14 full: sigfast from corpus") {
+        val aggs = (0 until 8).map(j =>
+          min(xxhash64(lit(j), col("tok"))).as(s"mh$j"))
+        val sig = docs.select(col("doc_id"), col("source"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(aggs.head, aggs.tail: _*)
+        i14With(sig, sets)
+      }
+      time("i14 full: sig narrow HOF") {
+        val cols = (0 until 8).map(j =>
+          array_min(transform(col("rks"), r => xxhash64(lit(j), r))).as(s"mh$j"))
+        val sig = sets.select(col("doc_id") +: col("source") +: cols: _*)
+        i14With(sig, sets)
+      }
       time("hof explode only") {
         drain(docs.select(col("doc_id"), explode(shinglesHof).as("sstr")))
       }

@@ -279,22 +279,12 @@ object PipelineOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** xxhash64 twin of [[minhashSig]] for consumers whose OUTPUT never
-    * exposes signature values (i14: bands are internal candidate keys;
-    * the oracle is the exact unfiltered SQL). Eight independent hash
-    * functions via seed-prefix columns — pure codegen'd long ops, no hex
-    * strings. Same sketch property (min over a uniform per-token hash →
-    * P[mh_j agrees] = J), so the band-recall bound (miss ≤ (1−J)^8) is
-    * unchanged; i7/i8/MinHashAgg keep the md5 scheme because their
-    * oracles reproduce the signature VALUES in DuckDB.
-    */
-  def minhashSigFast(docs: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(j =>
-      min(xxhash64(lit(j), col("tok"))).as(s"mh$j"))
-    distinctTok(docs)
-      .groupBy(col("doc_id"), col("source"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+  // (The former minhashSigFast — xxhash64 signatures straight off the
+  // token stream — is superseded by i14's sketch-derived signatures:
+  // min of xxhash64(j, rk) over the checkpointed token-hash sets, which
+  // keeps the same uniform-hash minhash property without a second
+  // tokenize pass. i7/i8/MinHashAgg keep the md5 scheme because their
+  // oracles reproduce the signature VALUES in DuckDB.)
 
   private val duckSigCte =
     """dtok AS (SELECT doc_id, source, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
@@ -964,21 +954,38 @@ object PipelineOps {
     // oracled against the same UNFILTERED exact SQL as i2. Banding is
     // 8 bands × 1 row (candidate iff ANY of the 8 minhash components
     // agrees): for a true J ≥ 0.9 pair the miss probability is
-    // (1-J)^8 ≤ 1e-8, and the xxhash64 signatures (minhashSigFast —
-    // engine-internal, never reproduced by an oracle) are deterministic, so
-    // on the test corpus the output is EXACTLY i2's (asserted in
-    // PipelineSpec at two scale factors). At scale the band value is the
-    // shuffle key — candidates per bucket are bounded by bucket size,
-    // never corpus size, and the signature build is one linear pass.
+    // (1-J)^8 ≤ 1e-8, and the signatures (engine-internal, never
+    // reproduced by an oracle) are deterministic, so on the test corpus
+    // the output is EXACTLY i2's (asserted in PipelineSpec at two scale
+    // factors). At scale the band value is the shuffle key — candidates
+    // per bucket are bounded by bucket size, never corpus size. The
+    // signatures derive FROM the checkpointed set sketch (mh_j = min of
+    // the seeded rehash xxhash64(j, rk) over the stored token hashes) —
+    // hashing a uniform hash preserves the minhash independence
+    // argument, and the corpus is tokenized exactly ONCE for the whole
+    // pipeline instead of once for the sketch and again for the
+    // signature pass.
     Q("i14_lsh_dedup_e2e",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // Verify consumes the set sketch twice (both join sides) —
-        // materialized once, as in LlmOps.nearDupPairs.
+        // Verify consumes the set sketch twice (both join sides) and the
+        // signature build once more — materialized once, as in
+        // LlmOps.nearDupPairs.
         val sets = LlmOps.hashedTokenSets(docs).localCheckpoint(true)
+        // Narrow per-row fold, NOT explode+groupBy: the token-hash array
+        // is already materialized in the row, so 8 array_min(transform)
+        // folds over ~|set| elements beat re-exploding the corpus
+        // through another hash Exchange (measured fastest of three
+        // forms at sf0.1; the repo's "HOF lambdas are interpreted" rule
+        // applies to per-token corpus STREAMS, not to short in-row
+        // arrays competing against a shuffle — the assignToCentroids
+        // trade, not the i11 one).
+        val sigCols = (0 until NumHashes).map(j =>
+          array_min(transform(col("rks"), r => xxhash64(lit(j), r))).as(s"mh$j"))
+        val sig = sets.select(col("doc_id") +: col("source") +: sigCols: _*)
         val bandCols = (0 until NumHashes).map(j =>
           struct(lit(j).as("b"), col(s"mh$j").as("v")))
-        val bands = minhashSigFast(docs)
+        val bands = sig
           .select(col("doc_id"), col("source"),
             explode(array(bandCols: _*)).as("band"))
           .select(col("doc_id"), col("source"),

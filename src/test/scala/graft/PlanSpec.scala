@@ -116,12 +116,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"i2 must not plan a window:\n$p")
   }
 
-  test("i14: band join stays an equi-join; sketch aggs have a partial phase") {
+  test("i14: band join stays an equi-join; the corpus is tokenized exactly once") {
     val p = plan(Registry.byId("i14_lsh_dedup_e2e").build(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band candidates must come from an equi-join on the band key:\n$p")
-    assert(p.contains("partial_min") || p.contains("partial"),
-      s"signature mins must partial-aggregate map-side:\n$p")
+    // Signatures, candidates AND verify all read the materialized
+    // token-hash sketch (the checkpoint scan): the documents parquet
+    // appears NOWHERE in this plan — the corpus is tokenized once when
+    // the sketch builds, not once per consumer.
+    assert(p.contains("Scan ExistingRDD"),
+      s"the sketch must be a materialized scan:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"no consumer may re-tokenize the corpus:\n$p")
   }
 
   test("i17: lang filter reaches the scan; exactly one hash shuffle (the dedup window)") {
