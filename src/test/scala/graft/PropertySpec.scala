@@ -52,6 +52,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("zip-shingle build matches the naive sliding-window model on arbitrary texts") {
+    // The codegen'd arrays_zip(slice,slice,slice) shingle build (the
+    // interpreted-HOF replacement) must agree with a pure Scala sliding
+    // window for every token count 0..n, including texts shorter than
+    // the shingle width and repeated tokens.
+    val word = Gen.oneOf("a", "bb", "ccc", "d", "a")
+    val text = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = sample(text, 300, 4242L).distinct
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), col("text"),
+        transform(graft.operators.PipelineOps.gramZip(col("text"), 3),
+          z => concat_ws(" ", z.getField("0"), z.getField("1"), z.getField("2")))
+          .as("shingles"))
+      .as[(Long, String, Seq[String])].collect()
+    got.foreach { case (_, t, shingles) =>
+      val toks = t.split(" ", -1).toSeq
+      val want =
+        if (toks.length < 3) Seq.empty else toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(shingles == want, s"text '$t': got $shingles want $want")
+    }
+  }
+
   test("near-dup verify: Jaccard is symmetric, bounded, and matches a set model") {
     // Random same-source docs over a tiny vocabulary (forces overlaps).
     val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")

@@ -290,6 +290,30 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(sampled, want)
   }
 
+  test("streaming incremental dedup == batch i25 (stream-static anti-join + keyed state)") {
+    // The i25 ingest shape run INCREMENTALLY: the new batch arrives as a
+    // stream, the existing corpus's fingerprint set is a STATIC side
+    // (stream-static join — the corpus doesn't move during an ingest),
+    // and within-stream dedup is the CuratedDedup min-doc_id fold so a
+    // shuffled arrival order still picks the batch-canonical doc.
+    val docs = Tables.load(spark, dir, "documents")
+    val corpusFps = docs.filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("fp")).distinct()
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(31).shuffle(batch)
+    val updates = Replay.run(spark, feed, 5, OutputMode.Update())(ds =>
+      CuratedDedup(
+        ds.toDF("doc_id", "text")
+          .select(md5(col("text")).as("fp"), col("doc_id"), lit(0.0).as("quality"))
+          .join(corpusFps, Seq("fp"), "left_anti")
+          .as[CuratedDoc]).toDF())
+    val got = updates.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+    val want = Registry.byId("i25_dedup_incremental").build(spark, dir)
+    assertSameRows(got, want)
+  }
+
   test("streaming PII scrub == batch j7 (stateless, arrival-order free)") {
     // Redaction is a pure per-row projection: the SAME expression maps
     // over each micro-batch with no state store, and a shuffled feed
