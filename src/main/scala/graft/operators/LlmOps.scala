@@ -210,6 +210,28 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** The i25 incremental-dedup logic over any (doc_id, text) frame: docs
+    * at or past `boundary` form the incoming batch; a batch doc survives
+    * iff its md5 fingerprint appears neither in the existing corpus
+    * (below the boundary) nor earlier in its own batch (min-doc_id
+    * canonical, the i1 rule). Factored out of the registry query so the
+    * drop behavior is testable on crafted duplicates — the driver
+    * fixture has no exact duplicates across its 400-boundary, which
+    * would leave a fixture-only test vacuous. Output: (doc_id, fp),
+    * unordered.
+    */
+  def incrementalDedup(docs: DataFrame, boundary: Long): DataFrame = {
+    val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val corpusFps = fps.filter(col("doc_id") < boundary)
+      .select(col("fp")).distinct()
+    fps.filter(col("doc_id") >= boundary)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** Salted-md5 bucket in [0,100) over doc_id. One definition for every
     * content-addressed assignment (split bands, mixture sampling):
     * distinct salts give independent buckets, and the md5 arithmetic is a
@@ -366,18 +388,7 @@ object LlmOps {
     // fingerprint. The streaming twin of this op is CuratedDedup's keyed
     // state (a fingerprint survives its first batch only).
     Q("i25_dedup_incremental",
-      (s, dir) => {
-        val fps = t(s, dir, "documents")
-          .select(col("doc_id"), md5(col("text")).as("fp"))
-        val corpusFps = fps.filter(col("doc_id") < 400).select(col("fp")).distinct()
-        fps.filter(col("doc_id") >= 400)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-          .filter(col("rn") === 1)
-          .join(corpusFps, Seq("fp"), "left_anti")
-          .select(col("doc_id"), col("fp"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => incrementalDedup(t(s, dir, "documents"), 400).orderBy("doc_id"),
       Some(sql("""WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
                  | batch AS (SELECT * FROM fps WHERE doc_id >= 400),
                  | canon AS (

@@ -614,7 +614,7 @@ object PipelineOps {
     Q("j6_repetition",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        def topCnt(k: Int, out: String): DataFrame = {
+        def gramCnt(k: Int): DataFrame = {
           val g =
             if (k == 1)
               docs.select(col("doc_id"),
@@ -625,13 +625,15 @@ object PipelineOps {
                 .select(col("doc_id"),
                   xxhash64((0 until k).map(i => col(s"z.$i")): _*).as("g"))
           g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-            .groupBy(col("doc_id")).agg(max(col("c")).as(out))
         }
-        docs.select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .join(topCnt(1, "m1"), "doc_id")
-          .join(topCnt(2, "m2"), "doc_id")
-          .join(topCnt(3, "m3"), "doc_id")
+        // n_tok = Σ unigram counts — the unigram aggregate already holds
+        // it, so the table is scanned exactly three times (once per gram
+        // width), never a fourth for the length projection.
+        val uni = gramCnt(1).groupBy(col("doc_id"))
+          .agg(max(col("c")).as("m1"), sum(col("c")).as("n_tok"))
+        val bi = gramCnt(2).groupBy(col("doc_id")).agg(max(col("c")).as("m2"))
+        val tri = gramCnt(3).groupBy(col("doc_id")).agg(max(col("c")).as("m3"))
+        uni.join(bi, "doc_id").join(tri, "doc_id")
           .select(col("doc_id"), col("n_tok"),
             round(col("m1") / col("n_tok"), 4).as("top_tok_frac"),
             round(col("m2") / (col("n_tok") - 1), 4).as("top_bigram_frac"),
@@ -904,8 +906,8 @@ object PipelineOps {
         // The oracle keeps the unfiltered form (the filter is lossless).
         // Materialized once (same decision as LlmOps.nearDupPairs): the
         // shingle-set sketch feeds the prefix explode AND both verify
-        // sides — uncheckpointed, each re-runs the interpreted shingle
-        // transform + md5 + shuffle from the corpus scan.
+        // sides — uncheckpointed, each consumer re-runs the shingle
+        // explode + hash + collect_set shuffle from the corpus scan.
         val docSets = sh
           .groupBy(col("doc_id"), col("source"))
           .agg(sort_array(collect_set(col("s"))).as("rks"))

@@ -272,6 +272,24 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i25 drops cross-corpus and within-batch duplicates on crafted input") {
+    // The driver fixture has no exact duplicates across the 400-boundary
+    // (verified in DuckDB), so the equivalence test below cannot see the
+    // drop paths fire. Crafted input exercises both: a batch doc whose
+    // text exists in the corpus (400), a within-batch duplicate pair
+    // (401/402 — min doc_id wins regardless of partitioning), and a
+    // clean doc (403).
+    val docs = Seq(
+      (0L, "old text one"), (1L, "old text two"),
+      (400L, "old text one"), // cross-corpus dup → dropped
+      (402L, "fresh dup"), (401L, "fresh dup"), // in-batch dup → 401 kept
+      (403L, "unique text")
+    ).toDF("doc_id", "text").repartition(5)
+    val got = graft.operators.LlmOps.incrementalDedup(docs, 400L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(401L, 403L), s"got $got")
+  }
+
   test("i25 incremental dedup == the global i1 canonicals restricted to the batch") {
     // A batch doc survives incremental dedup iff it is the GLOBAL
     // canonical of its fingerprint: fp absent from the corpus side means
@@ -295,7 +313,11 @@ class PipelineSpec extends SparkTestBase {
       val amax = r.getAs[Double]("amax6")
       // Per-element rounding error ≤ amax/254, so the micro-quantized
       // error sum is ≤ n_dims·(amax/254)²·1e12 (+1 per-element round-up).
-      val bound = nDims * (amax / 254.0) * (amax / 254.0) * 1e12 + nDims
+      // amax6 is the 6dp-ROUNDED max (may sit up to 5e-7 below the true
+      // amax the error was computed against) — widen it back before
+      // bounding so the assertion can never be spuriously tight.
+      val amaxUb = amax + 5e-7
+      val bound = nDims * (amaxUb / 254.0) * (amaxUb / 254.0) * 1e12 + nDims
       assert(e2 <= bound, s"vec ${r.get(0)}: e2sum $e2 exceeds grid bound $bound")
       // The element achieving |v| = amax quantizes to ±127 exactly.
       assert(amax == 0.0 || nSat >= 1, s"vec ${r.get(0)}: max element must saturate")

@@ -35,7 +35,7 @@ class SourceSpec extends SparkTestBase {
   }
 
   test("events round-trip losslessly through ORC with an explicit schema") {
-    val out = "/tmp/graft-test-events-orc"
+    val out = Files.createTempDirectory("graft-test-events-orc").toString
     val orig = Tables.load(spark, dir, "events")
     Tables.writeEventsOrc(orig, out)
     val back = Tables.readEventsOrc(spark, out)
@@ -44,7 +44,7 @@ class SourceSpec extends SparkTestBase {
   }
 
   test("ORC scans push filters and prune columns like parquet") {
-    val out = "/tmp/graft-test-events-orc"
+    val out = Files.createTempDirectory("graft-test-events-orc-plan").toString
     Tables.writeEventsOrc(Tables.load(spark, dir, "events"), out)
     val plan = Tables.readEventsOrc(spark, out)
       .filter(col("event_id") > 100).select("event_id", "event_type")
