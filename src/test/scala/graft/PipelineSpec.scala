@@ -354,6 +354,23 @@ class PipelineSpec extends SparkTestBase {
       s"sum(n_new)=$totalNew must equal distinct shingle count $distinctShingles")
   }
 
+  test("j7 patterns count and scrub crafted PII variants") {
+    // piiRedact's patterns against hand-built cases beyond the
+    // fixture's single injection: multiple instances, mixed classes,
+    // and clean text. (The injection suffix adds one of each class to
+    // every row, so expected counts are crafted + 1.)
+    val rows = Seq(
+      (0L, "reach a.b+tag@sub.example.org or ops@example.io today"), // +2 emails
+      (1L, "call +1-800-555-0199 then +44-20-7946-0958"),            // +2 phones
+      (2L, "hosts 192.168.0.1 and 8.8.8.8 and 255.255.255.255"),     // +3 ips
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.piiRedact(rows).orderBy("doc_id")
+      .select("n_email", "n_phone", "n_ip").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 1L, 1L), (1L, 3L, 1L), (1L, 1L, 4L), (1L, 1L, 1L)),
+      s"got $got")
+  }
+
   test("j7 redaction provably fires: every doc counts one of each PII class") {
     val got = Registry.byId("j7_pii_redact").build(spark, dir)
     assert(got.filter(col("n_email") < 1 || col("n_phone") < 1 || col("n_ip") < 1)

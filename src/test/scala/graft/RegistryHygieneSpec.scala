@@ -30,6 +30,26 @@ class RegistryHygieneSpec extends SparkTestBase {
     }
   }
 
+  test("no registry query funnels raw corpus rows through an unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // The r3 i2 scale-killer, generalized to EVERY query: an
+    // unpartitioned window whose input is not already aggregate-bounded
+    // is a single-partition sort of the corpus. Exemptions are the
+    // operators whose SEMANTICS are a global ranking over a base table
+    // (d6's distribution analytics) — there the total order is the
+    // deliverable, and the 100 TB form is rank-by-range-partition
+    // (the e1 sort machinery), not a different plan for the same op.
+    val globalBySemantics = Set("d6_window_distribution")
+    Registry.all.filterNot(q => globalBySemantics(q.id)).foreach { q =>
+      val wins = q.build(spark, dir).queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      wins.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"${q.id}: unpartitioned window over non-aggregated input:\n$w")
+      }
+    }
+  }
+
   test("oracled query outputs carry no MapType or float-array columns") {
     Registry.all.filter(_.oracle.nonEmpty).foreach { q =>
       q.build(spark, dir).schema.fields.foreach { f =>
