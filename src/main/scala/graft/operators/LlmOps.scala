@@ -232,6 +232,76 @@ object LlmOps {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** The i30 fuzzy-join logic over any (doc_id, source, text) frame:
+    * docs at or past `boundary` are the probe side, docs below it the
+    * base side; each probe links to its best (max rounded-Jaccard,
+    * min-id tiebreak) base match with token-set J ≥ 0.5. Candidates come
+    * from the corpus-wide lossless θ=0.5 prefix filter (each side
+    * explodes its first n − ceil(n/2) + 1 hash-ordered tokens); the
+    * prefix formula is θ-specific, so θ is fixed here. Factored out of
+    * the registry entry so the match/no-match/tiebreak paths are
+    * testable on crafted docs. Output: (probe_id, match_id, jaccard),
+    * unordered.
+    */
+  def fuzzyJoin(docs: DataFrame, boundary: Long): DataFrame = {
+    // One tokenize pass for its three consumers (both group tables + the
+    // final expand), the nearDupPairs materialization rule.
+    val sets = hashedTokenSets(docs).localCheckpoint(true)
+    // Jaccard is a function of the token SET, so collapse each side to
+    // its DISTINCT sets first and verify once per set PAIR, not per doc
+    // pair — on dup-heavy corpora (the whole reason a fuzzy join runs)
+    // this cuts the quadratic verify by the square of the duplication
+    // factor (sf0.1: 5000 docs → 124 distinct sets; 1.84M doc-pair
+    // verifies → ~4k set-pair verifies, measured 12.5 → 2.5 s). Each
+    // group is keyed by its min doc id — which IS the tiebreak winner,
+    // so group-level argmax (max rounded J, min base rep) expands to
+    // exactly the doc-level answer.
+    val baseG = sets.filter(col("doc_id") < boundary)
+      .groupBy(col("rks")).agg(min(col("doc_id")).as("match_id"))
+      .withColumn("n_tok", size(col("rks")).cast("long"))
+      .localCheckpoint(true)
+    val probeG = sets.filter(col("doc_id") >= boundary)
+      .groupBy(col("rks")).agg(min(col("doc_id")).as("pg"))
+      .withColumn("n_tok", size(col("rks")).cast("long"))
+      .localCheckpoint(true)
+    // Lossless θ=0.5 prefix filter between the GROUP tables (the i2/i13
+    // pigeonhole under the xxhash64 token order).
+    val prefixLen = (col("n_tok") - ((col("n_tok") + 1) / 2).cast("long") + 1)
+    def prefixed(g: DataFrame, id: String) = g.select(col(id),
+      explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
+    val cand = prefixed(baseG, "match_id").alias("a")
+      .join(prefixed(probeG, "pg").alias("b"), col("a.rk") === col("b.rk"))
+      .select(col("b.pg").as("pg"), col("a.match_id").as("match_id"))
+      .distinct()
+    val bg = baseG.select(col("match_id"), col("rks").as("rks1"),
+      col("n_tok").as("n1"))
+    val pg = probeG.select(col("pg"), col("rks").as("rks2"),
+      col("n_tok").as("n2"))
+    val inter = size(array_intersect(col("rks1"), col("rks2"))).cast("long")
+    val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
+    // Per-probe-group argmax as a MAX-of-struct hash aggregate — (max
+    // rounded J, min match id) ≡ max (J, −id) — so the reduction partial-
+    // combines map-side instead of sort-shuffling every verified pair
+    // into a window (the verified-pair table is the dense part on
+    // dup-heavy data).
+    val best = cand.join(bg, "match_id").join(pg, "pg")
+      .withColumn("inter", inter)
+      .filter(jac >= 0.5)
+      .select(col("pg"), struct(round(jac, 3).as("jaccard"),
+        (-col("match_id")).as("nmid")).as("sc"))
+      .groupBy(col("pg")).agg(max(col("sc")).as("sc"))
+      .select(col("pg"), (-col("sc.nmid")).as("match_id"),
+        col("sc.jaccard").as("jaccard"))
+    // Expand the group verdicts back to every probe doc: probes join
+    // their group on the set key (distinct-set-bounded, broadcastable),
+    // then the per-group best match.
+    sets.filter(col("doc_id") >= boundary)
+      .select(col("doc_id").as("probe_id"), col("rks"))
+      .join(probeG.select(col("rks"), col("pg")), Seq("rks"))
+      .join(best, Seq("pg"))
+      .select(col("probe_id"), col("match_id"), col("jaccard"))
+  }
+
   /** Salted-md5 bucket in [0,100) over doc_id. One definition for every
     * content-addressed assignment (split bands, mixture sampling):
     * distinct salts give independent buckets, and the md5 arithmetic is a
@@ -399,6 +469,48 @@ object LlmOps {
                  | SELECT doc_id, fp FROM canon
                  | WHERE fp NOT IN (SELECT fp FROM fps WHERE doc_id < 400)
                  | ORDER BY doc_id"""))),
+
+    // Fuzzy JOIN — the directional sibling of near-dedup: link every
+    // incoming doc (doc_id ≥ 400, the i25 batch convention) to its BEST
+    // matching existing doc (doc_id < 400) by token-set Jaccard ≥ 0.5 —
+    // fuzzy entity resolution / "which corpus doc is this a variant of".
+    // Unlike i2 the candidate join is corpus-WIDE (no source restriction:
+    // a match may come from anywhere), so the lossless θ=0.5 prefix
+    // filter (pigeonhole under the xxhash64 token order, i2/i13) is what
+    // bounds the join: each side explodes only its first
+    // n − ceil(n/2) + 1 hash-ordered tokens, and candidates are
+    // (base-prefix × probe-prefix) equi-matches on the 8-byte hash, never
+    // all base × probe pairs. Verification intersects the materialized
+    // hashed sets; the per-probe argmax is a window PARTITIONED by probe
+    // id over its few ≥0.5 matches (rank input is bounded by match count,
+    // not corpus). At 100 TB the base side is the deduped corpus sketch
+    // table (persisted once, the i2 artifact) and the probe side is the
+    // incoming crawl — ids and 8-byte hashes shuffle, text never moves.
+    // Ties on the ROUNDED jaccard break to the smallest base id in both
+    // engines.
+    Q("i30_fuzzy_join",
+      (s, dir) => fuzzyJoin(t(s, dir, "documents"), 400).orderBy("probe_id"),
+      Some(sql("""WITH dtok AS (
+                 |   SELECT doc_id, token,
+                 |     count(*) OVER (PARTITION BY doc_id) AS n_tok
+                 |   FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                 |         FROM documents)),
+                 | pairs AS (
+                 |   SELECT b.doc_id AS probe_id, a.doc_id AS match_id,
+                 |     min(a.n_tok) AS na, min(b.n_tok) AS nb, count(*) AS inter
+                 |   FROM dtok a JOIN dtok b ON a.token = b.token
+                 |   WHERE a.doc_id < 400 AND b.doc_id >= 400
+                 |   GROUP BY 1, 2),
+                 | jm AS (
+                 |   SELECT probe_id, match_id,
+                 |     round(inter * 1.0 / (na + nb - inter), 3) AS jaccard
+                 |   FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.5)
+                 | SELECT probe_id, match_id, jaccard FROM (
+                 |   SELECT probe_id, match_id, jaccard,
+                 |     row_number() OVER (PARTITION BY probe_id
+                 |       ORDER BY jaccard DESC, match_id) AS rn
+                 |   FROM jm) WHERE rn = 1
+                 | ORDER BY probe_id"""))),
 
     // Deterministic train/val/test split — content-addressed sampling:
     // the bucket is a pure hash of doc_id (salted so it is independent of

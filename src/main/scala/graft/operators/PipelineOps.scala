@@ -185,6 +185,59 @@ object PipelineOps {
       |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
       |     FROM sims) WHERE rank <= 3)"""
 
+  /** The j9 report card over any (doc_id, source, text, n_chars) frame:
+    * per source — doc count, token volume, vocabulary size, mean doc
+    * length, dominant term (max count, alphabetical tiebreak). Factored
+    * out of the registry entry so the tiebreak and single-doc paths are
+    * testable on crafted corpora. Output: one row per source, unordered.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val perSource = tf.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_terms"))
+    val top = tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("token"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("token").as("top_term"),
+        col("n").as("top_n"))
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")) / count(lit(1)), 2).as("avg_chars"))
+    base.join(perSource, "source").join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_terms"), col("avg_chars"), col("top_term"), col("top_n"))
+  }
+
+  /** The i29 SemDeDup resolve+apply over any (vec_id, embedding) frame
+    * and (cid, cemb) codebook: within-cluster cosine ≥ `theta`
+    * (3dp-rounded) edges → star-contraction components → drop every
+    * non-canonical (non-min-id) member. Factored out of the registry
+    * entry so the drop path is testable on crafted vectors — the fixture
+    * has no high-cosine pairs, so only a crafted duplicate exercises a
+    * θ=0.9-grade drop. Output: surviving (vec_id, cid), unordered.
+    */
+  def semDedup(emb: DataFrame, cent: DataFrame, theta: Double): DataFrame = {
+    val assigned = assignToCentroids(emb, cent).localCheckpoint(true)
+    val a = assigned.select(col("cid"), col("vec_id").as("i"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cid").as("cid2"), col("vec_id").as("j"),
+      col("embedding").as("eb"))
+    val edges = a.join(b, col("cid") === col("cid2") && col("i") < col("j"))
+      .select(col("i").as("doc_id1"), col("j").as("doc_id2"),
+        round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
+      .filter(col("sim") >= theta)
+      .select(col("doc_id1"), col("doc_id2"))
+    val drop = LlmOps.nearDupClusters(edges)
+      .filter(col("doc_id") =!= col("canon_id"))
+      .select(col("doc_id").as("vec_id"))
+    assigned.join(drop, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+  }
+
   private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("best", array_max(transform(col("cents"), c =>
@@ -727,6 +780,41 @@ object PipelineOps {
                  |   round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS novelty
                  | FROM sh JOIN fs USING (g)
                  | GROUP BY doc_id ORDER BY doc_id"""))),
+
+    // Corpus report card — the profiling pass a curation run fires before
+    // any filtering decision: per source, document count, token volume,
+    // vocabulary size, mean document length, and the dominant term. One
+    // two-level aggregation tree: tokens partial-combine map-side into
+    // (source, token) counts — the ONLY corpus-sized shuffle — and every
+    // later stage (per-source rollup, argmax term, doc stats) runs over
+    // vocabulary- or source-bounded rows. The dominant-term window is
+    // partitioned by source and reads the (source, token) AGGREGATE, so
+    // its partition is vocabulary-bounded, never corpus-bounded (the
+    // registry-wide window rule). At 100 TB this replaces the "run 15
+    // ad-hoc GROUP BYs over the corpus" anti-pattern with one scan; the
+    // exact vocabulary count shuffles the (source, token) pairs — the
+    // approx twin for monitoring-grade profiles is approx_count_distinct
+    // (the j5 sketch-twin rule).
+    Q("j9_corpus_profile",
+      (s, dir) => corpusProfile(t(s, dir, "documents")).orderBy("source"),
+      Some(sql("""WITH tok AS (
+                 |   SELECT source, unnest(string_split(text, ' ')) AS token
+                 |   FROM documents),
+                 | tf AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+                 | agg AS (SELECT source, sum(n)::BIGINT AS n_tokens,
+                 |     count(*)::BIGINT AS n_terms FROM tf GROUP BY 1),
+                 | top AS (SELECT source, token AS top_term, n::BIGINT AS top_n FROM (
+                 |     SELECT source, token, n,
+                 |       row_number() OVER (PARTITION BY source
+                 |         ORDER BY n DESC, token) AS rn
+                 |     FROM tf) WHERE rn = 1),
+                 | base AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 |     round(sum(n_chars)::DOUBLE / count(*), 2) AS avg_chars
+                 |   FROM documents GROUP BY 1)
+                 | SELECT b.source, n_docs, n_tokens, n_terms, avg_chars,
+                 |   top_term, top_n
+                 | FROM base b JOIN agg USING (source) JOIN top USING (source)
+                 | ORDER BY b.source"""))),
 
     // IVF-routed ANN: k=8 centroids (vec_id<8 as the deterministic
     // "trained" codebook), each vector assigned to its nearest centroid
@@ -1352,6 +1440,50 @@ object PipelineOps {
                  |   JOIN embeddings eb ON eb.vec_id = b.vec_id)
                  | SELECT cid, i, j, sim FROM pairs
                  | ORDER BY sim DESC, i, j LIMIT 20"""))),
+
+    // Semantic dedup END-TO-END (the SemDeDup shape): within-cluster
+    // cosine pairs above a threshold become an edge graph, connected
+    // components resolve each semantic cluster to its min-vec_id
+    // canonical, and the corpus anti-joins the non-canonical ids — the
+    // embedding-space twin of the text-side find→resolve→apply story
+    // (i2→i15→i18), sharing the SAME star-contraction component resolver.
+    // θ = 0.4 (3dp-rounded, both engines) is deliberately inside the
+    // fixture's cosine range so every stage runs non-vacuously (the
+    // random-vector fixture tops out ≈0.51; a production run sets θ to
+    // its dup band, the machinery is θ-independent). Scale: candidates
+    // are bounded by IVF cluster size exactly like i24 (a hot cluster
+    // salts like labelPairs); the assignment is materialized ONCE for its
+    // three consumers (both pair sides + the final anti-join) — the
+    // persisted assignment table of a real pipeline; the component
+    // resolver and the apply step move 8-byte ids only, never vectors.
+    Q("i29_semdedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        semDedup(emb, cent, 0.4).orderBy("vec_id")
+      },
+      Some(sql(s"""WITH RECURSIVE $centroidAssignCte,
+                  | pairs AS (
+                  |   SELECT a.vec_id AS i, b.vec_id AS j,
+                  |     round((SELECT sum(x * y) FROM (SELECT
+                  |        unnest(ea.embedding)::DOUBLE AS x,
+                  |        unnest(eb.embedding)::DOUBLE AS y)), 3) AS sim
+                  |   FROM assigned a JOIN assigned b
+                  |     ON a.cid = b.cid AND a.vec_id < b.vec_id
+                  |   JOIN embeddings ea ON ea.vec_id = a.vec_id
+                  |   JOIN embeddings eb ON eb.vec_id = b.vec_id),
+                  | nd AS (SELECT i, j FROM pairs WHERE sim >= 0.4),
+                  | edges AS (SELECT i AS s, j AS d FROM nd
+                  |   UNION ALL SELECT j, i FROM nd),
+                  | reach(v, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.v),
+                  | lbl AS (SELECT v, min(r) AS canon FROM reach GROUP BY v)
+                  | SELECT a.vec_id, a.cid FROM assigned a
+                  | WHERE a.vec_id NOT IN (SELECT v FROM lbl WHERE v <> canon)
+                  | ORDER BY a.vec_id"""))),
 
     // ----------------------------------------------- mixture + delivery
 

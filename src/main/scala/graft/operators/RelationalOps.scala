@@ -528,7 +528,49 @@ object RelationalOps {
                  | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
                  | WHERE c.c_mktsegment = 'BUILDING'
                  | GROUP BY l_orderkey
-                 | ORDER BY revenue DESC, l_orderkey LIMIT 20""")))
+                 | ORDER BY revenue DESC, l_orderkey LIMIT 20"""))),
+
+    // The TPC-H Q5 shape: a six-table join tree (two fact-fact shuffles +
+    // a dimension chain) with a region filter and a one-year date window.
+    // Catalyst's join reorder keeps the fact-fact joins on their keys and
+    // broadcasts nation/region; the c_nationkey = s_nationkey predicate
+    // rides the supplier join as a filter, never a cross product. Same
+    // DECIMAL-internal / double-output money arithmetic as b9.
+    Q("b10_sql_q5",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        t(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+        t(s, dir, "nation").createOrReplaceTempView("v_nation")
+        t(s, dir, "region").createOrReplaceTempView("v_region")
+        s.sql("""SELECT n_name,
+                |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                |FROM v_customer
+                |JOIN v_orders ON c_custkey = o_custkey
+                |JOIN v_lineitem ON l_orderkey = o_orderkey
+                |JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                |JOIN v_nation ON s_nationkey = n_nationkey
+                |JOIN v_region ON n_regionkey = r_regionkey
+                |WHERE r_name = 'ASIA'
+                |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                |  AND o_orderdate < TIMESTAMP '1996-01-01'
+                |GROUP BY n_name
+                |ORDER BY revenue DESC, n_name""".stripMargin)
+      },
+      Some(sql("""SELECT n_name,
+                 | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                 | FROM customer
+                 | JOIN orders ON c_custkey = o_custkey
+                 | JOIN lineitem ON l_orderkey = o_orderkey
+                 | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                 | JOIN nation ON s_nationkey = n_nationkey
+                 | JOIN region ON n_regionkey = r_regionkey
+                 | WHERE r_name = 'ASIA'
+                 |   AND o_orderdate >= TIMESTAMP '1995-01-01'
+                 |   AND o_orderdate < TIMESTAMP '1996-01-01'
+                 | GROUP BY n_name
+                 | ORDER BY revenue DESC, n_name""")))
   )
 
   private val scalars: Seq[Q] = Seq(

@@ -303,6 +303,71 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(inc, full)
   }
 
+  test("i29 semdedup drops transitive within-cluster dups, keeps cross-cluster and sub-θ pairs") {
+    // Crafted geometry (the fixture's random vectors never reach a
+    // θ=0.9 drop): cluster 0 holds an exact dup pair (10/11), a 0.8-sim
+    // neighbor (12, below θ), and a transitive chain 18-19-20 in the
+    // orthogonal dims (cos(18,19)=cos(19,20)=0.966 ≥ θ but
+    // cos(18,20)=0.866 < θ — only components, not direct edges, decide
+    // the drop). Cluster 1 holds a sub-θ pair (13/14). 12 and 14 sit at
+    // cos 0.96 ≥ θ but in DIFFERENT clusters — both survive, pinning the
+    // SemDeDup semantic that candidates are cluster-bounded. Expected:
+    // drop 11 (canon 10) and 19/20 (canon 18), keep everything else.
+    val emb = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (11L, Array(1f, 0f, 0f, 0f)),
+      (12L, Array(0.8f, 0.6f, 0f, 0f)),
+      (13L, Array(0f, 1f, 0f, 0f)),
+      (14L, Array(0.6f, 0.8f, 0f, 0f)),
+      (18L, Array(0f, 0f, 1f, 0f)),
+      (19L, Array(0f, 0f, 0.966f, 0.259f)),
+      (20L, Array(0f, 0f, 0.866f, 0.5f))
+    ).toDF("vec_id", "embedding").repartition(5)
+    val cent = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))
+    ).toDF("cid", "cemb")
+    val got = PipelineOps.semDedup(emb, cent, 0.9)
+      .select("vec_id", "cid").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 0L), (12L, 0L), (13L, 1L), (14L, 1L), (18L, 0L)),
+      s"got $got")
+  }
+
+  test("i30 fuzzy join links probes to best base match with min-id tiebreak, drops sub-θ") {
+    // Probe 400 ties two identical base docs at J=1 → min match_id wins;
+    // 401 overlaps only 2/6 with anything (below θ=0.5) → absent;
+    // 402 matches base 3 at J=3/5; 403 shares nothing → absent.
+    val docs = Seq(
+      (1L, "s0", "a b c d"),
+      (2L, "s0", "a b c d"),
+      (3L, "s1", "p q r s"),
+      (400L, "s0", "a b c d"),
+      (401L, "s0", "a b x y"),
+      (402L, "s2", "p q r t"),
+      (403L, "s0", "zz ww")
+    ).toDF("doc_id", "source", "text").repartition(5)
+    val got = graft.operators.LlmOps.fuzzyJoin(docs, 400L)
+      .select("probe_id", "match_id", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((400L, 1L, 1.0), (402L, 3L, 0.6)), s"got $got")
+  }
+
+  test("j9 profile counts, vocabulary, and alphabetical top-term tiebreak on crafted corpus") {
+    // s1: tokens a a b | b c → 5 tokens, 3 terms, a and b tie at 2 →
+    // alphabetical tiebreak picks a; avg chars (10+20)/2. s2: one doc.
+    val docs = Seq(
+      (0L, "a a b", "s1", 10L),
+      (1L, "b c", "s1", 20L),
+      (2L, "x", "s2", 7L)
+    ).toDF("doc_id", "text", "source", "n_chars").repartition(3)
+    val got = PipelineOps.corpusProfile(docs)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 2L, 5L, 3L, 15.0, "a", 2L),
+      ("s2", 1L, 1L, 1L, 7.0, "x", 1L)), s"got $got")
+  }
+
   test("i27 quantization error is bounded by the grid and the max element saturates") {
     val got = Registry.byId("i27_embed_quantize").build(spark, dir).collect()
     assert(got.nonEmpty)

@@ -81,6 +81,17 @@ class PlanSpec extends SparkTestBase {
       s"range join must not fall back to nested loop:\n$p")
   }
 
+  test("b10: the Q5 join tree broadcasts its dimension chain") {
+    // supplier/nation/region are dimensions — each must plan as a
+    // BroadcastHashJoin so the lineitem/orders fact side shuffles only
+    // for its fact-fact joins, and the date+region filters must not
+    // leave a cross product behind.
+    val p = plan(Registry.byId("b10_sql_q5").build(spark, dir))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3, s"expected >=3 broadcast dimension joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cross product in Q5 tree:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
