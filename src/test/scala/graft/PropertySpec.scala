@@ -105,6 +105,44 @@ class PropertySpec extends SparkTestBase {
     assert(seen == want, s"missing=${want -- seen} extra=${seen -- want}")
   }
 
+  test("fuzzy join matches the naive doc-level model on random corpora") {
+    // The set-collapse + group-argmax rewrite must be INVISIBLE: on
+    // random dup-heavy corpora (tiny vocabulary forces overlaps AND
+    // repeated identical sets, exercising the collapse), every probe's
+    // best match equals the naive all-pairs doc-level model — same
+    // match, same rounded Jaccard, min-id tiebreak — and no probe
+    // appears without a ≥ 0.5 match.
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, word))
+    val boundary = 100L
+    val baseDocs = sample(docGen, 40, seed = 11L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, s"s${i % 3}", ws.mkString(" ")) }
+    val probeDocs = sample(docGen, 30, seed = 12L).zipWithIndex
+      .map { case (ws, i) => (boundary + i, s"s${i % 3}", ws.mkString(" ")) }
+    val df = (baseDocs ++ probeDocs).toDF("doc_id", "source", "text")
+    val got = LlmOps.fuzzyJoin(df, boundary)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val sets = (baseDocs ++ probeDocs)
+      .map { case (id, _, t) => id -> t.split(" ").toSet }.toMap
+    def jac3(a: Long, b: Long): Double = {
+      val (x, y) = (sets(a), sets(b))
+      BigDecimal(x.intersect(y).size.toDouble / x.union(y).size)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = probeDocs.map(_._1).flatMap { p =>
+      val cands = baseDocs.map(_._1)
+        .filter(b => sets(p).intersect(sets(b)).size.toDouble /
+          sets(p).union(sets(b)).size >= 0.5)
+        .map(b => (jac3(p, b), b))
+      if (cands.isEmpty) None
+      else Some(p -> cands.minBy { case (j, b) => (-j, b) }.swap)
+    }.toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     val word = Gen.oneOf("x", "y", "z")
     val docGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word))

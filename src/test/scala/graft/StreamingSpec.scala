@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.operators.{PipelineOps, StreamingOps}
+import graft.operators.{LlmOps, PipelineOps, StreamingOps}
 import graft.streaming.{CuratedDedup, CuratedDoc, Replay, Running, StatefulRunning}
 
 /** Stream ≡ batch equivalence for every SURVEY §2.C operator (the unified
@@ -311,6 +311,32 @@ class StreamingSpec extends SparkTestBase {
     val got = updates.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp"))
     val want = Registry.byId("i25_dedup_incremental").build(spark, dir)
+    assertSameRows(got, want)
+  }
+
+  test("streaming fuzzy join == batch i30 (per-batch linking against the static base)") {
+    // Linking is probe-independent: a probe's best match depends only on
+    // the STATIC base side, never on other probes — so the incremental
+    // form runs the same fuzzyJoin per micro-batch (base ∪ arrived
+    // probes) and the union of batch outputs reproduces the batch answer
+    // for any arrival order and batching. This is the crawl-ingest
+    // shape: link each incoming batch against the persisted corpus
+    // sketch without re-linking earlier arrivals.
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") < 400)
+      .select("doc_id", "source", "text")
+    val probes = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val feed = new scala.util.Random(47).shuffle(probes)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    Replay.runForeach(spark, feed, 4, OutputMode.Append())(
+      ds => ds.toDF("doc_id", "source", "text")) { (bdf, _) =>
+      out ++= LlmOps.fuzzyJoin(base.unionByName(bdf), 400L)
+        .as[(Long, Long, Double)].collect()
+    }
+    val got = out.toSeq.toDF("probe_id", "match_id", "jaccard")
+    val want = Registry.byId("i30_fuzzy_join").build(spark, dir)
     assertSameRows(got, want)
   }
 
