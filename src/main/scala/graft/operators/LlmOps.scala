@@ -445,6 +445,44 @@ object LlmOps {
                   | WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> canon_id)
                   | ORDER BY doc_id"""))),
 
+    // Frequency-CAPPED dedup — the soft variant production corpora
+    // actually ship (full dedup over-flattens the natural distribution;
+    // C4/RefinedWeb-style pipelines keep a bounded number of copies):
+    // every near-dup cluster keeps its K=2 lowest-id members, everything
+    // unclustered survives untouched. Same pair graph + component
+    // resolution as i15/i18; the per-cluster rank is a window PARTITIONED
+    // by canon_id — cluster-bounded, never corpus-bounded — and the
+    // apply step anti-joins ids only. Changing K is a filter edit, not a
+    // replan.
+    Q("i31_dedup_cap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val drop = nearDupClusters(nearDupPairs(docs))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("canon_id")).orderBy(col("doc_id"))))
+          .filter(col("rn") > 2)
+          .select(col("doc_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                  | edges AS (
+                  |   SELECT doc_id1 AS s, doc_id2 AS d FROM nd
+                  |   UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                  | reach(doc_id, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.doc_id),
+                  | lbl AS (SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id),
+                  | ranked AS (
+                  |   SELECT doc_id,
+                  |     row_number() OVER (PARTITION BY canon_id ORDER BY doc_id) AS rn
+                  |   FROM lbl)
+                  | SELECT doc_id, source, lang FROM documents
+                  | WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 2)
+                  | ORDER BY doc_id"""))),
+
     // INCREMENTAL exact dedup — the shape an ingest pipeline actually
     // runs: a new batch (doc_id ≥ 400 as the deterministic stand-in for
     // "this crawl") arrives against an existing corpus (doc_id < 400),

@@ -368,6 +368,30 @@ class PipelineSpec extends SparkTestBase {
       ("s2", 1L, 1L, 1L, 7.0, "x", 1L)), s"got $got")
   }
 
+  test("i31 capped dedup keeps min(K, size) per cluster and contains the full dedup") {
+    // Per-cluster law against the i15 resolution: every cluster keeps
+    // exactly its min(2, cluster_size) lowest ids, every unclustered doc
+    // survives, and the K=1 semantics (i18) is a subset of K=2.
+    val clusters = Registry.byId("i15_dedup_clusters").build(spark, dir)
+      .select("doc_id", "canon_id").as[(Long, Long)].collect()
+    val kept31 = Registry.byId("i31_dedup_cap").build(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val kept18 = Registry.byId("i18_dedup_apply").build(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept18.subsetOf(kept31))
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (canon, members) =>
+      val ids = members.map(_._1).sorted
+      val keptHere = ids.filter(kept31)
+      assert(keptHere.toSeq == ids.take(2).toSeq,
+        s"cluster $canon kept $keptHere of $ids")
+    }
+    val clustered = clusters.map(_._1).toSet
+    val all = Tables.load(spark, dir, "documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert((all -- clustered).subsetOf(kept31), "an unclustered doc was dropped")
+  }
+
   test("i27 quantization error is bounded by the grid and the max element saturates") {
     val got = Registry.byId("i27_embed_quantize").build(spark, dir).collect()
     assert(got.nonEmpty)
