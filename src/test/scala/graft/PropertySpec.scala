@@ -105,6 +105,53 @@ class PropertySpec extends SparkTestBase {
     assert(seen == want, s"missing=${want -- seen} extra=${seen -- want}")
   }
 
+  test("semdedup matches the assign/threshold/union-find model on random unit vectors") {
+    // Random 2-D unit vectors from integer angles (no integer-degree
+    // cosine lands within 5e-4 of the θ=0.9 round boundary, so the
+    // rounded comparison is never knife-edge); the model mirrors the
+    // engine bit-for-bit: same float32-stored components, double dot,
+    // HALF_UP rounds (6dp assignment, 3dp similarity), min-cid
+    // assignment tiebreak, union-find components, min-id canonical.
+    val angleGen = Gen.choose(0, 359)
+    val angles = sample(angleGen, 70, seed = 21L).zipWithIndex
+      .map { case (a, i) => (i.toLong, a) }
+    def unit(deg: Int): Array[Float] = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val emb = angles.map { case (id, a) => (id, unit(a)) }
+      .toDF("vec_id", "embedding").repartition(7)
+    val centAngles = Seq(0L -> 0, 1L -> 120, 2L -> 240)
+    val cent = centAngles.map { case (cid, a) => (cid, unit(a)) }
+      .toDF("cid", "cemb")
+    val theta = 0.9
+    val got = graft.operators.PipelineOps.semDedup(emb, cent, theta)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+    def round(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.toSeq.zip(b.toSeq).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val vecs = angles.map { case (id, a) => id -> unit(a) }.toMap
+    val cents = centAngles.map { case (cid, a) => cid -> unit(a) }
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (round(dot(v, c), 6), -cid) }
+        .max._2 * -1
+    }
+    val ids = angles.map(_._1)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for {
+      a <- ids; b <- ids
+      if a < b && assign(a) == assign(b) &&
+        round(dot(vecs(a), vecs(b)), 3) >= theta
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = ids.filter(id => find(id) == id).sorted.map(id => (id, assign(id)))
+    assert(got == want, s"missing=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
+  }
+
   test("fuzzy join matches the naive doc-level model on random corpora") {
     // The set-collapse + group-argmax rewrite must be INVISIBLE: on
     // random dup-heavy corpora (tiny vocabulary forces overlaps AND
