@@ -173,6 +173,20 @@ object LlmOps {
     */
   def nearDupClusters(pairs: DataFrame,
       maxRounds: Int = 32 /* ~3·log2(n) worst case — covers any corpus */): DataFrame = {
+    val labels = clusterLabels(pairs, maxRounds)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("canon_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The component-label core of [[nearDupClusters]]: (doc_id, lbl =
+    * component min) for every clustered node, WITHOUT the cluster-size
+    * decoration — the apply-side consumers (i18/i31/i29) only need the
+    * labels, and the sizes join is an extra shuffle they would discard.
+    */
+  def clusterLabels(pairs: DataFrame,
+      maxRounds: Int = 32): DataFrame = {
     // Canonical big→small edge form; node set extracted in the same
     // pass over the (expensive) pair pipeline via the checkpoint below.
     val canon = pairs.select(
@@ -201,13 +215,9 @@ object LlmOps {
     // Fixpoint = disjoint stars: every non-center node has exactly one
     // edge to its component min. The union adds (n, n) for every node,
     // so centers label themselves and the min-agg is total.
-    val labels = cur.select(col("u").as("doc_id"), col("v").as("lbl"))
+    cur.select(col("u").as("doc_id"), col("v").as("lbl"))
       .union(nodes.select(col("doc_id"), col("doc_id").as("lbl")))
       .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("doc_id"), col("lbl").as("canon_id"), col("cluster_size"))
-      .orderBy("doc_id")
   }
 
   /** The i25 incremental-dedup logic over any (doc_id, text) frame: docs
@@ -425,8 +435,8 @@ object LlmOps {
     Q("i18_dedup_apply",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val drop = nearDupClusters(nearDupPairs(docs))
-          .filter(col("doc_id") =!= col("canon_id"))
+        val drop = clusterLabels(nearDupPairs(docs))
+          .filter(col("doc_id") =!= col("lbl"))
           .select(col("doc_id"))
         docs.join(drop, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), col("lang"))
@@ -457,9 +467,9 @@ object LlmOps {
     Q("i31_dedup_cap",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val drop = nearDupClusters(nearDupPairs(docs))
+        val drop = clusterLabels(nearDupPairs(docs))
           .withColumn("rn", row_number().over(
-            Window.partitionBy(col("canon_id")).orderBy(col("doc_id"))))
+            Window.partitionBy(col("lbl")).orderBy(col("doc_id"))))
           .filter(col("rn") > 2)
           .select(col("doc_id"))
         docs.join(drop, Seq("doc_id"), "left_anti")

@@ -231,8 +231,8 @@ object PipelineOps {
         round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
       .filter(col("sim") >= theta)
       .select(col("doc_id1"), col("doc_id2"))
-    val drop = LlmOps.nearDupClusters(edges)
-      .filter(col("doc_id") =!= col("canon_id"))
+    val drop = LlmOps.clusterLabels(edges)
+      .filter(col("doc_id") =!= col("lbl"))
       .select(col("doc_id").as("vec_id"))
     assigned.join(drop, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid"))

@@ -368,6 +368,27 @@ class PipelineSpec extends SparkTestBase {
       ("s2", 1L, 1L, 1L, 7.0, "x", 1L)), s"got $got")
   }
 
+  test("factored pipeline helpers tolerate empty inputs") {
+    // An empty crawl batch / empty pair graph / empty corpus must flow
+    // through every factored helper as zero rows, never an exception —
+    // the shapes an incremental pipeline hits on its first or idle runs.
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val noDocs4 = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "source", "n_chars")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_id1", "doc_id2")
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val cent = Seq((0L, Array(1f, 0f))).toDF("cid", "cemb")
+    assert(graft.operators.LlmOps.fuzzyJoin(noDocs, 400L).count() == 0)
+    assert(graft.operators.LlmOps.clusterLabels(noPairs).count() == 0)
+    assert(graft.operators.LlmOps.nearDupClusters(noPairs).count() == 0)
+    assert(graft.operators.LlmOps.incrementalDedup(
+      noDocs.select("doc_id", "text"), 400L).count() == 0)
+    assert(PipelineOps.corpusProfile(noDocs4).count() == 0)
+    assert(PipelineOps.semDedup(noEmb, cent, 0.9).count() == 0)
+    assert(PipelineOps.piiRedact(noDocs.select("doc_id", "text")).count() == 0)
+    assert(PipelineOps.mixtureSample(noDocs).count() == 0)
+  }
+
   test("i31 capped dedup keeps min(K, size) per cluster and contains the full dedup") {
     // Per-cluster law against the i15 resolution: every cluster keeps
     // exactly its min(2, cluster_size) lowest ids, every unclustered doc
