@@ -270,10 +270,20 @@ object LlmOps {
       .groupBy(col("rks")).agg(min(col("doc_id")).as("match_id"))
       .withColumn("n_tok", size(col("rks")).cast("long"))
       .localCheckpoint(true)
-    val probeG = sets.filter(col("doc_id") >= boundary)
-      .groupBy(col("rks")).agg(min(col("doc_id")).as("pg"))
-      .withColumn("n_tok", size(col("rks")).cast("long"))
+    // Probe rows carry their group id (= group-min doc id) via a window
+    // over the SAME rks shuffle a groupBy would need — Spark cannot
+    // hash-join on an array key (a groupBy'd group table would have to
+    // sort-merge back onto the probe rows), so tagging rows in place and
+    // taking `doc_id = pg` as the group representative costs one
+    // Exchange and zero joins. The window is partitioned by rks —
+    // group-bounded, never corpus-wide.
+    val probes = sets.filter(col("doc_id") >= boundary)
+      .select(col("doc_id"), col("rks"))
+      .withColumn("pg", min(col("doc_id")).over(Window.partitionBy(col("rks"))))
       .localCheckpoint(true)
+    val probeG = probes.filter(col("doc_id") === col("pg"))
+      .select(col("rks"), col("pg"))
+      .withColumn("n_tok", size(col("rks")).cast("long"))
     // Lossless θ=0.5 prefix filter between the GROUP tables (the i2/i13
     // pigeonhole under the xxhash64 token order).
     val prefixLen = (col("n_tok") - ((col("n_tok") + 1) / 2).cast("long") + 1)
@@ -302,12 +312,11 @@ object LlmOps {
       .groupBy(col("pg")).agg(max(col("sc")).as("sc"))
       .select(col("pg"), (-col("sc.nmid")).as("match_id"),
         col("sc.jaccard").as("jaccard"))
-    // Expand the group verdicts back to every probe doc: probes join
-    // their group on the set key (distinct-set-bounded, broadcastable),
-    // then the per-group best match.
-    sets.filter(col("doc_id") >= boundary)
-      .select(col("doc_id").as("probe_id"), col("rks"))
-      .join(probeG.select(col("rks"), col("pg")), Seq("rks"))
+    // Expand the group verdicts back to every probe doc on the LONG
+    // group key the window already attached (left to AQE — it
+    // broadcasts when small and shuffles 8-byte keys when the probe
+    // side outgrows a broadcast).
+    probes.select(col("doc_id").as("probe_id"), col("pg"))
       .join(best, Seq("pg"))
       .select(col("probe_id"), col("match_id"), col("jaccard"))
   }

@@ -92,6 +92,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cross product in Q5 tree:\n$p")
   }
 
+  test("i30: no array-keyed sort-merge join; group verify sides broadcast; no rank window over pairs") {
+    // The three structural decisions that keep the fuzzy join scale-safe:
+    // probe rows get their group id from a window over the rks shuffle
+    // (Spark cannot hash-join on an array key, so a group-table join-back
+    // would sort-merge every probe row on a ~300-byte array), the verify
+    // join's group tables broadcast onto the candidate pairs, and the
+    // per-group argmax is a partial-combining hash aggregate — no
+    // corpus- or pair-sized rank window anywhere.
+    val p = plan(Registry.byId("i30_fuzzy_join").build(spark, dir))
+    assert(!p.contains("SortMergeJoin"), s"array-keyed SMJ is back:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast verify joins:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      s"rank window over the verified pairs is back:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
