@@ -25,11 +25,22 @@ object TextFunctions {
 
   /** Polynomial rolling-hash fingerprint of the token stream:
     * `acc := (acc * 131 + tokenHash16(t)) mod (2^31 - 1)`, folded in token
-    * order via the `aggregate` higher-order function. Order-sensitive by
-    * design — a document fingerprint, not a bag hash. Intermediate values
-    * stay ≤ 2^31·131 + 2^16, far inside int64.
+    * order. Order-sensitive by design — a document fingerprint, not a bag
+    * hash. Intermediate values stay ≤ 2^31·131 + 2^16, far inside int64.
+    * Native [[PolyFingerprint]] expression (one generated loop, one
+    * digest call per token) — the `aggregate` HOF form it replaced
+    * interprets its lambda per element; [[fingerprintHof]] keeps that
+    * form for the equivalence spec.
     */
   def fingerprint(text: Column): Column =
+    call_function("graft_fingerprint", tokens(text))
+
+  /** The pre-r7 HOF formulation of [[fingerprint]], retained as the
+    * independent model the native expression is asserted against
+    * (TextVectorSpec) — same role as the HOF fallbacks in
+    * [[VectorFunctions]].
+    */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),

@@ -90,5 +90,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NsTimestampPushdown)
     ext.injectFunction(graft.functions.DotProduct.description)
+    ext.injectFunction(graft.functions.PolyFingerprint.description)
   }
 }

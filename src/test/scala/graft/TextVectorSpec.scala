@@ -27,6 +27,33 @@ class TextVectorSpec extends SparkTestBase {
     assert(out.forall(fp => fp >= 0 && fp < 2147483647L))
   }
 
+  test("native graft_fingerprint == the HOF fold on the corpus and edge cases") {
+    // The native expression must be bit-identical to the independent HOF
+    // formulation it replaced — over every fixture text (codegen path,
+    // whole-stage) and the edge shapes: empty-string token, single
+    // token, long repeated text, and a NULL element mid-array (the HOF
+    // poisons to NULL; so must the native fold).
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val both = docs.select(
+      TextFunctions.fingerprint(col("text")).as("native"),
+      TextFunctions.fingerprintHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof") ||
+      col("native").isNull =!= col("hof").isNull).count() == 0)
+    val edges = Seq("", "one", ("tok " * 500).trim).toDF("text")
+      .select(
+        TextFunctions.fingerprint(col("text")).as("native"),
+        TextFunctions.fingerprintHof(col("text")).as("hof"))
+      .as[(java.lang.Long, java.lang.Long)].collect()
+    edges.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+    val withNull = spark.sql(
+      """SELECT graft_fingerprint(array('a', CAST(NULL AS STRING), 'b')) AS n,
+        |       aggregate(array('a', CAST(NULL AS STRING), 'b'), 0L,
+        |         (acc, t) -> (acc * 131 + CAST(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT)) % 2147483647) AS h
+        |""".stripMargin).as[(java.lang.Long, java.lang.Long)].head()
+    assert(withNull._1 == null && withNull._2 == null)
+  }
+
   test("exact dedup is idempotent") {
     val docs = Seq(
       (1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
