@@ -91,35 +91,42 @@ object PipelineOps {
   private def centroidArray(cent: DataFrame): DataFrame =
     cent.agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
 
-  /** All within-label embedding pairs (i < j) with HOT-LABEL salting:
-    * a label whose row count reaches `hotThreshold` has its self-join
-    * split across `salts` buckets — the left side keys on
+  /** All within-bucket embedding pairs (i < j) over a
+    * (`key`, vec_id, embedding) frame, with HOT-BUCKET salting: a key
+    * whose row count reaches `hotThreshold` has its self-join split
+    * across `salts` buckets — the left side keys on
     * `hash(vec_id) % salts`, the right side replicates to every salt
     * value, so each pair still matches exactly once (at the left row's
-    * salt) while the hot label's quadratic work spreads over `salts`
+    * salt) while the hot bucket's quadratic work spreads over `salts`
     * tasks instead of one straggler (the saltedJoin pattern,
-    * RelationalOps, applied to a self-join). Cold labels get salt
+    * RelationalOps, applied to a self-join). Cold keys get salt
     * count 1: bit-identical to the plain join, no replication. The
-    * per-label counts are a broadcast dimension — labels are few.
-    * Output: (label, i, j, ea, eb); SkewSpec asserts ≡ the unsalted
-    * join under a manufactured hot label.
+    * per-key counts are a broadcast dimension — buckets are few (labels
+    * in i12, IVF cluster ids in i24/i29). Output: (key, i, j, ea, eb);
+    * SkewSpec asserts ≡ the unsalted join under a manufactured hot
+    * label (i12) and a manufactured hot cluster (i29's semDedup).
     */
-  private[graft] def labelPairs(e: DataFrame,
+  private[graft] def saltedSelfPairs(e: DataFrame, key: String,
       hotThreshold: Long = 4096, salts: Int = 16): DataFrame = {
-    val g = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
-      .select(col("label"),
+    val g = e.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .select(col(key),
         when(col("n") >= hotThreshold, lit(salts)).otherwise(lit(1)).as("g"))
-    val a = e.join(broadcast(g), "label")
-      .select(col("label"), col("vec_id").as("i"), col("embedding").as("ea"),
+    val a = e.join(broadcast(g), key)
+      .select(col(key), col("vec_id").as("i"), col("embedding").as("ea"),
         pmod(xxhash64(col("vec_id")), col("g")).as("s1"))
-    val b = e.join(broadcast(g), "label")
-      .select(col("label").as("label2"), col("vec_id").as("j"),
+    val b = e.join(broadcast(g), key)
+      .select(col(key).as("key2"), col("vec_id").as("j"),
         col("embedding").as("eb"),
         explode(sequence(lit(0), col("g") - 1)).as("s2"))
-    a.join(b, col("label") === col("label2") && col("s1") === col("s2") &&
+    a.join(b, col(key) === col("key2") && col("s1") === col("s2") &&
         col("i") < col("j"))
-      .select(col("label"), col("i"), col("j"), col("ea"), col("eb"))
+      .select(col(key), col("i"), col("j"), col("ea"), col("eb"))
   }
+
+  /** The i12 form of [[saltedSelfPairs]]: bucket key = `label`. */
+  private[graft] def labelPairs(e: DataFrame,
+      hotThreshold: Long = 4096, salts: Int = 16): DataFrame =
+    saltedSelfPairs(e, "label", hotThreshold, salts)
 
   /** Nearest-centroid assignment with ZERO corpus shuffle: the codebook
     * broadcasts as a 1-row array and the argmax runs INLINE per corpus
@@ -220,13 +227,19 @@ object PipelineOps {
     * has no high-cosine pairs, so only a crafted duplicate exercises a
     * θ=0.9-grade drop. Output: surviving (vec_id, cid), unordered.
     */
-  def semDedup(emb: DataFrame, cent: DataFrame, theta: Double): DataFrame = {
+  def semDedup(emb: DataFrame, cent: DataFrame, theta: Double,
+      hotThreshold: Long = 4096, salts: Int = 16): DataFrame = {
     val assigned = assignToCentroids(emb, cent).localCheckpoint(true)
-    val a = assigned.select(col("cid"), col("vec_id").as("i"),
-      col("embedding").as("ea"))
-    val b = assigned.select(col("cid").as("cid2"), col("vec_id").as("j"),
-      col("embedding").as("eb"))
-    val edges = a.join(b, col("cid") === col("cid2") && col("i") < col("j"))
+    // Candidate edges via the SALTED cluster self-join (saltedSelfPairs):
+    // a semantically-hot cluster — the one shape IVF bucketing can't
+    // bound, since cluster size is data-dependent — spreads its quadratic
+    // term over `salts` tasks instead of one straggler. Cold clusters
+    // plan the plain equi-join (salt count 1). The hot-count groupBy is
+    // a fourth consumer of the checkpointed assignment, not a new
+    // assignment pass.
+    val edges = saltedSelfPairs(
+        assigned.select(col("cid"), col("vec_id"), col("embedding")),
+        "cid", hotThreshold, salts)
       .select(col("i").as("doc_id1"), col("j").as("doc_id2"),
         round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
       .filter(col("sim") >= theta)
@@ -1413,17 +1426,21 @@ object PipelineOps {
     // candidate-rank pipeline rather than a vacuously-empty filter.
     // Scale: the within-cluster self-join bounds the quadratic term by
     // cluster size, so k must grow with the corpus (k ≈ N/target_bucket);
-    // a hot cluster salts exactly like labelPairs. The final top-k is a
-    // TakeOrderedAndProject over narrow (i, j, sim) triples.
+    // a hot cluster SALTS via saltedSelfPairs — the cid self-join spreads
+    // a hot cluster's pairs over 16 salt buckets (cold clusters plan the
+    // plain join), so one semantically-hot cluster can no longer pin the
+    // stage on one straggler task. The assignment materializes once for
+    // the hot-count dimension and both pair sides (the semDedup rule).
+    // The final top-k is a TakeOrderedAndProject over narrow (i, j, sim)
+    // triples.
     Q("i24_embed_near_dup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val cent = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-        val assigned = assignToCentroids(emb, cent)
-        val a = assigned.select(col("cid"), col("vec_id").as("i"), col("embedding").as("ea"))
-        val b = assigned.select(col("cid").as("cid2"), col("vec_id").as("j"), col("embedding").as("eb"))
-        a.join(b, col("cid") === col("cid2") && col("i") < col("j"))
+        val assigned = assignToCentroids(emb, cent).localCheckpoint(true)
+        saltedSelfPairs(
+            assigned.select(col("cid"), col("vec_id"), col("embedding")), "cid")
           .select(col("cid"), col("i"), col("j"),
             round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
           .orderBy(col("sim").desc, col("i"), col("j")).limit(20)
@@ -1451,11 +1468,13 @@ object PipelineOps {
     // fixture's cosine range so every stage runs non-vacuously (the
     // random-vector fixture tops out ≈0.51; a production run sets θ to
     // its dup band, the machinery is θ-independent). Scale: candidates
-    // are bounded by IVF cluster size exactly like i24 (a hot cluster
-    // salts like labelPairs); the assignment is materialized ONCE for its
-    // three consumers (both pair sides + the final anti-join) — the
-    // persisted assignment table of a real pipeline; the component
-    // resolver and the apply step move 8-byte ids only, never vectors.
+    // are bounded by IVF cluster size exactly like i24, and a hot
+    // cluster SALTS via the shared saltedSelfPairs helper (asserted ≡
+    // unsalted under a manufactured hot cluster in SkewSpec); the
+    // assignment is materialized ONCE for its four consumers (hot-count
+    // dim + both pair sides + the final anti-join) — the persisted
+    // assignment table of a real pipeline; the component resolver and
+    // the apply step move 8-byte ids only, never vectors.
     Q("i29_semdedup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

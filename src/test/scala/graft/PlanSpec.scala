@@ -244,16 +244,22 @@ class PlanSpec extends SparkTestBase {
       s"exactly one shuffle (the (cid,pos) partial-agg exchange), got $hashShuffles:\n$p")
   }
 
-  test("i24: candidate pairs come from the cluster equi-join; top-k never full-sorts") {
+  test("i24: salted cluster equi-join over one materialized assignment; top-k never full-sorts") {
     val p = plan(Registry.byId("i24_embed_near_dup").build(spark, dir))
-    // The assignment stage legitimately plans BroadcastNestedLoopJoins
-    // (the 1-row centroid-array broadcast, once per self-join side); the
-    // PAIR join itself must stay a cid equi-join — so the BNLJ count must
-    // not exceed the two assignment broadcasts, and no CartesianProduct
-    // may appear anywhere.
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(!p.contains("CartesianProduct") && bnlj <= 2,
-      s"pair candidates must be the cid equi-join, never all-pairs (bnlj=$bnlj):\n$p")
+    // The assignment materializes ONCE (localCheckpoint) for the
+    // hot-count dimension and both pair sides, so the plan reads the
+    // checkpoint and re-runs no centroid broadcast; the PAIR join itself
+    // must stay a (cid, salt) equi-join — no CartesianProduct, no BNLJ.
+    assert(p.contains("Scan ExistingRDD"),
+      s"the assignment must be a materialized scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair candidates must be the cid equi-join, never all-pairs:\n$p")
+    // The hot-cluster salt machinery is structurally present: the right
+    // side replicates over the per-cluster salt count (explode over
+    // sequence), the left side buckets by the vec_id hash.
+    assert(p.contains("sequence(0") && p.contains("xxhash64"),
+      s"the saltedSelfPairs shape must be wired into i24:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-20 must plan as TakeOrderedAndProject, not a full sort:\n$p")
   }

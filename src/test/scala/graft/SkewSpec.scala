@@ -52,4 +52,33 @@ class SkewSpec extends SparkTestBase {
     assertSameRows(salted, unsalted)
     assert(salted.count() == 200L * 199 / 2 + 10 * 3)
   }
+
+  test("semdedup cluster self-join: salted == unsalted under a manufactured hot cluster") {
+    // 150 vectors pile onto centroid 0 (the semantically-hot cluster a
+    // fixed-k codebook can't bound), 10 land on centroid 1. Vectors are
+    // v_i = [1, i/100, 0, 0], so sim(i,j) = round(1 + ij/1e4, 3) and
+    // θ=1.5 keeps a nontrivial transitive edge set (only large-i pairs
+    // connect) — drops, keeps and component resolution all exercise.
+    val hot = (0 until 150).map { i =>
+      (i.toLong, Seq(1f, i / 100f, 0f, 0f))
+    }
+    val cold = (0 until 10).map { i =>
+      ((1000 + i).toLong, Seq(i / 100f, 1f, 0f, 0f))
+    }
+    val e = (hot ++ cold).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cent = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))).toDF("cid", "cemb")
+      .withColumn("cemb", col("cemb").cast("array<float>"))
+    // Threshold 100 forces ONLY cluster 0 onto the salted path (g=16);
+    // cluster 1 stays on the g=1 plain path in the same run.
+    val salted = PipelineOps.semDedup(e, cent, 1.5, hotThreshold = 100, salts = 16)
+    val unsalted = PipelineOps.semDedup(e, cent, 1.5, hotThreshold = Long.MaxValue)
+    assertSameRows(salted, unsalted)
+    // The drop is real: θ=1.5 connects i·j ≥ 5000 pairs, so high-i
+    // vectors collapse into one component and survivors < 160.
+    val n = salted.count()
+    assert(n < 160 && n > 10, s"expected a non-vacuous drop, kept $n")
+  }
 }
