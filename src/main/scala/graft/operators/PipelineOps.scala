@@ -83,6 +83,27 @@ object PipelineOps {
 
   // ------------------------------------------------------------ ANN core
 
+  /** The IVF family's shared parameters — ONE definition for the five
+    * registry consumers (i10/i20/i24/i28/i29) that previously hard-coded
+    * `vec_id < 8` / `nprobe = 2` / `vec_id < 20` at each site. The
+    * registry values are part of the oracle contract (the DuckDB CTEs
+    * fix the same constants), so changing them is a cross-engine edit;
+    * the OPERATORS themselves take the params as arguments and are
+    * property-tested at a second (k, nprobe) — nprobe = k must degrade
+    * IVF to exact brute force (PipelineSpec).
+    */
+  final case class IvfParams(k: Int, nprobe: Int, nQueries: Int)
+  private[graft] val ivfParams: IvfParams = IvfParams(k = 8, nprobe = 2, nQueries = 20)
+
+  /** The deterministic stub codebook: the first `k` corpus vectors as
+    * (cid, cemb). The training path that replaces it is [[trainCodebook]]
+    * (iterated i23 Lloyd steps); both produce the same shape, so every
+    * IVF consumer is codebook-agnostic.
+    */
+  private[graft] def stubCodebook(emb: DataFrame, k: Int): DataFrame =
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+
   /** The k-row centroid table collapsed to a ONE-row array of
     * (cid, cemb) structs — the broadcastable form of the codebook. The
     * global collect_list runs over k rows (an Exchange SinglePartition of
@@ -260,26 +281,24 @@ object PipelineOps {
       .select(col("vec_id"), col("embedding"),
         (-col("best").getField("ncid")).as("cid"))
 
-  /** The i20 batch-ANN pipeline (20 queries, nprobe=2 routing, per-query
-    * top-3): factored out so the recall evaluation (i28) scores the SAME
-    * plan the i20 registry entry ships — an eval that re-derived its own
-    * IVF path could silently drift from the one being graded. Output:
-    * (qid, rank, vec_id, sim), unordered.
+  /** The batch-ANN pipeline (per-query nprobe routing + top-3), fully
+    * parameterized over corpus, codebook, query batch and nprobe:
+    * factored out so the recall evaluation (i28) scores the SAME plan
+    * the i20 registry entry ships — an eval that re-derived its own IVF
+    * path could silently drift from the one being graded — and so the
+    * property tests can run it at a second (k, nprobe) and against a
+    * trained codebook. Output: (qid, rank, vec_id, sim), unordered.
     */
-  private def annBatchTop3(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cent = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+  private[graft] def annBatchTop3(emb: DataFrame, cent: DataFrame,
+      queries: DataFrame, nprobe: Int): DataFrame = {
     val assigned = assignToCentroids(emb, cent)
-    val queries = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    // nprobe=2 routing, same shuffle-free shape as the assignment:
-    // sort the 8 inline scores, keep two — no per-qid window needed.
+    // nprobe routing, same shuffle-free shape as the assignment: sort
+    // the k inline scores, keep nprobe — no per-qid window needed.
     val probes = queries.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
         struct(
           (-round(VectorFunctions.dot(col("qemb"), c.getField("cemb")), 6)).as("nqd"),
-          c.getField("cid").as("cid")))), 1, 2))
+          c.getField("cid").as("cid")))), 1, nprobe))
       .select(col("qid"), col("qemb"), explode(col("pr")).as("p"))
       .select(col("qid"), col("qemb"), col("p").getField("cid").as("cid"))
     assigned.join(broadcast(probes), Seq("cid"))
@@ -290,6 +309,91 @@ object PipelineOps {
       .filter(col("rank") <= 3)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("sim"))
+  }
+
+  /** The registry instantiation of [[annBatchTop3]]: stub codebook at
+    * the shared [[ivfParams]].
+    */
+  private def annBatchTop3(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    annBatchTop3(emb, stubCodebook(emb, ivfParams.k),
+      queryBatch(emb, ivfParams.nQueries), ivfParams.nprobe)
+  }
+
+  private[graft] def queryBatch(emb: DataFrame, nQueries: Int): DataFrame =
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+
+  /** Per-query recall@3 of the IVF path against exact brute force over
+    * the query batch — the i28 body, parameterized so the trained-vs-stub
+    * codebook comparison (PipelineSpec) scores the same plan the
+    * registry grades. Output: (qid, n_hit, recall), unordered.
+    */
+  private[graft] def annRecall(emb: DataFrame, cent: DataFrame,
+      queries: DataFrame, nprobe: Int): DataFrame = {
+    val exact = emb.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val hits = annBatchTop3(emb, cent, queries, nprobe)
+      .join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / 3.0, 4).as("recall"))
+  }
+
+  /** TRAIN the IVF codebook by iterating the i23 Lloyd step to a checked
+    * fixpoint — the loop the single-step registry entry documents as
+    * belonging to the caller. Each round is the registry's exact
+    * machinery: shuffle-free broadcast-argmax assignment, then
+    * micro-quantized (cid, pos) member means (round(v·1e6) int64 sums —
+    * order-free and exact, the i23 rule), collected back into a k-row
+    * codebook. Convergence = the QUANTIZED mean table reproduces itself
+    * (count + one anti-join emptiness probe — only scalars reach the
+    * driver, the clusterLabels pattern); quantization makes the fixpoint
+    * well-defined where raw-double means could oscillate in the last
+    * ulp. Empty clusters keep their previous centroid. Per-round
+    * localCheckpoint keeps lineage flat; transient storage is one k·dim
+    * mean table per round. At 100 TB each round is one linear corpus
+    * pass whose only shuffle carries ≤ k·dim·partitions partial rows.
+    */
+  private[graft] def trainCodebook(emb: DataFrame, k: Int,
+      maxIters: Int = 16): DataFrame = {
+    def quantMeans(cent: DataFrame): DataFrame =
+      assignToCentroids(emb, cent)
+        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), col("pos"),
+          round(col("col").cast("double") * 1e6).cast("long").as("vq"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("vq")).as("sq"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          round(col("sq").cast("double") / col("n")).cast("long").as("mq"))
+    def toCodebook(q: DataFrame, prev: DataFrame): DataFrame = {
+      val trained = q.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mq")))),
+          s => (s.getField("mq").cast("double") / 1e6).cast("float")).as("cemb"))
+      trained.union(prev.join(trained, Seq("cid"), "left_anti"))
+    }
+    var cent = stubCodebook(emb, k).localCheckpoint(true)
+    var prevQ: Option[DataFrame] = None
+    var prevCnt = -1L
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val q = quantMeans(cent).localCheckpoint(true)
+      val cnt = q.count()
+      converged = prevQ.exists(p => cnt == prevCnt &&
+        q.join(p, Seq("cid", "pos", "mq"), "left_anti").limit(1).count() == 0L)
+      if (!converged) cent = toCodebook(q, cent).localCheckpoint(true)
+      prevQ = Some(q)
+      prevCnt = cnt
+      iters += 1
+    }
+    cent
   }
 
   // ------------------------------------------------------------ minhash
@@ -839,13 +943,12 @@ object PipelineOps {
     Q("i10_ann_ivf",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cent = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val cent = stubCodebook(emb, ivfParams.k)
         val assigned = assignToCentroids(emb, cent)
         val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
         val probe = cent.crossJoin(broadcast(qv))
           .select(col("cid"), round(VectorFunctions.dot(col("cemb"), col("qemb")), 6).as("qd"))
-          .orderBy(col("qd").desc, col("cid")).limit(2).select("cid")
+          .orderBy(col("qd").desc, col("cid")).limit(ivfParams.nprobe).select("cid")
         assigned.join(broadcast(probe), "cid")
           .crossJoin(broadcast(qv))
           .select(col("vec_id"),
@@ -900,20 +1003,8 @@ object PipelineOps {
     Q("i28_ann_recall",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val queries = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-        val exact = emb.crossJoin(broadcast(queries))
-          .select(col("qid"), col("vec_id"),
-            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
-        val hits = annBatchTop3(s, dir).join(exact, Seq("qid", "vec_id"))
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-        queries.select(col("qid")).join(hits, Seq("qid"), "left")
-          .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            round(coalesce(col("n_hit"), lit(0L)) / 3.0, 4).as("recall"))
+        annRecall(emb, stubCodebook(emb, ivfParams.k),
+          queryBatch(emb, ivfParams.nQueries), ivfParams.nprobe)
           .orderBy("qid")
       },
       Some(sql(s"""WITH $annBatchCte,
@@ -1335,8 +1426,7 @@ object PipelineOps {
     Q("i23_kmeans_step",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cent = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val cent = stubCodebook(emb, ivfParams.k)
         assignToCentroids(emb, cent)
           .select(col("cid"), posexplode(col("embedding")))
           .select(col("cid"), col("pos").cast("long").as("pos"),
@@ -1436,8 +1526,7 @@ object PipelineOps {
     Q("i24_embed_near_dup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cent = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val cent = stubCodebook(emb, ivfParams.k)
         val assigned = assignToCentroids(emb, cent).localCheckpoint(true)
         saltedSelfPairs(
             assigned.select(col("cid"), col("vec_id"), col("embedding")), "cid")
@@ -1478,9 +1567,7 @@ object PipelineOps {
     Q("i29_semdedup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cent = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-        semDedup(emb, cent, 0.4).orderBy("vec_id")
+        semDedup(emb, stubCodebook(emb, ivfParams.k), 0.4).orderBy("vec_id")
       },
       Some(sql(s"""WITH RECURSIVE $centroidAssignCte,
                   | pairs AS (

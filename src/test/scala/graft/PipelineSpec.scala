@@ -55,6 +55,48 @@ class PipelineSpec extends SparkTestBase {
       again.map(f => (f.doc_id, f.frame_idx, f.frame.toSeq)).toSet)
   }
 
+  test("ANN family at a second (k, nprobe): nprobe = k degrades IVF to exact brute force") {
+    // The params are one factored ivfParams at the registry sites, but
+    // the operators themselves take (k, nprobe) — at nprobe = k the IVF
+    // path probes every cluster, so candidates = the whole corpus and
+    // the result must equal brute-force top-3 exactly (same rounding,
+    // same tie-breaks). Run at (k=5, nprobe=5), not the registry (8, 2).
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = PipelineOps.queryBatch(emb, 7)
+    val ivf = PipelineOps.annBatchTop3(
+      emb, PipelineOps.stubCodebook(emb, 5), q, nprobe = 5)
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("sim"))
+    assertSameRows(ivf, exact)
+    // ...and the recall evaluation agrees: every query scores 1.0.
+    val rec = PipelineOps.annRecall(
+      emb, PipelineOps.stubCodebook(emb, 5), q, nprobe = 5)
+    assert(rec.filter(col("recall") =!= 1.0).count() == 0)
+    assert(rec.count() == 7)
+  }
+
+  test("trained codebook: Lloyd iteration does not lose recall@3 vs the stub codebook") {
+    // trainCodebook iterates the i23 step to a quantized fixpoint; the
+    // measurement that justifies training is the i28 recall eval run on
+    // the SAME factored plan with each codebook.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = PipelineOps.queryBatch(emb, 20)
+    def hits(cent: org.apache.spark.sql.DataFrame): Long =
+      PipelineOps.annRecall(emb, cent, q, nprobe = 2)
+        .agg(sum(col("n_hit"))).head.getLong(0)
+    val stub = hits(PipelineOps.stubCodebook(emb, 8))
+    val trained = hits(PipelineOps.trainCodebook(emb, 8))
+    assert(trained >= stub,
+      s"training must not lose recall: trained=$trained stub=$stub")
+  }
+
   test("minhash: identical texts yield identical signatures, sketch is 8-wide") {
     val docs = Seq(
       (1L, "alpha beta gamma", "s0"),
