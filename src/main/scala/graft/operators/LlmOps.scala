@@ -245,15 +245,23 @@ object LlmOps {
   /** The i30 fuzzy-join logic over any (doc_id, source, text) frame:
     * docs at or past `boundary` are the probe side, docs below it the
     * base side; each probe links to its best (max rounded-Jaccard,
-    * min-id tiebreak) base match with token-set J ≥ 0.5. Candidates come
-    * from the corpus-wide lossless θ=0.5 prefix filter (each side
-    * explodes its first n − ceil(n/2) + 1 hash-ordered tokens); the
-    * prefix formula is θ-specific, so θ is fixed here. Factored out of
-    * the registry entry so the match/no-match/tiebreak paths are
-    * testable on crafted docs. Output: (probe_id, match_id, jaccard),
-    * unordered.
+    * min-id tiebreak) base match with token-set J ≥ θ. Candidates come
+    * from the corpus-wide LOSSLESS prefix filter at θ: under the fixed
+    * xxhash64 token order, J(A,B) ≥ θ forces a shared token inside each
+    * side's first n − ceil(θ·n) + 1 hash-ordered tokens (pigeonhole —
+    * the same arithmetic as i2's θ=0.9 form), so each side explodes only
+    * that prefix. θ arrives as TENTHS (5 ⇒ 0.5, the registry's value;
+    * 9 ⇒ i2's 0.9) because ceil(θ·n) must be integer-exact —
+    * `(n·t + 9) div 10` — where a double ceil mis-rounds at exact
+    * multiples (SURVEY §7 H2; PropertySpec proves the filter lossless at
+    * θ ∈ {0.5, 0.7, 0.9}). Factored out of the registry entry so the
+    * match/no-match/tiebreak paths are testable on crafted docs.
+    * Output: (probe_id, match_id, jaccard), unordered.
     */
-  def fuzzyJoin(docs: DataFrame, boundary: Long): DataFrame = {
+  def fuzzyJoin(docs: DataFrame, boundary: Long, thetaTenths: Int = 5): DataFrame = {
+    require(thetaTenths >= 1 && thetaTenths <= 10,
+      s"theta must be in tenths within [1,10], got $thetaTenths")
+    val theta = thetaTenths / 10.0
     // One tokenize pass for its three consumers (both group tables + the
     // final expand), the nearDupPairs materialization rule.
     val sets = hashedTokenSets(docs).localCheckpoint(true)
@@ -284,9 +292,11 @@ object LlmOps {
     val probeG = probes.filter(col("doc_id") === col("pg"))
       .select(col("rks"), col("pg"))
       .withColumn("n_tok", size(col("rks")).cast("long"))
-    // Lossless θ=0.5 prefix filter between the GROUP tables (the i2/i13
-    // pigeonhole under the xxhash64 token order).
-    val prefixLen = (col("n_tok") - ((col("n_tok") + 1) / 2).cast("long") + 1)
+    // Lossless θ prefix filter between the GROUP tables (the i2/i13
+    // pigeonhole under the xxhash64 token order): n − ceil(θ·n) + 1,
+    // with ceil(θ·n) as the integer-exact (n·t + 9) div 10.
+    val prefixLen = (col("n_tok") -
+      ((col("n_tok") * thetaTenths + 9) / 10).cast("long") + 1)
     def prefixed(g: DataFrame, id: String) = g.select(col(id),
       explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
     val cand = prefixed(baseG, "match_id").alias("a")
@@ -306,7 +316,7 @@ object LlmOps {
     // dup-heavy data).
     val best = cand.join(bg, "match_id").join(pg, "pg")
       .withColumn("inter", inter)
-      .filter(jac >= 0.5)
+      .filter(jac >= theta)
       .select(col("pg"), struct(round(jac, 3).as("jaccard"),
         (-col("match_id")).as("nmid")).as("sc"))
       .groupBy(col("pg")).agg(max(col("sc")).as("sc"))

@@ -190,6 +190,48 @@ class PropertySpec extends SparkTestBase {
         s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
   }
 
+  test("fuzzy join prefix filter is lossless at theta in {0.5, 0.7, 0.9}") {
+    // The θ-general prefix length n − ceil(θ·n) + 1 must lose no
+    // qualifying pair at ANY supported θ: on random dup-heavy corpora
+    // the operator's output equals the naive all-pairs doc-level model
+    // recomputed at the same θ — every probe with a ≥ θ match links to
+    // its argmax (max rounded J, min-id tiebreak), no probe is missing,
+    // none is extra. Runs the SAME generated corpus through all three
+    // θs so a filter that over-prunes at one θ can't hide.
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, word))
+    val boundary = 100L
+    val baseDocs = sample(docGen, 40, seed = 31L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, s"s${i % 3}", ws.mkString(" ")) }
+    val probeDocs = sample(docGen, 30, seed = 32L).zipWithIndex
+      .map { case (ws, i) => (boundary + i, s"s${i % 3}", ws.mkString(" ")) }
+    val df = (baseDocs ++ probeDocs).toDF("doc_id", "source", "text")
+    val sets = (baseDocs ++ probeDocs)
+      .map { case (id, _, t) => id -> t.split(" ").toSet }.toMap
+    for (tt <- Seq(5, 7, 9)) {
+      val theta = tt / 10.0
+      val got = LlmOps.fuzzyJoin(df, boundary, thetaTenths = tt)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      def jac3(a: Long, b: Long): Double = {
+        val (x, y) = (sets(a), sets(b))
+        BigDecimal(x.intersect(y).size.toDouble / x.union(y).size)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val want = probeDocs.map(_._1).flatMap { p =>
+        val cands = baseDocs.map(_._1)
+          .filter(b => sets(p).intersect(sets(b)).size.toDouble /
+            sets(p).union(sets(b)).size >= theta)
+          .map(b => (jac3(p, b), b))
+        if (cands.isEmpty) None
+        else Some(p -> cands.minBy { case (j, b) => (-j, b) }.swap)
+      }.toMap
+      assert(got == want,
+        s"theta=$theta: missing=${(want.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- want.keySet).take(3)} " +
+          s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+    }
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     val word = Gen.oneOf("x", "y", "z")
     val docGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word))
@@ -224,6 +266,56 @@ class PropertySpec extends SparkTestBase {
     // One component, canon = global min, size = n for every node.
     assert(got.select("canon_id").distinct().as[Long].collect().toSeq == Seq(0L))
     assert(got.select("cluster_size").distinct().as[Long].collect().toSeq == Seq(n))
+  }
+
+  test("cluster resolution: mixed chains + cliques converge within 3·log2(n) rounds and match union-find") {
+    // The shape a template-spam corpus produces: a few dense cliques
+    // (mass-duplicated boilerplate) wired together by long transitive
+    // chains (drifting near-copies). Generated shapes mix pure chains,
+    // pure cliques, and cliques threaded onto chains; the round budget
+    // is pinned at 3·ceil(log2(n)) — the Kiveris bound with slack —
+    // so a regression to diameter-bounded propagation fails the
+    // require() inside clusterLabels, and labels must equal union-find.
+    val shapeGen = for {
+      kind <- Gen.oneOf(0, 1, 2)
+      size <- Gen.choose(3, 50)
+    } yield (kind, size)
+    val comps = sample(shapeGen, 10, seed = 41L)
+    var off = 0L
+    val edges = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    comps.foreach { case (kind, size0) =>
+      val size = if (kind == 1) math.min(size0, 12) else size0
+      val ids = (0 until size).map(i => off + i)
+      if (kind != 1) // chain backbone
+        ids.sliding(2).foreach { w => edges += ((w.head, w.last)) }
+      if (kind != 0) { // dense clique (whole component or the chain head)
+        val cl = if (kind == 1) ids else ids.take(math.min(6, size))
+        for (a <- cl; b <- cl if a < b) edges += ((a, b))
+      }
+      off += size
+    }
+    // Deterministically flip orientations — input order must not matter.
+    val df = edges.zipWithIndex
+      .map { case ((a, b), i) => if (i % 2 == 0) (a, b) else (b, a) }
+      .toSeq.toDF("doc_id1", "doc_id2")
+    val n = off
+    val maxR = 3 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1))
+    val got = LlmOps.nearDupClusters(df, maxRounds = maxR)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = (0L until n).toSeq
+    val canon = nodes.map(x => x -> find(x)).toMap
+    val sizes = canon.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = nodes.map(x => (x, canon(x), sizes(canon(x))))
+      .toDF("doc_id", "canon_id", "cluster_size")
+    assertSameRows(got, expected)
   }
 
   test("cluster resolution matches union-find on random multi-component graphs") {
