@@ -512,6 +512,59 @@ object LlmOps {
                   | WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 2)
                   | ORDER BY doc_id"""))),
 
+    // The dedup lifecycle COMPOSED as one declarative plan — the
+    // production shape the separate i15/i18/i31 registry entries stand
+    // in for (each re-derives the pair pipeline because registry
+    // queries run isolated; a real pipeline computes it once): ONE
+    // query emits, per document, the full dedup verdict — component
+    // canonical, cluster size, within-cluster rank, and the K=2
+    // frequency-cap keep flag. Every downstream consumer is a filter
+    // over this table: resolution (i15) = the cluster_size > 1 rows,
+    // full-dedup apply (i18) = rnk = 1, capped apply (i31) = kept = 1 —
+    // PipelineSpec pins all three laws. The sketch and pair tables
+    // materialize exactly once (the nearDupPairs/clusterLabels
+    // checkpoints); the corpus parquet is read once more only to list
+    // doc ids (PlanSpec pins the single scan) — the expensive text
+    // tokenize never re-runs. The verdict join moves 8-byte ids; the
+    // rank/size windows partition by component, cluster-bounded.
+    Q("i32_dedup_e2e",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val byLbl = Window.partitionBy(col("lbl"))
+        val ranked = clusterLabels(nearDupPairs(docs))
+          .withColumn("rnk", row_number().over(byLbl.orderBy(col("doc_id"))))
+          .withColumn("cluster_size", count(lit(1)).over(byLbl).cast("long"))
+        docs.select(col("doc_id"))
+          .join(ranked, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("canon_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+            coalesce(col("rnk"), lit(1)).cast("long").as("rnk"),
+            when(coalesce(col("rnk"), lit(1)) <= 2, 1L).otherwise(0L).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                  | edges AS (
+                  |   SELECT doc_id1 AS s, doc_id2 AS d FROM nd
+                  |   UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                  | reach(doc_id, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.doc_id),
+                  | lbl AS (SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id),
+                  | ranked AS (
+                  |   SELECT doc_id, canon_id,
+                  |     row_number() OVER (PARTITION BY canon_id ORDER BY doc_id) AS rnk,
+                  |     count(*) OVER (PARTITION BY canon_id) AS cluster_size
+                  |   FROM lbl)
+                  | SELECT d.doc_id,
+                  |   coalesce(r.canon_id, d.doc_id) AS canon_id,
+                  |   coalesce(r.cluster_size, 1)::BIGINT AS cluster_size,
+                  |   coalesce(r.rnk, 1)::BIGINT AS rnk,
+                  |   (CASE WHEN coalesce(r.rnk, 1) <= 2 THEN 1 ELSE 0 END)::BIGINT AS kept
+                  | FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+                  | ORDER BY d.doc_id"""))),
+
     // INCREMENTAL exact dedup — the shape an ingest pipeline actually
     // runs: a new batch (doc_id ≥ 400 as the deterministic stand-in for
     // "this crawl") arrives against an existing corpus (doc_id < 400),

@@ -97,6 +97,21 @@ class PipelineSpec extends SparkTestBase {
       s"training must not lose recall: trained=$trained stub=$stub")
   }
 
+  test("i32 composed dedup verdict subsumes i15/i18/i31 (resolution, apply, cap laws)") {
+    // The composed entry must be a strict superset view: each of the
+    // three separate dedup entries is a filter over the verdict table.
+    val e2e = Registry.byId("i32_dedup_e2e").build(spark, dir)
+    val i15 = Registry.byId("i15_dedup_clusters").build(spark, dir)
+    assertSameRows(
+      e2e.filter(col("cluster_size") > 1)
+        .select("doc_id", "canon_id", "cluster_size"),
+      i15.select("doc_id", "canon_id", "cluster_size"))
+    val i18 = Registry.byId("i18_dedup_apply").build(spark, dir).select("doc_id")
+    assertSameRows(e2e.filter(col("rnk") === 1).select("doc_id"), i18)
+    val i31 = Registry.byId("i31_dedup_cap").build(spark, dir).select("doc_id")
+    assertSameRows(e2e.filter(col("kept") === 1).select("doc_id"), i31)
+  }
+
   test("minhash: identical texts yield identical signatures, sketch is 8-wide") {
     val docs = Seq(
       (1L, "alpha beta gamma", "s0"),

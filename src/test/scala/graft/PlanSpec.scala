@@ -226,6 +226,19 @@ class PlanSpec extends SparkTestBase {
       s"i20 must shuffle once (candidate top-k), got $hashShuffles:\n$p20")
   }
 
+  test("i32: corpus re-read once for ids; sketch and pairs are materialized scans") {
+    // The composed dedup plan tokenizes the corpus exactly once — into
+    // the checkpointed sketch — so the final plan reads ExistingRDD for
+    // the label table and touches the documents parquet only to list
+    // doc ids (one scan, ids only).
+    val p = plan(Registry.byId("i32_dedup_e2e").build(spark, dir))
+    assert(p.contains("Scan ExistingRDD"),
+      s"labels must come from the materialized pair pipeline:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected exactly 1 documents scan (the id list), got $scans:\n$p")
+  }
+
   test("j5: quantile aggregate keeps a map-side partial phase") {
     val p = plan(Registry.byId("j5_length_quantiles").build(spark, dir))
     assert(p.contains("partial_percentile") || p.contains("partial_"),
