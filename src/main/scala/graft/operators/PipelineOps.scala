@@ -272,7 +272,7 @@ object PipelineOps {
       .select(col("vec_id"), col("cid"))
   }
 
-  private def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(

@@ -340,6 +340,82 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming semantic dedup == batch greedy (stream-static screen + keyed state)") {
+    // The i29 shape run as an ingest: incoming vectors route to their
+    // cluster with the SAME inline broadcast-argmax the batch engine
+    // uses, the static corpus's materialized assignment screens them via
+    // a stream-static anti-join (cosine ≥ θ with any same-cluster corpus
+    // member ⇒ dropped), and within-stream canonical choice is keyed
+    // state per cluster. Crafted geometry makes every stage non-vacuous:
+    // cluster-0 arrivals with a large second component are screened by
+    // the corpus; cluster-1 arrivals never hit the corpus but merge
+    // among THEMSELVES in state. Feed is shuffled: the member-
+    // accumulating fold must reproduce the batch greedy for any order.
+    import graft.streaming.{SemArrival, SemDedupStream}
+    val theta = 1.2
+    val centSeq = Seq(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f))
+    val cent = centSeq.toDF("cid", "cemb")
+    val corpus = (0 until 15).map(i => (i.toLong, Seq(1f, i / 20f, 0f, 0f))) ++
+      (15 until 20).map(i => (i.toLong, Seq((i - 15) / 100f, 1f, 0f, 0f)))
+    val corpusAssigned = PipelineOps.assignToCentroids(
+        corpus.toDF("vec_id", "embedding"), cent)
+      .select(col("cid").as("ccid"), col("embedding").as("cemb2"))
+      .localCheckpoint(true)
+    val arrivals = (100 until 160).map { j =>
+      val a = (j - 100) / 80f
+      if (j % 2 == 0) (j.toLong, Seq(1f, a, 0f, 0f))
+      else (j.toLong, Seq(a, 1f, 0f, 0f))
+    }
+    val feed = new scala.util.Random(53).shuffle(arrivals)
+    val latest = TrieMap.empty[Long, Seq[Long]]
+    Replay.runForeach(spark, feed, 5, OutputMode.Update())(ds => {
+      val assigned = PipelineOps.assignToCentroids(
+        ds.toDF("vec_id", "embedding"), cent)
+      val screened = assigned.join(corpusAssigned,
+        assigned("cid") === col("ccid") &&
+          round(graft.functions.VectorFunctions.dot(
+            assigned("embedding"), col("cemb2")), 3) >= theta,
+        "left_anti")
+      SemDedupStream(
+        screened.select("cid", "vec_id", "embedding").as[SemArrival],
+        theta).toDF()
+    }) { (df, _) =>
+      df.as[(Long, Seq[Long])].collect()
+        .foreach { case (cid, kept) => latest(cid) = kept }
+    }
+    val got = latest.toMap
+
+    // Independent batch twin: model assignment (6dp argmax, min-cid
+    // tiebreak — the engine's exact arithmetic), static screen, then
+    // the greedy fold over each cluster's FULL membership at once.
+    def round3(x: Double): Double =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def assign(v: Seq[Float]): Long =
+      centSeq.map { case (cid, c) => (round6(dot(v, c)), -cid) }.max._2 * -1
+    val corpusByCluster = corpus.groupBy { case (_, v) => assign(v) }
+    val survivors = arrivals.filter { case (_, v) =>
+      val cid = assign(v)
+      !corpusByCluster.getOrElse(cid, Seq.empty)
+        .exists { case (_, cv) => round3(dot(v, cv)) >= theta }
+    }
+    val want = survivors.groupBy { case (_, v) => assign(v) }
+      .map { case (cid, ms) =>
+        cid -> SemDedupStream.greedyKeeps(
+          ms.map { case (id, v) => SemArrival(cid, id, v) }.toSeq, theta)
+      }
+    assert(got == want, s"got=$got want=$want")
+    // Every stage proved non-vacuous: the static screen dropped some
+    // arrivals, and the keyed state merged some survivors.
+    assert(survivors.size < arrivals.size, "static screen must drop")
+    assert(got.values.map(_.size).sum < survivors.size,
+      "within-stream state must merge")
+    assert(got.keySet == Set(0L, 1L))
+  }
+
   test("streaming PII scrub == batch j7 (stateless, arrival-order free)") {
     // Redaction is a pure per-row projection: the SAME expression maps
     // over each micro-batch with no state store, and a shuffled feed
