@@ -279,7 +279,11 @@ object PipelineOps {
           round(VectorFunctions.dot(col("embedding"), c.getField("cemb")), 6).as("cd"),
           (-c.getField("cid")).as("ncid")))))
       .select(col("vec_id"), col("embedding"),
-        (-col("best").getField("ncid")).as("cid"))
+        (-col("best").getField("ncid")).as("cid"),
+        // The winning similarity rides along for free (it is already in
+        // the argmax struct) — the outlier screen (i33) reads it; every
+        // other consumer projects it away before its first shuffle.
+        col("best").getField("cd").as("best_sim"))
 
   /** The batch-ANN pipeline (per-query nprobe routing + top-3), fully
     * parameterized over corpus, codebook, query batch and nprobe:
@@ -933,6 +937,60 @@ object PipelineOps {
                  | FROM base b JOIN agg USING (source) JOIN top USING (source)
                  | ORDER BY b.source"""))),
 
+    // Corpus bigram-LM quality scoring — the CCNet-shape statistical
+    // filter: score each doc by how predictable its bigrams are under
+    // the corpus's own bigram model (score(w1,w2) = c(w1w2)/c(w1·), the
+    // conditional MLE), so template spam scores high, token salad
+    // scores low — the model-based companion to j2's rule-based
+    // heuristics. Cross-engine exactness: each occurrence's score is
+    // ONE double division of exact integer counts, micro-quantized to
+    // int64 (round(1e6·p), the i23 rule) so the per-doc SUM is
+    // order-free and exact; one division + round at the end. ln()-based
+    // perplexity is NOT bit-portable (the i26 rule) and any monotone
+    // transform ranks identically. Scale: both count tables are
+    // vocabulary-bounded (they broadcast onto the occurrence stream —
+    // no corpus-side shuffle for the joins); occurrences carry 8-byte
+    // xxhash64 keys, never strings (the i13 rule — counts are
+    // hash-invariant, the oracle joins raw bigrams); the only
+    // corpus-sized shuffles are the two count partial-aggs and the
+    // per-doc rollup, all on 8-byte keys with map-side combine.
+    Q("j10_bigram_lm",
+      (s, dir) => {
+        // ONE tokenize pass for the three consumers (both count tables
+        // + the scoring spine) — the nearDupPairs materialization rule;
+        // the occurrence table carries (doc_id, two 8-byte hashes).
+        val occ = t(s, dir, "documents")
+          .select(col("doc_id"), explode(gramZip(col("text"), 2)).as("z"))
+          .select(col("doc_id"),
+            xxhash64(col("z.0"), col("z.1")).as("bk"),
+            xxhash64(col("z.0")).as("uk"))
+          .localCheckpoint(true)
+        val c2 = occ.groupBy(col("bk")).agg(count(lit(1)).as("c2"))
+        val c1 = occ.groupBy(col("uk")).agg(count(lit(1)).as("c1"))
+        occ.join(broadcast(c2), "bk").join(broadcast(c1), "uk")
+          .select(col("doc_id"),
+            round(lit(1e6) * col("c2") / col("c1")).cast("long").as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sq").cast("double") / col("n_bigrams") / 1e6, 4).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH occ AS (
+                 |   SELECT doc_id,
+                 |     unnest(list_transform(range(1, len(toks)),
+                 |       i -> toks[i] || ' ' || toks[i+1])) AS bg
+                 |   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+                 | o2 AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1, bg FROM occ),
+                 | c2 AS (SELECT bg, count(*) AS c2 FROM o2 GROUP BY bg),
+                 | c1 AS (SELECT w1, count(*) AS c1 FROM o2 GROUP BY w1),
+                 | q AS (
+                 |   SELECT doc_id, round(1e6 * c2.c2 / c1.c1)::BIGINT AS q
+                 |   FROM o2 JOIN c2 USING (bg) JOIN c1 USING (w1))
+                 | SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                 |   round(sum(q)::DOUBLE / count(*) / 1e6, 4) AS lm_score
+                 | FROM q GROUP BY doc_id ORDER BY doc_id"""))),
+
     // IVF-routed ANN: k=8 centroids (vec_id<8 as the deterministic
     // "trained" codebook), each vector assigned to its nearest centroid
     // (6dp-rounded dot, centroid-id tie-break), query probes its nprobe=2
@@ -1504,6 +1562,36 @@ object PipelineOps {
                  |   sum(round((v - q * amax / 127.0) * (v - q * amax / 127.0) * 1e12)::BIGINT)::BIGINT AS e2sum,
                  |   round(max(amax), 6) AS amax6
                  | FROM qx GROUP BY vec_id ORDER BY vec_id"""))),
+
+    // Semantic OUTLIER screen — the pruning companion of semantic dedup
+    // (SemDeDup prunes redundancy; this prunes noise): a vector whose
+    // best-centroid similarity falls below τ belongs to no semantic
+    // cluster — OCR garbage, binary-in-text, wrong-modality rows — and
+    // a curation run drops or quarantines it before training. The
+    // winning similarity is ALREADY computed inside the assignment
+    // argmax (i10's broadcast-array inline form), so the screen costs
+    // the assignment pass alone: a narrow codegen scan + filter with
+    // ZERO hash shuffles (PlanSpec) — the i21 shape in vector space.
+    // τ = 0.1 sits well inside the fixture's best-sim distribution
+    // (median ≈ 0.17, nearest value 5e-5 away from the cut at every
+    // SF), flagging ~14% of vectors; production sets τ from the
+    // distribution j-profile style. Both engines compare the SAME
+    // 6dp-rounded double to the same literal.
+    Q("i33_embed_outliers",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        assignToCentroids(emb, stubCodebook(emb, ivfParams.k))
+          .filter(col("best_sim") < 0.1)
+          .select(col("vec_id"), col("cid"), col("best_sim"))
+          .orderBy("vec_id")
+      },
+      Some(sql(s"""WITH $centroidAssignCte,
+                 | best AS (SELECT vec_id, max(cd) AS best_sim
+                 |   FROM adot GROUP BY vec_id)
+                 | SELECT a.vec_id, a.cid, b.best_sim
+                 | FROM assigned a JOIN best b USING (vec_id)
+                 | WHERE b.best_sim < 0.1
+                 | ORDER BY a.vec_id"""))),
 
     // Embedding-cosine near-dup — the vector-space member of the dedup
     // family (token-based: i2/i9/i13/i14): candidate pairs come from the

@@ -239,6 +239,29 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly 1 documents scan (the id list), got $scans:\n$p")
   }
 
+  test("i33: outlier screen is a pure scan-side filter — no hash shuffle at all") {
+    // The best-centroid similarity is already inside the assignment
+    // argmax, so the screen plans as broadcast codebook + narrow filter
+    // + output sort: no Exchange hashpartitioning anywhere (the i21
+    // shape in vector space).
+    val p = plan(Registry.byId("i33_embed_outliers").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the outlier screen must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"no window in the screen:\n$p")
+  }
+
+  test("j10: count tables broadcast onto the occurrence stream; corpus tokenized once") {
+    val p = plan(Registry.byId("j10_bigram_lm").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary-bounded count tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the occurrence stream must never sort-merge:\n$p")
+    // All three consumers read the materialized occurrence table — the
+    // documents parquet appears nowhere in the final plan.
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      s"the occurrence table must be materialized once:\n$p")
+  }
+
   test("j5: quantile aggregate keeps a map-side partial phase") {
     val p = plan(Registry.byId("j5_length_quantiles").build(spark, dir))
     assert(p.contains("partial_percentile") || p.contains("partial_"),
