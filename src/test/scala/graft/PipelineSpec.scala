@@ -112,6 +112,39 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(e2e.filter(col("kept") === 1).select("doc_id"), i31)
   }
 
+  test("trained codebook keeps empty clusters on their previous centroid") {
+    // Crafted 2-D geometry: every vector sits near [1, 0], so centroids
+    // 1 and 2 win nothing — training must return a full k-row codebook
+    // with the loser centroids unchanged and the winner moved to its
+    // member mean.
+    val emb = (0 until 20).map(i => (i.toLong, Seq(1f, i / 100f)))
+      .toDF("vec_id", "embedding")
+    val cent0 = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(-1f, 0f)))
+      .toDF("cid", "cemb")
+    val trained = PipelineOps.trainCodebook(
+        emb.withColumn("embedding", col("embedding").cast("array<float>")),
+        k = 3, maxIters = 8)
+    // trainCodebook derives its stub from vec_id < k, so drive the loop
+    // pieces directly instead: one toCodebook round via the public API
+    // is not exposed — assert through a full train on a frame whose
+    // first k=3 rows ARE the crafted centroids.
+    val emb2 = (Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(-1f, 0f))) ++
+      (10 until 30).map(i => (i.toLong, Seq(1f, i / 100f))))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val t2 = PipelineOps.trainCodebook(emb2, k = 3, maxIters = 8)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(t2.size == 3, s"codebook must stay k-row: $t2")
+    // Centroid 2 ([-1,0]) attracts nothing (every vector has positive
+    // first component; centroid 1 keeps its self-assigned member) — it
+    // must survive unchanged.
+    assert(t2(2L) == Seq(-1f, 0f), s"empty cluster must keep its centroid: ${t2(2L)}")
+    // Centroid 0 moved toward its members' mean second component.
+    assert(t2(0L)(1) > 0f, s"winner must move to the member mean: ${t2(0L)}")
+    assert(trained.count() == 3)
+  }
+
   test("minhash: identical texts yield identical signatures, sketch is 8-wide") {
     val docs = Seq(
       (1L, "alpha beta gamma", "s0"),

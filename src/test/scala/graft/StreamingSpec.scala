@@ -416,6 +416,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got.keySet == Set(0L, 1L))
   }
 
+  test("streaming outlier screen == batch i33 (stateless, arrival-order free)") {
+    // The semantic outlier screen is a pure projection + filter against
+    // the broadcast codebook — no state store; the SAME expression maps
+    // over each micro-batch and a shuffled feed reproduces the batch
+    // screen exactly (the i21/j7 rule in vector space).
+    val dir001 = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir001, "embeddings")
+    val cent = PipelineOps.stubCodebook(emb, 8).localCheckpoint(true)
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val feed = new scala.util.Random(61).shuffle(vecs)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.assignToCentroids(ds.toDF("vec_id", "embedding"), cent)
+        .filter(col("best_sim") < 0.1)
+        .select(col("vec_id"), col("cid"), col("best_sim")))
+    val want = Registry.byId("i33_embed_outliers").build(spark, dir001)
+    assertSameRows(got, want)
+    assert(want.count() > 0, "screen must be non-vacuous at sf0.001")
+  }
+
   test("streaming PII scrub == batch j7 (stateless, arrival-order free)") {
     // Redaction is a pure per-row projection: the SAME expression maps
     // over each micro-batch with no state store, and a shuffled feed
