@@ -112,6 +112,29 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(e2e.filter(col("kept") === 1).select("doc_id"), i31)
   }
 
+  test("int8 quantization satisfies the round-to-nearest error bound per element") {
+    // The law the oracled checksum can't express: symmetric round-to-
+    // nearest guarantees |v − q·amax/127| ≤ amax/254 for every element
+    // (half a quantization step) — the bound an ANN shard relies on
+    // when it searches over codes. Checked in the engine's exact
+    // arithmetic (HALF_UP on the scaled double) over every fixture
+    // vector.
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    assert(vecs.nonEmpty)
+    vecs.foreach { case (id, v) =>
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      if (amax > 0) v.foreach { x =>
+        val q = BigDecimal(x.toDouble / amax * 127)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(q) <= 127, s"vec $id: |q| must saturate at 127")
+        val err = math.abs(x.toDouble - q * amax / 127.0)
+        assert(err <= amax / 254.0 + 1e-12,
+          s"vec $id: reconstruction error $err exceeds half-step ${amax / 254.0}")
+      }
+    }
+  }
+
   test("trained codebook keeps empty clusters on their previous centroid") {
     // Crafted 2-D geometry: every vector sits near [1, 0], so centroids
     // 1 and 2 win nothing — training must return a full k-row codebook

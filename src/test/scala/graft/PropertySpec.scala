@@ -232,6 +232,41 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("bigram-LM scoring matches the pure conditional-MLE model on random corpora") {
+    // Third independent check for j10 (the oracle shares the SQL shape
+    // with the engine, so a shared blind spot is possible): a pure Scala
+    // model computes corpus bigram counts, per-occurrence micro-
+    // quantized conditional MLE, and the per-doc mean with the same
+    // HALF_UP rounding — every doc must agree to the emitted 4dp.
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = sample(docGen, 50, seed = 51L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Run the registry builder against a staged parquet dir so the
+    // entry's own scan path is what executes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-j10").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byId("j10_bigram_lm").build(spark, dir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // Pure model.
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val occs = docs.flatMap { case (id, _) =>
+      toks(id).sliding(2).filter(_.size == 2).map(p => (id, p.head, p.last))
+    }
+    val c2 = occs.groupBy(o => (o._2, o._3)).view.mapValues(_.size).toMap
+    val c1 = occs.groupBy(_._2).view.mapValues(_.size).toMap
+    def rnd(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = occs.groupBy(_._1).map { case (id, os) =>
+      val qs = os.map(o => rnd(1e6 * c2((o._2, o._3)) / c1(o._2), 0).toLong)
+      id -> (os.size.toLong, rnd(qs.sum.toDouble / os.size / 1e6, 4))
+    }
+    assert(got == want,
+      s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     val word = Gen.oneOf("x", "y", "z")
     val docGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word))
