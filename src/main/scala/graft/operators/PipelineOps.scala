@@ -75,6 +75,36 @@ object PipelineOps {
       md5(red).as("red_fp"))
   }
 
+  /** The j11 text normalization over a (doc_id, text) frame: deterministic
+    * case/punctuation/whitespace NOISE injection (the fixture is already
+    * canonical, so like j7's PII injection the op must manufacture its
+    * own work to be provably non-vacuous — a doc_id-dependent uppercased
+    * prefix plus doc_id-dependent punctuation/space suffixes), then the
+    * canonicalization pass every dedup pipeline runs before
+    * fingerprinting: lowercase → strip non-[a-z0-9 ] → collapse runs of
+    * spaces → trim. Because the raw fixture text is verified canonical
+    * ([a-z0-9 ], single spaces, no edge spaces — checked at all three
+    * SFs), normalization EXACTLY inverts the injected noise:
+    * md5(norm(noised)) = md5(text), the recovery law PipelineSpec pins.
+    * One narrow codegen projection, zero shuffle (the j7 rule); regex
+    * classes behave identically under Java regex and RE2. Shared by the
+    * batch registry entry and the stateless streaming twin.
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val noised = concat(
+      upper(expr("substring(text, 1, cast(doc_id % 4 as int))")),
+      expr("substring(text, cast(doc_id % 4 as int) + 1)"),
+      when(col("doc_id") % 2 === 0, lit("  ,,!!  ")).otherwise(lit(" .?;   ")),
+      expr("lpad('', cast(doc_id % 3 + 1 as int), '.')"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(noised), lit("[^a-z0-9 ]"), lit("")),
+      lit(" +"), lit(" ")))
+    docs.select(col("doc_id"),
+      length(noised).cast("long").as("n_noised"),
+      length(norm).cast("long").as("n_norm"),
+      md5(norm).as("fp_norm"))
+  }
+
   def mixtureSample(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("source"),
         LlmOps.saltedBucket("sample:").as("bucket"),
@@ -842,6 +872,35 @@ object PipelineOps {
     // regexes (simple classes chosen to behave identically under Java
     // regex and RE2) and the redacted text md5 must match. One narrow
     // codegen projection, no shuffle; at 100 TB this is a pure map pass.
+    // Text NORMALIZATION — the canonicalization pass every dedup
+    // pipeline runs before fingerprinting (case/punct/whitespace
+    // variants defeat exact dedup; C4/CCNet-family pipelines normalize
+    // first): lowercase → strip non-alphanumerics → collapse spaces →
+    // trim. The fixture is already canonical, so the op injects
+    // doc_id-dependent case + punctuation noise first (the j7
+    // injection rule) and PipelineSpec pins the recovery law
+    // md5(norm(noised)) = md5(raw). Narrow codegen projection, zero
+    // shuffle (PlanSpec); at 100 TB this is a pure map pass fused into
+    // the scan.
+    Q("j11_normalize",
+      (s, dir) => normalizeText(t(s, dir, "documents")).orderBy("doc_id"),
+      Some(sql("""WITH noised AS (
+                 |   SELECT doc_id,
+                 |     upper(substr(text, 1, (doc_id % 4)::INT)) ||
+                 |     substr(text, (doc_id % 4)::INT + 1) ||
+                 |     (CASE WHEN doc_id % 2 = 0 THEN '  ,,!!  ' ELSE ' .?;   ' END) ||
+                 |     lpad('', (doc_id % 3 + 1)::INT, '.') AS p
+                 |   FROM documents),
+                 | norm AS (
+                 |   SELECT doc_id, p,
+                 |     trim(regexp_replace(
+                 |       regexp_replace(lower(p), '[^a-z0-9 ]', '', 'g'),
+                 |       ' +', ' ', 'g')) AS n
+                 |   FROM noised)
+                 | SELECT doc_id, len(p)::BIGINT AS n_noised,
+                 |   len(n)::BIGINT AS n_norm, md5(n) AS fp_norm
+                 | FROM norm ORDER BY doc_id"""))),
+
     Q("j7_pii_redact",
       (s, dir) => piiRedact(t(s, dir, "documents")).orderBy("doc_id"),
       Some(sql("""WITH pii AS (

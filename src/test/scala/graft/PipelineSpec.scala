@@ -112,6 +112,22 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(e2e.filter(col("kept") === 1).select("doc_id"), i31)
   }
 
+  test("j11 normalization exactly inverts the injected noise (recovery law)") {
+    // The fixture text is canonical ([a-z0-9 ], single spaces), so
+    // lowercase + strip-punct + collapse + trim must recover the raw
+    // text bit-for-bit from the noised form: fp_norm = md5(raw) and
+    // n_norm = len(raw) for EVERY doc — and the injection provably
+    // changed something (n_noised > n_norm everywhere).
+    val docs = Tables.load(spark, dir, "documents")
+    val got = Registry.byId("j11_normalize").build(spark, dir)
+    val want = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_norm"),
+      md5(col("text")).as("fp_norm"))
+    assertSameRows(got.select("doc_id", "n_norm", "fp_norm"), want)
+    assert(got.filter(col("n_noised") <= col("n_norm")).count() == 0,
+      "the injection must lengthen every doc")
+  }
+
   test("int8 quantization satisfies the round-to-nearest error bound per element") {
     // The law the oracled checksum can't express: symmetric round-to-
     // nearest guarantees |v − q·amax/127| ≤ amax/254 for every element

@@ -329,6 +329,12 @@ class PlanSpec extends SparkTestBase {
       s"redaction must not shuffle (project + output sort only):\n$p")
   }
 
+  test("j11: normalization is a pure map pass — no hash shuffle at all") {
+    val p = plan(Registry.byId("j11_normalize").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalization must not shuffle (project + output sort only):\n$p")
+  }
+
   test("i27: quantization shuffles only per-vector partial sums") {
     val p = plan(Registry.byId("i27_embed_quantize").build(spark, dir))
     val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size

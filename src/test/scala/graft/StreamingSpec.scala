@@ -449,6 +449,19 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming normalization == batch j11 (stateless, arrival-order free)") {
+    // Normalization is a pure per-row projection (the j7 rule): the
+    // SAME expression maps over each micro-batch and a shuffled feed
+    // reproduces the batch canonicalization exactly.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(29).shuffle(docs)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.normalizeText(ds.toDF("doc_id", "text")))
+    val want = Registry.byId("j11_normalize").build(spark, dir)
+    assertSameRows(got, want)
+  }
+
   test("graceful shutdown: stop() drains without error") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
