@@ -1762,6 +1762,42 @@ object PipelineOps {
                  | SELECT doc_id, source, bucket, rate FROM b
                  | WHERE bucket < rate ORDER BY doc_id"""))),
 
+    // Mixture UPSAMPLING — the other direction of i21's weighting: a
+    // high-value source repeats FRACTIONALLY many times in the training
+    // mixture (the "Wikipedia ×2.5 epochs" pattern). rate×100 for srcK
+    // is 100 + 13·K here; every doc emits floor(rate) copies and one
+    // extra copy iff its content-addressed bucket falls under the
+    // fractional part — so the EXPECTED copy count per doc is exactly
+    // the rate, the decision is reproducible across runs/engines/
+    // partitionings (the i16/i21 md5 contract; independent salt), and a
+    // rate change is a pure expression edit. copy_idx makes the output
+    // a well-defined SET (doc_id, copy_idx) — downstream shuffles
+    // de-correlate copies by (doc_id, copy_idx), not position. Scale: a
+    // narrow generator projection — explode over a ≤3-element sequence,
+    // zero hash shuffles (PlanSpec), the i21 shape with a generator.
+    Q("i34_upsample",
+      (s, dir) => {
+        val ratePct = lit(100) + lit(13) * substring(col("source"), 4, 10).cast("int")
+        val copies = (ratePct / 100).cast("long") +
+          when(LlmOps.saltedBucket("upsample:") < ratePct % 100, 1L).otherwise(0L)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), copies.as("n_copies"))
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some(sql("""WITH r AS (
+                 |   SELECT doc_id, source,
+                 |     100 + 13 * CAST(substr(source, 4) AS INT) AS rate_pct,
+                 |     ('0x' || substr(md5('upsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+                 |   FROM documents),
+                 | c AS (
+                 |   SELECT doc_id, source,
+                 |     (rate_pct // 100) + (CASE WHEN bucket < rate_pct % 100 THEN 1 ELSE 0 END) AS n_copies
+                 |   FROM r)
+                 | SELECT doc_id, source, unnest(range(1, n_copies + 1))::BIGINT AS copy_idx
+                 | FROM c ORDER BY doc_id, copy_idx"""))),
+
     // Token-budget sharding — the delivery step that packs the corpus
     // into ~equal-TOKEN output shards (training wants byte/token-balanced
     // files, not row-balanced ones): in doc_id order, shard k holds the

@@ -306,6 +306,13 @@ class PlanSpec extends SparkTestBase {
       s"mixture sampling must not shuffle (filter + output sort only):\n$p")
   }
 
+  test("i34: upsampling is a narrow generator projection — no hash shuffle at all") {
+    val p = plan(Registry.byId("i34_upsample").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"upsampling must not shuffle (generate + output sort only):\n$p")
+    assert(p.contains("Generate"), s"expected the copy generator:\n$p")
+  }
+
   test("i22: every unpartitioned window sits above an aggregation, never the corpus") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val df = Registry.byId("i22_token_shards").build(spark, dir)
