@@ -111,6 +111,22 @@ object PipelineOps {
         (lit(100) - lit(4) * substring(col("source"), 4, 10).cast("int")).as("rate"))
       .filter(col("bucket") < col("rate"))
 
+  /** The i34 fractional-upsampling generator over a (doc_id, source)
+    * frame: floor(rate) copies per doc + one extra iff the content-
+    * addressed bucket falls under the fractional part. One definition
+    * shared by the batch registry entry and the streaming twin (the
+    * mixtureSample rule) — the generator is stateless, which is what
+    * makes it streamable unchanged.
+    */
+  def upsampleCopies(df: DataFrame): DataFrame = {
+    val ratePct = lit(100) + lit(13) * substring(col("source"), 4, 10).cast("int")
+    val copies = (ratePct / 100).cast("long") +
+      when(LlmOps.saltedBucket("upsample:") < ratePct % 100, 1L).otherwise(0L)
+    df.select(col("doc_id"), col("source"), copies.as("n_copies"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
   // ------------------------------------------------------------ ANN core
 
   /** The IVF family's shared parameters — ONE definition for the five
@@ -1776,16 +1792,8 @@ object PipelineOps {
     // narrow generator projection — explode over a ≤3-element sequence,
     // zero hash shuffles (PlanSpec), the i21 shape with a generator.
     Q("i34_upsample",
-      (s, dir) => {
-        val ratePct = lit(100) + lit(13) * substring(col("source"), 4, 10).cast("int")
-        val copies = (ratePct / 100).cast("long") +
-          when(LlmOps.saltedBucket("upsample:") < ratePct % 100, 1L).otherwise(0L)
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), copies.as("n_copies"))
-          .select(col("doc_id"), col("source"),
-            explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
-          .orderBy("doc_id", "copy_idx")
-      },
+      (s, dir) => upsampleCopies(t(s, dir, "documents"))
+        .orderBy("doc_id", "copy_idx"),
       Some(sql("""WITH r AS (
                  |   SELECT doc_id, source,
                  |     100 + 13 * CAST(substr(source, 4) AS INT) AS rate_pct,

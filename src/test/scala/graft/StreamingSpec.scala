@@ -449,6 +449,19 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming upsampling == batch i34 (stateless, arrival-order free)") {
+    // The copy generator is content-addressed and stateless (the i21
+    // rule): the SAME expression maps over each micro-batch and a
+    // shuffled feed reproduces the batch copy set exactly.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(37).shuffle(docs)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.upsampleCopies(ds.toDF("doc_id", "source")))
+    val want = Registry.byId("i34_upsample").build(spark, dir)
+    assertSameRows(got, want)
+  }
+
   test("streaming normalization == batch j11 (stateless, arrival-order free)") {
     // Normalization is a pure per-row projection (the j7 rule): the
     // SAME expression maps over each micro-batch and a shuffled feed
