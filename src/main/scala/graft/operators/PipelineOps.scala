@@ -123,6 +123,13 @@ object PipelineOps {
     val copies = (ratePct / 100).cast("long") +
       when(LlmOps.saltedBucket("upsample:") < ratePct % 100, 1L).otherwise(0L)
     df.select(col("doc_id"), col("source"), copies.as("n_copies"))
+      // Guard the sub-1 rate path: Spark's sequence(1, 0) generates the
+      // DESCENDING array [1, 0] — two phantom copies — where the intent
+      // (and the oracle's range(1, 1)) is zero rows. A rate under 1.0
+      // (valid for this general helper even though the registry's rate
+      // expression stays ≥ 1) drops the doc entirely when its bucket
+      // misses the fractional draw.
+      .filter(col("n_copies") >= 1)
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
   }
@@ -396,20 +403,25 @@ object PipelineOps {
         round(coalesce(col("n_hit"), lit(0L)) / 3.0, 4).as("recall"))
   }
 
-  /** TRAIN the IVF codebook by iterating the i23 Lloyd step to a checked
-    * fixpoint — the loop the single-step registry entry documents as
-    * belonging to the caller. Each round is the registry's exact
-    * machinery: shuffle-free broadcast-argmax assignment, then
-    * micro-quantized (cid, pos) member means (round(v·1e6) int64 sums —
-    * order-free and exact, the i23 rule), collected back into a k-row
-    * codebook. Convergence = the QUANTIZED mean table reproduces itself
-    * (count + one anti-join emptiness probe — only scalars reach the
-    * driver, the clusterLabels pattern); quantization makes the fixpoint
-    * well-defined where raw-double means could oscillate in the last
-    * ulp. Empty clusters keep their previous centroid. Per-round
-    * localCheckpoint keeps lineage flat; transient storage is one k·dim
-    * mean table per round. At 100 TB each round is one linear corpus
-    * pass whose only shuffle carries ≤ k·dim·partitions partial rows.
+  /** TRAIN the IVF codebook by iterating the i23 Lloyd step until the
+    * QUANTIZED mean table reproduces itself or `maxIters` is reached —
+    * the loop the single-step registry entry documents as belonging to
+    * the caller. Each round is the registry's exact machinery:
+    * shuffle-free broadcast-argmax assignment, then micro-quantized
+    * (cid, pos) member means (round(v·1e6) int64 sums — order-free and
+    * exact, the i23 rule), collected back into a k-row codebook. The
+    * convergence probe is count + one anti-join emptiness check — only
+    * scalars reach the driver, the clusterLabels pattern; quantization
+    * makes the fixpoint well-defined where raw-double means could
+    * oscillate in the last ulp. Unlike clusterLabels there is NO
+    * require(converged): k-means has no convergence guarantee (quantized
+    * means can still 2-cycle), and the iteration-capped codebook is the
+    * standard, usable answer — callers needing the distinction can
+    * compare two more quantMeans rounds themselves. Empty clusters keep
+    * their previous centroid. Per-round localCheckpoint keeps lineage
+    * flat; transient storage is one k·dim mean table per round. At
+    * 100 TB each round is one linear corpus pass whose only shuffle
+    * carries ≤ k·dim·partitions partial rows.
     */
   private[graft] def trainCodebook(emb: DataFrame, k: Int,
       maxIters: Int = 16): DataFrame = {
@@ -1022,12 +1034,13 @@ object PipelineOps {
     // int64 (round(1e6·p), the i23 rule) so the per-doc SUM is
     // order-free and exact; one division + round at the end. ln()-based
     // perplexity is NOT bit-portable (the i26 rule) and any monotone
-    // transform ranks identically. Scale: both count tables are
-    // vocabulary-bounded (they broadcast onto the occurrence stream —
-    // no corpus-side shuffle for the joins); occurrences carry 8-byte
-    // xxhash64 keys, never strings (the i13 rule — counts are
-    // hash-invariant, the oracle joins raw bigrams); the only
-    // corpus-sized shuffles are the two count partial-aggs and the
+    // transform ranks identically. Scale: the UNIGRAM count table is
+    // vocabulary-bounded and broadcasts by hint; the BIGRAM table
+    // grows with the corpus, so its join carries no hint — free to
+    // shuffle narrow 8-byte keys at 100 TB, broadcast by AQE locally.
+    // Occurrences carry 8-byte xxhash64 keys, never strings (the i13
+    // rule — counts are hash-invariant, the oracle joins raw bigrams);
+    // the corpus-sized shuffles are the count partial-aggs and the
     // per-doc rollup, all on 8-byte keys with map-side combine.
     Q("j10_bigram_lm",
       (s, dir) => {
@@ -1040,9 +1053,19 @@ object PipelineOps {
             xxhash64(col("z.0"), col("z.1")).as("bk"),
             xxhash64(col("z.0")).as("uk"))
           .localCheckpoint(true)
-        val c2 = occ.groupBy(col("bk")).agg(count(lit(1)).as("c2"))
+        val c2 = occ.groupBy(col("bk"), col("uk")).agg(count(lit(1)).as("c2"))
         val c1 = occ.groupBy(col("uk")).agg(count(lit(1)).as("c1"))
-        occ.join(broadcast(c2), "bk").join(broadcast(c1), "uk")
+        // c1 (unigram-bounded) broadcasts by hint; c2 gets NO hint —
+        // the bigram vocabulary grows with the corpus, so at 100 TB
+        // this join must be free to shuffle its narrow 8-byte keys
+        // (a hard broadcast hint would fail the build there). Locally
+        // AQE broadcasts it at runtime (PlanSpec pins the final
+        // adaptive plan). The join keys on BOTH hashes (bigram +
+        // prefix), so a collision needs two simultaneous 64-bit
+        // collisions — the same |V|²/2^65 vocabulary-level odds the
+        // token sketches accept, not the ~2^32-bigram birthday bound
+        // a single key would hit at scale.
+        occ.join(c2, Seq("bk", "uk")).join(broadcast(c1), "uk")
           .select(col("doc_id"),
             round(lit(1e6) * col("c2") / col("c1")).cast("long").as("q"))
           .groupBy(col("doc_id"))

@@ -20,19 +20,26 @@ final case class SemKeeps(cid: Long, kept: Seq[Long])
   * screens each incoming vector via a stream-static anti-join on the
   * shared cluster id (cosine ≥ θ against any corpus member of the same
   * cluster ⇒ dropped before state), and WITHIN the stream the canonical
-  * choice is keyed state per cluster.
+  * choice is keyed state per cluster using the SAME rule as batch i29:
+  * connected components over the ≥ θ edge graph, keep each component's
+  * min id. (A greedy keep-vs-kept-only fold would diverge from the
+  * batch semantics on transitive chains — sim(1,2) ≥ θ, sim(2,3) ≥ θ,
+  * sim(1,3) < θ keeps {1} under the component rule but {1,3} under
+  * greedy.)
   *
   * Arrival-order independence (the CuratedDedup rule — a first-arrival
   * rule would be order-dependent after a shuffle): the state accumulates
-  * MEMBERS, not decisions, and every update re-runs the greedy
-  * min-id-first fold over the sorted member set — keep v iff no kept
-  * u < v has round(dot(u,v), 3) ≥ θ, the same index-ordered double dot
-  * and HALF_UP rounding as the batch engine. The final emission per
-  * cluster therefore equals the batch greedy over its full membership
-  * for ANY arrival order or batching (asserted against an independent
-  * model in StreamingSpec). State is cluster-bounded: one (vec_id,
-  * embedding) per surviving arrival of that cluster — the same bound the
-  * batch cid self-join carries.
+  * MEMBERS, not decisions, and every update recomputes the component
+  * minima over the full member set — the same index-ordered double dot
+  * and HALF_UP 3dp rounding as the batch engine. The final emission per
+  * cluster therefore equals batch i29's resolve rule over its full
+  * membership for ANY arrival order or batching (asserted against an
+  * independent union-find model in StreamingSpec). State is
+  * cluster-bounded: one (vec_id, embedding) per surviving arrival of
+  * that cluster — the same bound the batch cid self-join carries; the
+  * per-update pair scan is the batch edge join restricted to the
+  * cluster, the quadratic term the salted batch join bounds the same
+  * way.
   */
 object SemDedupStream {
 
@@ -48,14 +55,25 @@ object SemDedupStream {
     s
   }
 
-  /** The greedy min-id-first keep set over one cluster's members. */
-  def greedyKeeps(members: Seq[SemArrival], theta: Double): Seq[Long] = {
-    val kept = scala.collection.mutable.ArrayBuffer.empty[SemArrival]
-    members.sortBy(_.vec_id).foreach { m =>
-      if (!kept.exists(k => round3(dot(k.embedding, m.embedding)) >= theta))
-        kept += m
+  /** Component minima of one cluster's ≥ θ similarity graph — batch
+    * i29's resolve rule (star contraction computes the same labels
+    * distributed; the member set here is cluster-bounded state).
+    */
+  def componentKeeps(members: Seq[SemArrival], theta: Double): Seq[Long] = {
+    val ms = members.sortBy(_.vec_id)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
-    kept.map(_.vec_id).toSeq
+    for {
+      i <- ms.indices; j <- (i + 1) until ms.size
+      if round3(dot(ms(i).embedding, ms(j).embedding)) >= theta
+    } {
+      val (ra, rb) = (find(ms(i).vec_id), find(ms(j).vec_id))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ms.map(_.vec_id).filter(id => find(id) == id)
   }
 
   def fold(theta: Double)(key: Long, rows: Iterator[SemArrival],
@@ -64,7 +82,7 @@ object SemDedupStream {
       (state.getOption.map(_.members).getOrElse(Seq.empty) ++ rows)
         .distinctBy(_.vec_id)
     state.update(SemState(members))
-    SemKeeps(key, greedyKeeps(members, theta))
+    SemKeeps(key, componentKeeps(members, theta))
   }
 
   /** Works on both a batch Dataset (one fold per cluster) and a

@@ -112,6 +112,26 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(e2e.filter(col("kept") === 1).select("doc_id"), i31)
   }
 
+  test("upsampling under a sub-1 rate drops docs, never emits phantom copies") {
+    // The general helper admits rates < 1.0 (source 'src-1' makes
+    // ratePct = 87): a doc whose bucket misses the fractional draw must
+    // emit ZERO rows — Spark's sequence(1, 0) would otherwise generate
+    // the descending [1, 0] and emit two phantom copies.
+    val docs = (0 until 200).map(i => (i.toLong, "src-1"))
+      .toDF("doc_id", "source")
+    val out = PipelineOps.upsampleCopies(docs)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L), "a sub-1 rate emits at most one copy")
+    val kept = out.map(_._1).toSet
+    assert(kept.size < 200 && kept.nonEmpty,
+      s"the fractional draw must split the batch, kept ${kept.size}")
+    // The kept set is exactly the bucket < 87 docs (content-addressed).
+    val want = docs.select(col("doc_id"))
+      .filter(graft.operators.LlmOps.saltedBucket("upsample:") < 87)
+      .as[Long].collect().toSet
+    assert(kept == want)
+  }
+
   test("j11 normalization exactly inverts the injected noise (recovery law)") {
     // The fixture text is canonical ([a-z0-9 ], single spaces), so
     // lowercase + strip-punct + collapse + trim must recover the raw
@@ -152,36 +172,25 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("trained codebook keeps empty clusters on their previous centroid") {
-    // Crafted 2-D geometry: every vector sits near [1, 0], so centroids
-    // 1 and 2 win nothing — training must return a full k-row codebook
-    // with the loser centroids unchanged and the winner moved to its
-    // member mean.
-    val emb = (0 until 20).map(i => (i.toLong, Seq(1f, i / 100f)))
-      .toDF("vec_id", "embedding")
-    val cent0 = Seq(
-      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(-1f, 0f)))
-      .toDF("cid", "cemb")
-    val trained = PipelineOps.trainCodebook(
-        emb.withColumn("embedding", col("embedding").cast("array<float>")),
-        k = 3, maxIters = 8)
-    // trainCodebook derives its stub from vec_id < k, so drive the loop
-    // pieces directly instead: one toCodebook round via the public API
-    // is not exposed — assert through a full train on a frame whose
-    // first k=3 rows ARE the crafted centroids.
-    val emb2 = (Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(-1f, 0f))) ++
+    // trainCodebook derives its stub from the frame's first k rows, so
+    // craft a frame whose first k=3 rows ARE the intended centroids:
+    // every later vector sits near [1, 0], so centroid 2 ([-1, 0]) wins
+    // nothing — training must return a full k-row codebook with the
+    // loser unchanged and the winner moved to its member mean.
+    val emb = (Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(-1f, 0f))) ++
       (10 until 30).map(i => (i.toLong, Seq(1f, i / 100f))))
       .toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
-    val t2 = PipelineOps.trainCodebook(emb2, k = 3, maxIters = 8)
+    val trained = PipelineOps.trainCodebook(emb, k = 3, maxIters = 8)
       .as[(Long, Seq[Float])].collect().toMap
-    assert(t2.size == 3, s"codebook must stay k-row: $t2")
-    // Centroid 2 ([-1,0]) attracts nothing (every vector has positive
-    // first component; centroid 1 keeps its self-assigned member) — it
-    // must survive unchanged.
-    assert(t2(2L) == Seq(-1f, 0f), s"empty cluster must keep its centroid: ${t2(2L)}")
+    assert(trained.size == 3, s"codebook must stay k-row: $trained")
+    // Centroid 2 attracts nothing (every vector has a positive first
+    // component; centroid 1 keeps its self-assigned member) — it must
+    // survive unchanged.
+    assert(trained(2L) == Seq(-1f, 0f),
+      s"empty cluster must keep its centroid: ${trained(2L)}")
     // Centroid 0 moved toward its members' mean second component.
-    assert(t2(0L)(1) > 0f, s"winner must move to the member mean: ${t2(0L)}")
-    assert(trained.count() == 3)
+    assert(trained(0L)(1) > 0f, s"winner must move to the member mean: ${trained(0L)}")
   }
 
   test("minhash: identical texts yield identical signatures, sketch is 8-wide") {

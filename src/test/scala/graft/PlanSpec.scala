@@ -250,12 +250,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"no window in the screen:\n$p")
   }
 
-  test("j10: count tables broadcast onto the occurrence stream; corpus tokenized once") {
-    val p = plan(Registry.byId("j10_bigram_lm").build(spark, dir))
+  test("j10: unigram counts broadcast; bigram join AQE-converts; corpus tokenized once") {
+    // The unigram table broadcasts by hint; the bigram table carries NO
+    // hint (its vocabulary grows with the corpus — a hard hint would
+    // fail a 100 TB build), so locally it must be AQE's runtime
+    // broadcast conversion that picks it up (the i18 pattern).
+    val df = Registry.byId("j10_bigram_lm").build(spark, dir)
+    df.queryExecution.executedPlan.executeCollect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), s"plan must be adaptive-final:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"vocabulary-bounded count tables must broadcast:\n$p")
+      s"count tables must broadcast at runtime:\n$p")
     assert(!p.contains("SortMergeJoin"),
-      s"the occurrence stream must never sort-merge:\n$p")
+      s"the occurrence stream must never sort-merge locally:\n$p")
     // All three consumers read the materialized occurrence table — the
     // documents parquet appears nowhere in the final plan.
     assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),

@@ -245,11 +245,17 @@ class PropertySpec extends SparkTestBase {
     val df = docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     // Run the registry builder against a staged parquet dir so the
-    // entry's own scan path is what executes.
-    val dir = java.nio.file.Files.createTempDirectory("graft-j10").toString
+    // entry's own scan path is what executes; clean the staging up.
+    val dir = java.nio.file.Files.createTempDirectory("graft-j10")
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = Registry.byId("j10_bigram_lm").build(spark, dir)
-      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val got =
+      try Registry.byId("j10_bigram_lm").build(spark, dir.toString)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     // Pure model.
     val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
     val occs = docs.flatMap { case (id, _) =>

@@ -385,9 +385,10 @@ class StreamingSpec extends SparkTestBase {
     }
     val got = latest.toMap
 
-    // Independent batch twin: model assignment (6dp argmax, min-cid
-    // tiebreak — the engine's exact arithmetic), static screen, then
-    // the greedy fold over each cluster's FULL membership at once.
+    // INDEPENDENT batch model (no SemDedupStream code): assignment
+    // (6dp argmax, min-cid tiebreak — the engine's exact arithmetic),
+    // static screen, then union-find component minima over each
+    // cluster's FULL membership at once — batch i29's resolve rule.
     def round3(x: Double): Double =
       BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     def round6(x: Double): Double =
@@ -404,8 +405,20 @@ class StreamingSpec extends SparkTestBase {
     }
     val want = survivors.groupBy { case (_, v) => assign(v) }
       .map { case (cid, ms) =>
-        cid -> SemDedupStream.greedyKeeps(
-          ms.map { case (id, v) => SemArrival(cid, id, v) }.toSeq, theta)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        val sorted = ms.sortBy(_._1)
+        for {
+          i <- sorted.indices; j <- (i + 1) until sorted.size
+          if round3(dot(sorted(i)._2, sorted(j)._2)) >= theta
+        } {
+          val (ra, rb) = (find(sorted(i)._1), find(sorted(j)._1))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        cid -> sorted.map(_._1).filter(id => find(id) == id)
       }
     assert(got == want, s"got=$got want=$want")
     // Every stage proved non-vacuous: the static screen dropped some
@@ -421,8 +434,7 @@ class StreamingSpec extends SparkTestBase {
     // the broadcast codebook — no state store; the SAME expression maps
     // over each micro-batch and a shuffled feed reproduces the batch
     // screen exactly (the i21/j7 rule in vector space).
-    val dir001 = "/root/testdata/sf0.001"
-    val emb = Tables.load(spark, dir001, "embeddings")
+    val emb = Tables.load(spark, dir, "embeddings")
     val cent = PipelineOps.stubCodebook(emb, 8).localCheckpoint(true)
     val vecs = emb.select("vec_id", "embedding")
       .as[(Long, Seq[Float])].collect().toSeq
@@ -431,7 +443,7 @@ class StreamingSpec extends SparkTestBase {
       PipelineOps.assignToCentroids(ds.toDF("vec_id", "embedding"), cent)
         .filter(col("best_sim") < 0.1)
         .select(col("vec_id"), col("cid"), col("best_sim")))
-    val want = Registry.byId("i33_embed_outliers").build(spark, dir001)
+    val want = Registry.byId("i33_embed_outliers").build(spark, dir)
     assertSameRows(got, want)
     assert(want.count() > 0, "screen must be non-vacuous at sf0.001")
   }
