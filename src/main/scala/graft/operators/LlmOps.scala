@@ -91,6 +91,16 @@ object LlmOps {
       .orderBy("doc_id1", "doc_id2")
   }
 
+  /** Lossless PPJoin prefix length at θ (in tenths) over a token count
+    * column: n − ceil(θ·n) + 1, with ceil(θ·n) as the integer-exact
+    * `(n·t + 9) div 10` (a double ceil mis-rounds at exact multiples,
+    * e.g. 0.9·20 → 18.000000000000004). One definition shared by the
+    * θ=0.9 near-dedup (i2/i14) and the θ-general fuzzy join (i30);
+    * PropertySpec proves the filter lossless at θ ∈ {0.5, 0.7, 0.9}.
+    */
+  private def prefixLen(nTok: Column, thetaTenths: Int): Column =
+    nTok - ((nTok * thetaTenths + 9) / 10).cast("long") + 1
+
   /** The i2 pipeline: hashed token sets → lossless prefix filter →
     * (source, prefix-token) candidate equi-join → exact Jaccard ≥ 0.9
     * verify. Shared by i2 itself and the cluster resolution (i15).
@@ -105,11 +115,9 @@ object LlmOps {
     // persists; localCheckpoint is the in-session analog (blocks are
     // freed by the ContextCleaner once the plan is GC'd, as in i15).
     val sets = hashedTokenSets(docs).localCheckpoint(true)
-    // Integer-exact prefix length: n - ceil(9n/10) + 1 (double ceil of
-    // 0.9·n mis-rounds, e.g. 0.9*20 → 18.000000000000004).
-    val prefixLen = (col("n_tok") - ((col("n_tok") * 9 + 9) / 10).cast("long") + 1)
     val prefixed = sets.select(col("doc_id"), col("source"),
-      explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
+      explode(slice(col("rks"), lit(1),
+        prefixLen(col("n_tok"), thetaTenths = 9).cast("int"))).as("rk"))
     val cand = prefixed.alias("a")
       .join(prefixed.alias("b"),
         col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
@@ -293,12 +301,10 @@ object LlmOps {
       .select(col("rks"), col("pg"))
       .withColumn("n_tok", size(col("rks")).cast("long"))
     // Lossless θ prefix filter between the GROUP tables (the i2/i13
-    // pigeonhole under the xxhash64 token order): n − ceil(θ·n) + 1,
-    // with ceil(θ·n) as the integer-exact (n·t + 9) div 10.
-    val prefixLen = (col("n_tok") -
-      ((col("n_tok") * thetaTenths + 9) / 10).cast("long") + 1)
+    // pigeonhole under the xxhash64 token order, shared prefixLen).
     def prefixed(g: DataFrame, id: String) = g.select(col(id),
-      explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
+      explode(slice(col("rks"), lit(1),
+        prefixLen(col("n_tok"), thetaTenths).cast("int"))).as("rk"))
     val cand = prefixed(baseG, "match_id").alias("a")
       .join(prefixed(probeG, "pg").alias("b"), col("a.rk") === col("b.rk"))
       .select(col("b.pg").as("pg"), col("a.match_id").as("match_id"))
