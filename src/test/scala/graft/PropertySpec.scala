@@ -309,6 +309,35 @@ class PropertySpec extends SparkTestBase {
     assert(got.select("cluster_size").distinct().as[Long].collect().toSeq == Seq(n))
   }
 
+  test("salted self-pairs == plain all-pairs model at any salt count and threshold") {
+    // The shared skew machinery (i12 labels, i24/i29 clusters) must be
+    // OUTPUT-INVARIANT for every (hotThreshold, salts) setting: on a
+    // random key distribution with a manufactured hot key, the emitted
+    // (key, i, j) set equals the naive nested-loop model — pairs appear
+    // exactly once, ordered i < j, regardless of how the quadratic work
+    // is spread.
+    val rowGen = for {
+      key <- Gen.frequency(6 -> Gen.const(0), 4 -> Gen.choose(1, 5))
+    } yield key
+    val keys = sample(rowGen, 120, seed = 61L).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }
+    val e = keys.toDF("label", "vec_id")
+      .withColumn("embedding",
+        array((0 until 2).map(d => (col("vec_id") * (d + 1)).cast("float")): _*))
+    val want = (for {
+      (ka, a) <- keys; (kb, b) <- keys if ka == kb && a < b
+    } yield (ka, a, b)).toSet
+    for ((thr, salts) <- Seq((1L, 2), (1L, 16), (40L, 4), (Long.MaxValue, 16))) {
+      val got = graft.operators.PipelineOps
+        .labelPairs(e, hotThreshold = thr, salts = salts)
+        .select("label", "i", "j")
+        .as[(Int, Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"(thr=$thr,salts=$salts): duplicate pairs")
+      assert(got.toSet == want,
+        s"(thr=$thr,salts=$salts): missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+    }
+  }
+
   test("cluster resolution: mixed chains + cliques converge within 3·log2(n) rounds and match union-find") {
     // The shape a template-spam corpus produces: a few dense cliques
     // (mass-duplicated boilerplate) wired together by long transitive
