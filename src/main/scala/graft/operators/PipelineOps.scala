@@ -119,7 +119,20 @@ object PipelineOps {
     * makes it streamable unchanged.
     */
   def upsampleCopies(df: DataFrame): DataFrame = {
-    val ratePct = lit(100) + lit(13) * substring(col("source"), 4, 10).cast("int")
+    // A source that does not parse as srcK must FAIL the build, not
+    // silently vanish: a null-on-malformed cast would flow into a NULL
+    // n_copies and be dropped by the >= 1 filter below — a corpus with a
+    // malformed source would quietly lose rows where the DuckDB oracle's
+    // CAST errors loudly. try_cast pins the null-on-malformed behavior
+    // independent of spark.sql.ansi.enabled, and raise_error in the
+    // otherwise-branch keeps the check inside the live expression path
+    // (an unused assert_true column would be pruned by Catalyst), so the
+    // failure is this one deterministic message in either ANSI mode.
+    val rawRate = expr("try_cast(substring(source, 4, 10) AS INT)")
+    val ratePct = lit(100) + lit(13) * when(rawRate.isNotNull, rawRate)
+      .otherwise(raise_error(concat(
+        lit("upsampleCopies: unparseable source '"), col("source"), lit("'")))
+        .cast("int"))
     val copies = (ratePct / 100).cast("long") +
       when(LlmOps.saltedBucket("upsample:") < ratePct % 100, 1L).otherwise(0L)
     df.select(col("doc_id"), col("source"), copies.as("n_copies"))

@@ -9,8 +9,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 final case class SemArrival(cid: Long, vec_id: Long, embedding: Seq[Float])
 
-/** Keyed state of one IVF cluster: the arrivals seen so far. */
-final case class SemState(members: Seq[SemArrival])
+/** Keyed state of one IVF cluster: the arrivals seen so far PLUS the
+  * union-find parent pointers of their ≥ θ similarity graph — caching
+  * the resolved components means an update only scores new-member ×
+  * existing-member pairs, never the full accumulated quadratic.
+  */
+final case class SemState(members: Seq[SemArrival], parents: Seq[(Long, Long)])
 
 /** Current keep set of one cluster (update-mode emission). */
 final case class SemKeeps(cid: Long, kept: Seq[Long])
@@ -28,18 +32,26 @@ final case class SemKeeps(cid: Long, kept: Seq[Long])
   * greedy.)
   *
   * Arrival-order independence (the CuratedDedup rule — a first-arrival
-  * rule would be order-dependent after a shuffle): the state accumulates
-  * MEMBERS, not decisions, and every update recomputes the component
-  * minima over the full member set — the same index-ordered double dot
-  * and HALF_UP 3dp rounding as the batch engine. The final emission per
-  * cluster therefore equals batch i29's resolve rule over its full
-  * membership for ANY arrival order or batching (asserted against an
-  * independent union-find model in StreamingSpec). State is
-  * cluster-bounded: one (vec_id, embedding) per surviving arrival of
-  * that cluster — the same bound the batch cid self-join carries; the
-  * per-update pair scan is the batch edge join restricted to the
-  * cluster, the quadratic term the salted batch join bounds the same
-  * way.
+  * rule would be order-dependent after a shuffle): the final components
+  * depend only on the ≥ θ edge SET over the accumulated membership, and
+  * every member pair is scored exactly once — when its later member
+  * arrives — so the union-find reaches the same partition for ANY
+  * arrival order or batching (asserted against an independent
+  * union-find model in StreamingSpec). The state caches the resolved
+  * parent pointers (path-compressed before persisting), so an update
+  * costs O(new · members) dot products, NOT the full O(members²)
+  * recomputation over the cluster's history.
+  *
+  * Cost honesty at scale: state is cluster-bounded — one
+  * (vec_id, embedding) per surviving arrival — and a semantically-hot
+  * cluster still runs its new×existing scoring on the one executor that
+  * owns the key; the batch path spreads the same quadratic term over
+  * salt buckets (saltedSelfPairs), which a keyed state store cannot do.
+  * The incremental pairing bounds the per-UPDATE cost; the
+  * `maxMembers` guard fails loudly (rather than degrading silently)
+  * when a cluster's accumulated membership exceeds what one key should
+  * hold — production ingests should bound the window (timeout policy or
+  * periodic state flush to the batch path) before that point.
   */
 object SemDedupStream {
 
@@ -56,8 +68,10 @@ object SemDedupStream {
   }
 
   /** Component minima of one cluster's ≥ θ similarity graph — batch
-    * i29's resolve rule (star contraction computes the same labels
-    * distributed; the member set here is cluster-bounded state).
+    * i29's resolve rule over a full member set (star contraction
+    * computes the same labels distributed). Retained as the one-shot
+    * batch form; the streaming fold below reaches the same partition
+    * incrementally via the cached parents.
     */
   def componentKeeps(members: Seq[SemArrival], theta: Double): Seq[Long] = {
     val ms = members.sortBy(_.vec_id)
@@ -76,13 +90,41 @@ object SemDedupStream {
     ms.map(_.vec_id).filter(id => find(id) == id)
   }
 
-  def fold(theta: Double)(key: Long, rows: Iterator[SemArrival],
-      state: GroupState[SemState]): SemKeeps = {
-    val members =
-      (state.getOption.map(_.members).getOrElse(Seq.empty) ++ rows)
-        .distinctBy(_.vec_id)
-    state.update(SemState(members))
-    SemKeeps(key, componentKeeps(members, theta))
+  def fold(theta: Double, maxMembers: Int = 1 << 20)(key: Long,
+      rows: Iterator[SemArrival], state: GroupState[SemState]): SemKeeps = {
+    val st = state.getOption.getOrElse(SemState(Seq.empty, Seq.empty))
+    val seen = st.members.map(_.vec_id).toSet
+    // Within-batch processing order is pinned by vec_id for determinism;
+    // the FINAL components depend only on the edge set, so cross-batch
+    // arrival order cannot change the outcome.
+    val fresh = rows.filterNot(a => seen(a.vec_id)).toSeq
+      .distinctBy(_.vec_id).sortBy(_.vec_id)
+    val parent = scala.collection.mutable.Map(st.parents: _*)
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    // Only new-vs-existing (and new-vs-earlier-new) pairs are scored:
+    // every unordered pair is examined exactly once over the stream's
+    // lifetime, at its later member's arrival.
+    var members = st.members
+    fresh.foreach { m =>
+      members.foreach { o =>
+        if (round3(dot(m.embedding, o.embedding)) >= theta) {
+          val (ra, rb) = (find(m.vec_id), find(o.vec_id))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      members = members :+ m
+    }
+    require(members.size <= maxMembers,
+      s"cluster $key accumulated ${members.size} members (cap $maxMembers): " +
+        "bound the ingest window or flush state to the batch path")
+    val ids = members.map(_.vec_id).sorted
+    ids.foreach(find) // path-compress so the persisted chains stay flat
+    state.update(SemState(members,
+      ids.filter(id => parent.contains(id)).map(id => id -> find(id))))
+    SemKeeps(key, ids.filter(id => find(id) == id))
   }
 
   /** Works on both a batch Dataset (one fold per cluster) and a

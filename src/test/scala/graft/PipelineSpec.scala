@@ -132,6 +132,21 @@ class PipelineSpec extends SparkTestBase {
     assert(kept == want)
   }
 
+  test("upsampling fails loudly on an unparseable source, never drops it silently") {
+    // A source that does not parse as srcK casts to NULL; without the
+    // guard the NULL n_copies would be silently dropped by the >= 1
+    // filter while the DuckDB oracle's CAST errors — the guard makes
+    // the engine fail the same way the oracle does.
+    val docs = Seq((1L, "src3"), (2L, "garbage")).toDF("doc_id", "source")
+    val e = intercept[Exception] {
+      PipelineOps.upsampleCopies(docs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unparseable source")),
+      s"expected the upsampleCopies guard, got: $e")
+  }
+
   test("j11 normalization exactly inverts the injected noise (recovery law)") {
     // The fixture text is canonical ([a-z0-9 ], single spaces), so
     // lowercase + strip-punct + collapse + trim must recover the raw

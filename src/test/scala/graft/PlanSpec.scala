@@ -298,11 +298,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"pair candidates must be the cid equi-join, never all-pairs:\n$p")
-    // The hot-cluster salt machinery is structurally present: the right
-    // side replicates over the per-cluster salt count (explode over
-    // sequence), the left side buckets by the vec_id hash.
-    assert(p.contains("sequence(0") && p.contains("xxhash64"),
-      s"the saltedSelfPairs shape must be wired into i24:\n$p")
+    // The hot-cluster salt machinery is structurally present, asserted on
+    // LOGICAL-plan operators rather than plan-string fragments (the
+    // string form was brittle against Spark formatting changes and could
+    // match an unrelated xxhash64): the right side replicates via a
+    // Generate of Explode(Sequence) — the per-cluster salt fan-out — and
+    // the left side buckets by Pmod(XxHash64(vec_id), saltCount).
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Pmod, Sequence, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.Explode
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val opt = Registry.byId("i24_embed_near_dup").build(spark, dir)
+      .queryExecution.optimizedPlan
+    val saltFanOut = opt.collect {
+      case g: Generate if (g.generator match {
+        case Explode(child) => child.exists(_.isInstanceOf[Sequence])
+        case _ => false
+      }) => g
+    }
+    assert(saltFanOut.nonEmpty,
+      s"expected the salt replication Generate(Explode(Sequence)) in:\n$opt")
+    def hasSaltBucket(e: Expression): Boolean = e.exists {
+      case Pmod(h: XxHash64, _, _) =>
+        h.children.exists(_.references.exists(_.name.contains("vec_id")))
+      case _ => false
+    }
+    assert(opt.expressions.exists(hasSaltBucket) ||
+      opt.collect { case n if n.expressions.exists(hasSaltBucket) => n }.nonEmpty,
+      s"expected the pmod(xxhash64(vec_id), salts) bucketing expression in:\n$opt")
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-20 must plan as TakeOrderedAndProject, not a full sort:\n$p")
   }
