@@ -619,6 +619,55 @@ object PipelineOps {
       .filter(col("quality") >= 0.64)
       .select(md5(col("text")).as("fp"), col("doc_id"), col("quality"))
 
+  /** The i35 duplicate-SPAN detector over a (doc_id, text) frame — the
+    * substring-level dedup modality document-level dedup (i1/i2/i14/i29)
+    * cannot express: training corpora also excise repeated ≥k-token
+    * spans INSIDE otherwise-distinct documents (boilerplate headers,
+    * license blocks, navigation chrome). A position-carrying k-gram
+    * stream marks every gram that occurs ≥2 times anywhere in the
+    * corpus (including a doc repeating its own boilerplate), and the
+    * marked positions consolidate per doc into maximal spans via
+    * gaps-and-islands (the h3 session-window pattern): positions whose
+    * gram windows overlap or touch (gap ≤ k−1) merge into one island,
+    * so an island's token range [min pos, max pos + k−1] is a maximal
+    * run of duplicated text. Output per island: doc_id, span_start,
+    * span_end (inclusive 0-based token indices), n_tokens, n_grams
+    * (how many marked gram positions the island holds).
+    *
+    * Scale: grams are engine-internal xxhash64 longs (the i13 rule —
+    * the dup marker is count-derived, invariant under any
+    * per-engine-injective rehash; the oracle joins raw gram strings).
+    * The dup marker is a COUNT WINDOW over the gram hash — one Exchange
+    * of narrow (doc_id, pos, hash) triples, partition size bounded by
+    * gram document-frequency (k-gram df is naturally low, the i13
+    * argument, so no single gram's partition grows with the corpus) —
+    * and the island windows partition by doc_id, doc-bounded. Two hash
+    * shuffles total, both on 8-byte keys; text never moves.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), posexplode(gramZip(col("text"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64((0 until k).map(i => col(s"col.$i")): _*).as("g"))
+    val marked = occ
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("newi",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= (k - 1), 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("newi")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"),
+        col("n_grams"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val qs: Seq[Q] = Seq(
@@ -1363,6 +1412,37 @@ object PipelineOps {
         LlmOps.verifyJaccard(cand, sets)
       },
       Some(LlmOps.exactNearDupOracle)),
+
+    // Duplicate-SPAN dedup — the substring-level modality (see
+    // duplicateSpans): repeated ≥5-token spans inside otherwise-distinct
+    // docs, emitted as per-doc maximal token ranges. The dup-heavy
+    // fixture makes it non-vacuous at every SF (near-dup docs share
+    // long runs; distinct docs still share boilerplate-like gram
+    // repeats). The oracle re-runs the same count-marker + islands SQL
+    // over raw string grams.
+    Q("i35_span_dedup",
+      (s, dir) => duplicateSpans(t(s, dir, "documents"))
+        .orderBy("doc_id", "span_start"),
+      Some(sql("""WITH tks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+                 | g AS (SELECT doc_id,
+                 |     unnest(range(1, len(tk)-3)) - 1 AS pos,
+                 |     unnest(list_transform(range(1, len(tk)-3),
+                 |       i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) AS gram
+                 |   FROM tks),
+                 | d AS (SELECT doc_id, pos FROM (
+                 |     SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c FROM g)
+                 |   WHERE c >= 2),
+                 | fl AS (SELECT doc_id, pos,
+                 |     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+                 |          THEN 0 ELSE 1 END AS newi
+                 |   FROM d),
+                 | isl AS (SELECT doc_id, pos,
+                 |     sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 |   FROM fl)
+                 | SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+                 |   max(pos) - min(pos) + 5 AS n_tokens, count(*) AS n_grams
+                 | FROM isl GROUP BY doc_id, island
+                 | ORDER BY doc_id, span_start"""))),
 
     // Train↔eval CONTAMINATION screening — the leakage check a training
     // pipeline runs before any benchmark claim: for every train doc, the

@@ -147,6 +147,35 @@ class PipelineSpec extends SparkTestBase {
       s"expected the upsampleCopies guard, got: $e")
   }
 
+  test("i35 duplicate spans: exact ranges, island split vs merge, within-doc repeats") {
+    // Crafted geometry (k = 5): docs 0/1 share a 6-token span (two
+    // overlapping dup grams -> ONE island) and a separate 5-token span
+    // (gap > k-1 -> a SECOND island); doc 2 is unique (no output);
+    // doc 3 repeats its own 5-token boilerplate (within-doc dup, two
+    // far-apart islands); docs 6/7/8 pin the merge rule — doc 6's two
+    // dup grams come from DIFFERENT partners at gap 2 <= k-1, so their
+    // overlapping windows consolidate into one 7-token span.
+    val docs = Seq(
+      0L -> "u0 u1 u2 u3 u4 u5 A B C D E F u6 u7 u8 u9 u10 u11 u12 G H I J K u13",
+      1L -> "w0 A B C D E F w1 w2 w3 w4 w5 w6 w7 G H I J K w8",
+      2L -> "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9",
+      3L -> "p q r s t x1 x2 x3 p q r s t",
+      6L -> "s1 s2 T U V W X Y Z s3",
+      7L -> "T U V W X t1",
+      8L -> "t2 V W X Y Z").toDF("doc_id", "text")
+    val got = PipelineOps.duplicateSpans(docs)
+      .select("doc_id", "span_start", "span_end", "n_tokens", "n_grams")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (0L, 6L, 11L, 6L, 2L), (0L, 19L, 23L, 5L, 1L),
+      (1L, 1L, 6L, 6L, 2L), (1L, 14L, 18L, 5L, 1L),
+      (3L, 0L, 4L, 5L, 1L), (3L, 8L, 12L, 5L, 1L),
+      (6L, 2L, 8L, 7L, 2L),
+      (7L, 0L, 4L, 5L, 1L),
+      (8L, 1L, 5L, 5L, 1L))
+    assert(got == want, s"got=$got")
+  }
+
   test("j11 normalization exactly inverts the injected noise (recovery law)") {
     // The fixture text is canonical ([a-z0-9 ], single spaces), so
     // lowercase + strip-punct + collapse + trim must recover the raw

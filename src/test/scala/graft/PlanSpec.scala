@@ -329,6 +329,26 @@ class PlanSpec extends SparkTestBase {
       s"global top-20 must plan as TakeOrderedAndProject, not a full sort:\n$p")
   }
 
+  test("i35: span dedup shuffles twice on 8-byte keys; every window is bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Registry.byId("i35_span_dedup").build(spark, dir)
+    val p = plan(df)
+    // One Exchange for the gram-hash dup-marker window, one for the
+    // per-doc island windows + span aggregate (they share the doc_id
+    // partitioning) — text never rides a shuffle, and there is no join
+    // anywhere (the dup marker is a count window, not a join-back).
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 2,
+      s"span dedup must shuffle exactly twice (gram marker + doc islands), got $hashShuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"span dedup joins nothing:\n$p")
+    // Every window is partitioned (gram- or doc-bounded) — no
+    // corpus-wide single-partition sort can hide here.
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "all span-dedup windows must be partitioned")
+  }
+
   test("i21: sampling is a pure scan-side filter — no hash shuffle at all") {
     val p = plan(Registry.byId("i21_sample_stratified").build(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"),
