@@ -438,37 +438,49 @@ object PipelineOps {
     */
   private[graft] def trainCodebook(emb: DataFrame, k: Int,
       maxIters: Int = 16): DataFrame = {
-    def quantMeans(cent: DataFrame): DataFrame =
-      assignToCentroids(emb, cent)
-        .select(col("cid"), posexplode(col("embedding")))
-        .select(col("cid"), col("pos"),
-          round(col("col").cast("double") * 1e6).cast("long").as("vq"))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("vq")).as("sq"), count(lit(1)).as("n"))
-        .select(col("cid"), col("pos"),
-          round(col("sq").cast("double") / col("n")).cast("long").as("mq"))
-    def toCodebook(q: DataFrame, prev: DataFrame): DataFrame = {
-      val trained = q.groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mq")))),
-          s => (s.getField("mq").cast("double") / 1e6).cast("float")).as("cemb"))
-      trained.union(prev.join(trained, Seq("cid"), "left_anti"))
-    }
     var cent = stubCodebook(emb, k).localCheckpoint(true)
     var prevQ: Option[DataFrame] = None
     var prevCnt = -1L
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val q = quantMeans(cent).localCheckpoint(true)
+      val q = lloydQuantMeans(emb, cent).localCheckpoint(true)
       val cnt = q.count()
       converged = prevQ.exists(p => cnt == prevCnt &&
         q.join(p, Seq("cid", "pos", "mq"), "left_anti").limit(1).count() == 0L)
-      if (!converged) cent = toCodebook(q, cent).localCheckpoint(true)
+      if (!converged) cent = lloydCodebook(q, cent).localCheckpoint(true)
       prevQ = Some(q)
       prevCnt = cnt
       iters += 1
     }
     cent
+  }
+
+  /** ONE Lloyd round's quantized-mean table — the E-step (shuffle-free
+    * broadcast-argmax assignment) plus the micro-quantized M-step:
+    * (cid, pos, mq = round(mean(round(v·1e6)))). Factored out of
+    * [[trainCodebook]] so the oracled 2-step unrolling (i23b) iterates
+    * the EXACT expressions the convergence loop runs.
+    */
+  private[graft] def lloydQuantMeans(emb: DataFrame, cent: DataFrame): DataFrame =
+    assignToCentroids(emb, cent)
+      .select(col("cid"), posexplode(col("embedding")))
+      .select(col("cid"), col("pos"),
+        round(col("col").cast("double") * 1e6).cast("long").as("vq"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("vq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        round(col("sq").cast("double") / col("n")).cast("long").as("mq"))
+
+  /** Collapse a quantized-mean table back into a k-row (cid, cemb)
+    * codebook; clusters with no members keep their previous centroid
+    * unchanged (the trainCodebook empty-cluster rule).
+    */
+  private[graft] def lloydCodebook(q: DataFrame, prev: DataFrame): DataFrame = {
+    val trained = q.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mq")))),
+        s => (s.getField("mq").cast("double") / 1e6).cast("float")).as("cemb"))
+    trained.union(prev.join(trained, Seq("cid"), "left_anti"))
   }
 
   // ------------------------------------------------------------ minhash
@@ -1696,6 +1708,82 @@ object PipelineOps {
                  | SELECT cid, pos, count(*)::BIGINT AS n_members,
                  |   round(sum(vq)::DOUBLE / count(*) / 1e6, 6) AS cmean
                  | FROM px GROUP BY 1, 2 ORDER BY 1, 2"""))),
+
+    // The TRAINED codebook under the oracle — two UNROLLED Lloyd steps
+    // (i23 is one step; trainCodebook loops the same step to a
+    // fixpoint, which no SQL oracle can follow because the round count
+    // is data-dependent): step 1 assigns against the stub codebook and
+    // produces the quantized-mean codebook (mq/1e6 rounded ONCE to
+    // float, the exact lloydCodebook arithmetic; empty clusters keep
+    // their stub centroid via the left-join coalesce), step 2 assigns
+    // against THAT codebook and emits the round-2 quantized means —
+    // every stage a deterministic CTE DuckDB reproduces. The oracle
+    // thereby checks the training loop's moving parts (re-assignment
+    // against a derived codebook, float re-quantization, empty-cluster
+    // carry-through), not just one refinement. The emitted element is
+    // cmean_q — the MICRO-QUANTIZED integer round(mean(round(v·1e6))),
+    // exactly what lloydCodebook stores — because a 6dp double here can
+    // land on a .5 tie that is not binary-representable: Spark's round
+    // (BigDecimal.valueOf = shortest-decimal) rounds it up while DuckDB
+    // (raw double bits) rounds down — observed one ulp apart at
+    // sf0.001. Integer-boundary ties ARE exactly representable, so
+    // round-half-away agrees cross-engine (the i27 integer-exact rule).
+    // Scale = 2× the i23 cost: two linear corpus passes, each shuffling
+    // ≤ k·dim·partitions quantized partials; the intermediate codebook
+    // is a k-row aggregate that broadcasts.
+    Q("i23b_kmeans_2step",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val c0 = stubCodebook(emb, ivfParams.k)
+        val c1 = lloydCodebook(lloydQuantMeans(emb, c0), c0)
+        assignToCentroids(emb, c1)
+          .select(col("cid"), posexplode(col("embedding")))
+          .select(col("cid"), col("pos").cast("long").as("pos"),
+            round(col("col").cast("double") * 1e6).cast("long").as("vq"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(count(lit(1)).as("n_members"), sum(col("vq")).as("sq"))
+          .select(col("cid"), col("pos"), col("n_members"),
+            round(col("sq").cast("double") / col("n_members")).cast("long").as("cmean_q"))
+          .orderBy("cid", "pos")
+      },
+      Some(sql(s"""WITH $centroidAssignCte,
+                 | q1 AS (
+                 |   SELECT a.cid,
+                 |     unnest(range(0, len(e.embedding))) AS pos,
+                 |     unnest(list_transform(range(0, len(e.embedding)),
+                 |       i -> round(e.embedding[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id),
+                 | m1 AS (SELECT cid, pos, round(sum(vq)::DOUBLE / count(*))::BIGINT AS mq
+                 |   FROM q1 GROUP BY 1, 2),
+                 | c0px AS (SELECT cid,
+                 |     unnest(range(0, len(cemb))) AS pos,
+                 |     unnest(list_transform(range(0, len(cemb)), i -> cemb[i + 1])) AS sv
+                 |   FROM cent),
+                 | c1px AS (SELECT c0px.cid, c0px.pos,
+                 |     CASE WHEN m1.mq IS NULL THEN sv
+                 |          ELSE CAST(m1.mq::DOUBLE / 1e6 AS FLOAT) END AS ce
+                 |   FROM c0px LEFT JOIN m1 ON c0px.cid = m1.cid AND c0px.pos = m1.pos),
+                 | cent1 AS (SELECT cid, list(ce ORDER BY pos) AS cemb1 FROM c1px GROUP BY cid),
+                 | adot2 AS (
+                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+                 |   FROM (SELECT e.vec_id, c.cid,
+                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb1)::DOUBLE AS p
+                 |         FROM embeddings e, cent1 c)
+                 |   GROUP BY 1, 2),
+                 | assigned2 AS (
+                 |   SELECT vec_id, cid FROM (
+                 |     SELECT vec_id, cid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+                 |     FROM adot2) WHERE rn = 1),
+                 | px2 AS (
+                 |   SELECT a.cid,
+                 |     unnest(range(0, len(e.embedding))) AS pos,
+                 |     unnest(list_transform(range(0, len(e.embedding)),
+                 |       i -> round(e.embedding[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM embeddings e JOIN assigned2 a ON e.vec_id = a.vec_id)
+                 | SELECT cid, pos, count(*)::BIGINT AS n_members,
+                 |   round(sum(vq)::DOUBLE / count(*))::BIGINT AS cmean_q
+                 | FROM px2 GROUP BY 1, 2 ORDER BY 1, 2"""))),
 
     // Symmetric int8 quantization of the embedding column — the 4×
     // storage/bandwidth step an ANN index runs before sharding (float32

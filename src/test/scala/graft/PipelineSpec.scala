@@ -97,6 +97,23 @@ class PipelineSpec extends SparkTestBase {
       s"training must not lose recall: trained=$trained stub=$stub")
   }
 
+  test("i23b: the oracled 2-step codebook's i28 recall >= the stub codebook's") {
+    // The 2-step unrolling (the registry's SQL-reproducible training
+    // slice) must already pay for itself on the recall eval — scored on
+    // the SAME factored annRecall plan the i28 registry entry grades.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = PipelineOps.queryBatch(emb, 20)
+    def hits(cent: org.apache.spark.sql.DataFrame): Long =
+      PipelineOps.annRecall(emb, cent, q, nprobe = 2)
+        .agg(sum(col("n_hit"))).head.getLong(0)
+    val c0 = PipelineOps.stubCodebook(emb, 8)
+    val c1 = PipelineOps.lloydCodebook(PipelineOps.lloydQuantMeans(emb, c0), c0)
+    val c2 = PipelineOps.lloydCodebook(PipelineOps.lloydQuantMeans(emb, c1), c1)
+    val (stub, twoStep) = (hits(c0), hits(c2))
+    assert(twoStep >= stub,
+      s"two Lloyd steps must not lose recall: twoStep=$twoStep stub=$stub")
+  }
+
   test("i32 composed dedup verdict subsumes i15/i18/i31 (resolution, apply, cap laws)") {
     // The composed entry must be a strict superset view: each of the
     // three separate dedup entries is a filter over the verdict table.
