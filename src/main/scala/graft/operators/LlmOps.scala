@@ -337,6 +337,65 @@ object LlmOps {
       .select(col("probe_id"), col("match_id"), col("jaccard"))
   }
 
+  /** The i36 incremental NEAR-dedup over a (doc_id, source, text) frame
+    * — the ingest shape a crawl pipeline actually runs, i25's exact-
+    * fingerprint rule lifted to token-set Jaccard: docs at or past
+    * `boundary` form the incoming batch; a batch doc is dropped iff it
+    * has a same-source J ≥ 0.9 match in the existing corpus (below the
+    * boundary), and the SCREEN SURVIVORS then near-dedup among
+    * themselves (connected components over their J ≥ 0.9 pairs, keep
+    * each component's min id — the i15 resolve rule standing in for
+    * i25's min-per-fingerprint). Screen-first on purpose: it is the
+    * order an ingest composes (screen against the persisted corpus,
+    * dedup the remainder), and it makes the stream-static streaming
+    * twin (NearDedupStream keyed by source) equivalent by construction
+    * — a corpus-matched doc can never bridge two surviving batch docs
+    * into one component.
+    *
+    * Scale: the corpus side is touched only through its PERSISTED
+    * artifacts — the token-set sketch (the i2 table) and its band table
+    * (the i14 table), both computed once and checkpointed here as the
+    * in-session analog; corpus signatures are NOT recomputed per
+    * ingest, and the batch computes sketches only for itself. Candidate
+    * pairs come from band equi-joins (batch bands probe corpus bands;
+    * minhash signatures depend only on each doc's token set, so
+    * subset-computed bands agree with corpus-computed ones), verify
+    * intersects the stored hash arrays, and resolution moves 8-byte
+    * ids. Output: surviving (doc_id, source, n_tok), unordered.
+    */
+  def nearDedupIncremental(docs: DataFrame, boundary: Long): DataFrame = {
+    val sets = hashedTokenSets(docs).localCheckpoint(true)
+    val corpusBands = PipelineOps.minhashBands(
+      sets.filter(col("doc_id") < boundary)).localCheckpoint(true)
+    val batchSets = sets.filter(col("doc_id") >= boundary)
+    // Two consumers (cross-probe + internal pairs) — materialize once,
+    // the nearDupPairs rule.
+    val batchBands = PipelineOps.minhashBands(batchSets).localCheckpoint(true)
+    val candCross = batchBands.alias("p")
+      .join(corpusBands.alias("c"),
+        col("p.b") === col("c.b") && col("p.v") === col("c.v") &&
+          col("p.source") === col("c.source"))
+      .select(col("c.doc_id").as("doc_id1"), col("p.doc_id").as("doc_id2"))
+      .distinct()
+    val corpusMatched = verifyJaccard(candCross, sets)
+      .select(col("doc_id2").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val cleanBands = batchBands.join(corpusMatched, Seq("doc_id"), "left_anti")
+    val candIn = cleanBands.alias("l")
+      .join(cleanBands.alias("r"),
+        col("l.b") === col("r.b") && col("l.v") === col("r.v") &&
+          col("l.source") === col("r.source") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"))
+      .distinct()
+    val batchDrop = clusterLabels(
+        verifyJaccard(candIn, sets).select("doc_id1", "doc_id2"))
+      .filter(col("doc_id") =!= col("lbl"))
+      .select("doc_id")
+    batchSets.select(col("doc_id"), col("source"), col("n_tok"))
+      .join(corpusMatched, Seq("doc_id"), "left_anti")
+      .join(batchDrop, Seq("doc_id"), "left_anti")
+  }
+
   /** Salted-md5 bucket in [0,100) over doc_id. One definition for every
     * content-addressed assignment (split bands, mixture sampling):
     * distinct salts give independent buckets, and the md5 arithmetic is a
@@ -583,6 +642,41 @@ object LlmOps {
     // never corpus text; the within-batch window partitions by
     // fingerprint. The streaming twin of this op is CuratedDedup's keyed
     // state (a fingerprint survives its first batch only).
+    // Incremental NEAR-dedup — the near-dup lift of i25's ingest shape
+    // (see nearDedupIncremental): the new batch screens against the
+    // PERSISTED corpus band/sketch tables (no corpus recompute), then
+    // the screen survivors resolve among themselves to min-id
+    // canonicals. The fixture is non-vacuous at every SF (36-40 batch
+    // docs are corpus-matched, 11-13 batch-internal pairs at
+    // sf0.001/0.01). The oracle is the exact unfiltered same-source
+    // J ≥ 0.9 SQL with the same screen-first composition; the streaming
+    // twin (stream-static screen + per-source keyed state) is asserted
+    // ≡ this batch operator in StreamingSpec.
+    Q("i36_near_dedup_incremental",
+      (s, dir) => nearDedupIncremental(t(s, dir, "documents"), 400)
+        .orderBy("doc_id"),
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                  | crossm AS (SELECT DISTINCT doc_id2 AS doc_id FROM nd
+                  |   WHERE doc_id1 < 400 AND doc_id2 >= 400),
+                  | bi AS (SELECT doc_id1, doc_id2 FROM nd
+                  |   WHERE doc_id1 >= 400
+                  |     AND doc_id1 NOT IN (SELECT doc_id FROM crossm)
+                  |     AND doc_id2 NOT IN (SELECT doc_id FROM crossm)),
+                  | edges AS (SELECT doc_id1 AS s, doc_id2 AS d FROM bi
+                  |   UNION ALL SELECT doc_id2, doc_id1 FROM bi),
+                  | reach(v, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.v),
+                  | lbl AS (SELECT v, min(r) AS canon FROM reach GROUP BY v),
+                  | sz AS (SELECT doc_id, min(source) AS source, min(n_tok) AS n_tok
+                  |   FROM dtok GROUP BY doc_id)
+                  | SELECT doc_id, source, n_tok FROM sz
+                  | WHERE doc_id >= 400
+                  |   AND doc_id NOT IN (SELECT doc_id FROM crossm)
+                  |   AND doc_id NOT IN (SELECT v FROM lbl WHERE v <> canon)
+                  | ORDER BY doc_id"""))),
+
     Q("i25_dedup_incremental",
       (s, dir) => incrementalDedup(t(s, dir, "documents"), 400).orderBy("doc_id"),
       Some(sql("""WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),

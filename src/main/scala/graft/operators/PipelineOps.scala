@@ -512,6 +512,29 @@ object PipelineOps {
     arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
   }
 
+  /** Per-doc LSH band rows (doc_id, source, b, v) derived from the
+    * token-set sketch (`rks`): mh_j = min over the stored hashes of the
+    * seeded rehash xxhash64(j, rk), 8 bands × 1 row — i14's banding
+    * scheme factored out so the incremental ingest (i36) probes a
+    * PERSISTED corpus band table with freshly-computed batch bands. The
+    * signature is a function of the doc's token SET alone, so bands
+    * computed over any subset of the corpus agree with bands computed
+    * over the whole corpus. The 8 array_min(transform) folds are narrow
+    * per-row ops over the materialized hash array (the i14 trade: short
+    * in-row HOFs beat a re-explode through another Exchange).
+    */
+  private[graft] def minhashBands(sets: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map(j =>
+      array_min(transform(col("rks"), r => xxhash64(lit(j), r))).as(s"mh$j"))
+    val sig = sets.select(col("doc_id") +: col("source") +: sigCols: _*)
+    val bandCols = (0 until NumHashes).map(j =>
+      struct(lit(j).as("b"), col(s"mh$j").as("v")))
+    sig.select(col("doc_id"), col("source"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("source"),
+        col("band.b").as("b"), col("band.v").as("v"))
+  }
+
   private def distinctTok(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -1396,24 +1419,12 @@ object PipelineOps {
         // signature build once more — materialized once, as in
         // LlmOps.nearDupPairs.
         val sets = LlmOps.hashedTokenSets(docs).localCheckpoint(true)
-        // Narrow per-row fold, NOT explode+groupBy: the token-hash array
-        // is already materialized in the row, so 8 array_min(transform)
-        // folds over ~|set| elements beat re-exploding the corpus
-        // through another hash Exchange (measured fastest of three
-        // forms at sf0.1; the repo's "HOF lambdas are interpreted" rule
-        // applies to per-token corpus STREAMS, not to short in-row
-        // arrays competing against a shuffle — the assignToCentroids
-        // trade, not the i11 one).
-        val sigCols = (0 until NumHashes).map(j =>
-          array_min(transform(col("rks"), r => xxhash64(lit(j), r))).as(s"mh$j"))
-        val sig = sets.select(col("doc_id") +: col("source") +: sigCols: _*)
-        val bandCols = (0 until NumHashes).map(j =>
-          struct(lit(j).as("b"), col(s"mh$j").as("v")))
-        val bands = sig
-          .select(col("doc_id"), col("source"),
-            explode(array(bandCols: _*)).as("band"))
-          .select(col("doc_id"), col("source"),
-            col("band.b").as("b"), col("band.v").as("v"))
+        // Band build factored into minhashBands (narrow per-row folds,
+        // NOT explode+groupBy — the i14 trade: short in-row HOFs over
+        // the materialized hash array beat re-exploding the corpus
+        // through another hash Exchange; measured fastest of three
+        // forms at sf0.1).
+        val bands = minhashBands(sets)
         val cand = bands.alias("l")
           .join(bands.alias("r"),
             col("l.b") === col("r.b") && col("l.v") === col("r.v") &&

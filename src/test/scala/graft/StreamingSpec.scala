@@ -429,6 +429,69 @@ class StreamingSpec extends SparkTestBase {
     assert(got.keySet == Set(0L, 1L))
   }
 
+  test("streaming incremental near-dedup == batch i36 (stream-static screen + keyed state)") {
+    // The i36 ingest shape run INCREMENTALLY: arrivals compute their
+    // token-hash sketch as a stateless per-row expression, the static
+    // corpus sketch table screens them via a stream-static anti-join
+    // (same-source J >= 0.9 against any corpus doc => dropped), and
+    // within-stream canonicalization is keyed state per SOURCE (the
+    // near-dup candidate bucket) running batch i36's component-min rule.
+    // Crafted geometry makes every path non-vacuous and hand-checkable:
+    //   101/106 are near-copies of corpus doc 1  -> screened out;
+    //   102~103 merge in state                   -> keep 102;
+    //   104 repeats corpus doc 3's text under a DIFFERENT source ->
+    //     survives (the source-bucket rule);
+    //   107~108~109 is a transitive chain (J(107,109) < 0.9) -> the
+    //     component rule keeps 107 alone;
+    //   105 is unique -> survives.
+    import graft.streaming.{NearArrival, NearDedupStream}
+    val boundary = 100L
+    val corpus = Seq(
+      (1L, "s0", "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "s0", "z1 z2 z3 z4 z5"),
+      (3L, "s1", "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"))
+    val batch = Seq(
+      (101L, "s0", "a b c d e f g h i j k l m n o p q r s u"),
+      (102L, "s0", (1 to 20).map(i => s"q$i").mkString(" ")),
+      (103L, "s0", (1 to 19).map(i => s"q$i").mkString(" ") + " q21"),
+      (104L, "s0", "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"),
+      (105L, "s0", "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"),
+      (106L, "s0", "a b c d e f g h i j k l m n o p q r s u"),
+      (107L, "s0", (1 to 30).map(i => s"c$i").mkString(" ")),
+      (108L, "s0", (1 to 29).map(i => s"c$i").mkString(" ") + " d1"),
+      (109L, "s0", (1 to 28).map(i => s"c$i").mkString(" ") + " d1 d2"))
+    val all = (corpus ++ batch).toDF("doc_id", "source", "text")
+    val want = graft.operators.LlmOps.nearDedupIncremental(all, boundary)
+      .select("doc_id").as[Long].collect().toSet
+    // The batch operator itself must reproduce the hand-computed truth.
+    assert(want == Set(102L, 104L, 105L, 107L), s"batch operator got $want")
+    val corpusSets = graft.operators.LlmOps.hashedTokenSets(
+        all.filter(col("doc_id") < boundary))
+      .select(col("source").as("csource"), col("rks").as("crks"),
+        col("n_tok").as("cn"))
+      .localCheckpoint(true)
+    val feed = new scala.util.Random(71).shuffle(batch)
+    val latest = TrieMap.empty[String, Seq[Long]]
+    Replay.runForeach(spark, feed, 4, OutputMode.Update())(ds => {
+      val arr = ds.toDF("doc_id", "source", "text")
+        .withColumn("rks", array_sort(array_distinct(
+          transform(split(col("text"), " "), t => xxhash64(t)))))
+      val inter = size(array_intersect(col("rks"), col("crks"))).cast("double")
+      val screened = arr.join(corpusSets,
+        col("source") === col("csource") &&
+          inter / (size(col("rks")) + col("cn") - inter) >= 0.9,
+        "left_anti")
+      NearDedupStream(
+        screened.select(col("source"), col("doc_id"), col("rks"))
+          .as[NearArrival], 0.9).toDF()
+    }) { (df, _) =>
+      df.as[(String, Seq[Long])].collect()
+        .foreach { case (src, kept) => latest(src) = kept }
+    }
+    val got = latest.values.flatten.toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("streaming outlier screen == batch i33 (stateless, arrival-order free)") {
     // The semantic outlier screen is a pure projection + filter against
     // the broadcast codebook — no state store; the SAME expression maps
