@@ -483,6 +483,109 @@ object PipelineOps {
     trained.union(prev.join(trained, Seq("cid"), "left_anti"))
   }
 
+  // --------------------------------------------------- product quantization
+
+  /** Explode each embedding into `nBlocks` contiguous sub-vectors:
+    * (vec_id, b, sub). The PQ decomposition — each block quantizes
+    * independently, so the codebook memory is nBlocks·k·blockDim floats
+    * while the code storage is nBlocks small ints per vector (16-64×
+    * compression vs float32, the step past i27's 4× scalar int8).
+    */
+  private[graft] def pqBlocks(emb: DataFrame, nBlocks: Int, blockDim: Int): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until nBlocks).map(b =>
+        struct(lit(b).as("b"),
+          slice(col("embedding"), b * blockDim + 1, blockDim).as("sub"))): _*)).as("blk"))
+      .select(col("vec_id"), col("blk.b").as("b"), col("blk.sub").as("sub"))
+
+  /** Per-block stub codebook: the first `k` vectors' sub-blocks, cid =
+    * vec_id (the stubCodebook rule per block).
+    */
+  private[graft] def pqStubCodebook(sub: DataFrame, k: Int): DataFrame =
+    sub.filter(col("vec_id") < k)
+      .select(col("b"), col("vec_id").as("cid"), col("sub").as("cemb"))
+
+  /** Nearest-centroid assignment per (vector, block) under the L2
+    * metric PQ minimizes — sub-blocks are NOT unit-normalized, so the
+    * IVF family's dot argmax is the wrong objective here. Same
+    * shuffle-free shape as assignToCentroids: the per-block codebooks
+    * collapse to nBlocks rows of centroid arrays, broadcast-join on b,
+    * and the argmin runs inline per row over 6dp-rounded index-ordered
+    * double distances (min struct = smallest d2, then smallest cid).
+    */
+  private[graft] def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val cents = cent.groupBy(col("b"))
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
+    sub.join(broadcast(cents), "b")
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(
+          round(VectorFunctions.l2sq(col("sub"), c.getField("cemb")), 6).as("d2"),
+          c.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("b"), col("sub"),
+        col("best").getField("cid").as("cid"))
+  }
+
+  /** One Lloyd refinement of the per-block codebooks: L2 assignment,
+    * then micro-quantized member means per (b, cid, pos) — the
+    * lloydQuantMeans/lloydCodebook arithmetic with the block id riding
+    * the keys (the mean is the L2-optimal M-step, so the shared
+    * quantized-mean machinery is the correct update here too); empty
+    * (b, cid) cells keep their previous centroid. The only shuffle
+    * carries ≤ nBlocks·k·blockDim·partitions quantized partials.
+    */
+  private[graft] def pqTrainStep(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val q = pqAssign(sub, cent)
+      .select(col("b"), col("cid"), posexplode(col("sub")))
+      .select(col("b"), col("cid"), col("pos"),
+        round(col("col").cast("double") * 1e6).cast("long").as("vq"))
+      .groupBy(col("b"), col("cid"), col("pos"))
+      .agg(sum(col("vq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("b"), col("cid"), col("pos"),
+        round(col("sq").cast("double") / col("n")).cast("long").as("mq"))
+    val trained = q.groupBy(col("b"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mq")))),
+        s => (s.getField("mq").cast("double") / 1e6).cast("float")).as("cemb"))
+    trained.union(cent.join(trained, Seq("b", "cid"), "left_anti"))
+  }
+
+  /** Iterated PQ training — the trainCodebook loop shape applied per
+    * block (fixed round count; the convergence-probed variant would
+    * follow trainCodebook exactly, but PQ's consumers only need the
+    * error to come down, asserted in PipelineSpec).
+    */
+  private[graft] def pqTrainCodebook(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = pqStubCodebook(sub, k).localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      cent = pqTrainStep(sub, cent).localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** The i37 product-quantization body: block decomposition → per-block
+    * codebook (`cent`) → per-block code assignment → per-vector code
+    * row (code0..code3) + integer-exact reconstruction checksum
+    * e2sum = Σ round(err²·1e12) over all elements (the i27 rule — the
+    * whole code vector and its reconstruction quality are proven
+    * without emitting arrays). One shuffle: the per-vector pivot
+    * aggregate over nBlocks narrow rows.
+    */
+  private[graft] def pqQuantize(sub: DataFrame, cent: DataFrame,
+      nBlocks: Int): DataFrame = {
+    val e2 = aggregate(
+      zip_with(col("sub"), col("cb"), (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        round(d * d * 1e12).cast("long")
+      }),
+      lit(0L), (acc, q) => acc + q)
+    val codeCols = (0 until nBlocks).map(b =>
+      max(when(col("b") === b, col("cid"))).cast("long").as(s"code$b"))
+    pqAssign(sub, cent)
+      .join(broadcast(cent.select(col("b"), col("cid"), col("cemb").as("cb"))),
+        Seq("b", "cid"))
+      .select(col("vec_id"), col("b"), col("cid"), e2.as("e2"))
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, (codeCols.tail :+ sum(col("e2")).as("e2sum")): _*)
+  }
+
   // ------------------------------------------------------------ minhash
 
   private val NumHashes = 8
@@ -1852,6 +1955,94 @@ object PipelineOps {
                  |   sum(round((v - q * amax / 127.0) * (v - q * amax / 127.0) * 1e12)::BIGINT)::BIGINT AS e2sum,
                  |   round(max(amax), 6) AS amax6
                  | FROM qx GROUP BY vec_id ORDER BY vec_id"""))),
+
+    // PRODUCT quantization — the actual 100 TB ANN memory story past
+    // i27's scalar int8 (4×): each vector splits into 4 independent
+    // 16-dim blocks, each block maps to one of k=8 per-block centroids
+    // (stub codebook refined by ONE unrolled L2 Lloyd step — the i23b
+    // rule: a fixed, SQL-reproducible training slice; the iterated loop
+    // is pqTrainCodebook, PipelineSpec pins its error descent), and a
+    // vector stores 4 code ids — 64 floats → 4 bytes. Assignment is
+    // L2 argmin (sub-blocks are not unit vectors, so the IVF dot
+    // argmax is the wrong metric), inline over the broadcast per-block
+    // codebooks — zero corpus shuffle. Outputs are the i27
+    // integer-exact contract: the 4 code columns prove the code vector,
+    // e2sum = Σ round(err²·1e12) proves the reconstruction without
+    // emitting arrays. The only shuffle is the per-vector pivot over
+    // nBlocks narrow rows.
+    Q("i37_pq_quantize",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val sub = pqBlocks(emb, nBlocks = 4, blockDim = 16).localCheckpoint(true)
+        val cent = pqTrainStep(sub, pqStubCodebook(sub, ivfParams.k))
+        pqQuantize(sub, cent, nBlocks = 4).orderBy("vec_id")
+      },
+      Some(sql("""WITH blocks AS (SELECT unnest(range(0, 4)) AS b),
+                 | sub AS (SELECT e.vec_id, b.b,
+                 |     list_slice(e.embedding, b.b * 16 + 1, b.b * 16 + 16) AS sv
+                 |   FROM embeddings e, blocks b),
+                 | c0 AS (SELECT b, vec_id AS cid, sv AS cemb FROM sub WHERE vec_id < 8),
+                 | d1 AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM sub s JOIN c0 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign1 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d1) WHERE rn = 1),
+                 | q1 AS (
+                 |   SELECT a.b, a.cid,
+                 |     unnest(range(0, len(s.sv))) AS pos,
+                 |     unnest(list_transform(range(0, len(s.sv)),
+                 |       i -> round(s.sv[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM sub s JOIN assign1 a ON s.vec_id = a.vec_id AND s.b = a.b),
+                 | m1 AS (SELECT b, cid, pos, round(sum(vq)::DOUBLE / count(*))::BIGINT AS mq
+                 |   FROM q1 GROUP BY 1, 2, 3),
+                 | c0px AS (SELECT b, cid,
+                 |     unnest(range(0, len(cemb))) AS pos,
+                 |     unnest(list_transform(range(0, len(cemb)), i -> cemb[i + 1])) AS sv0
+                 |   FROM c0),
+                 | c1px AS (SELECT c0px.b, c0px.cid, c0px.pos,
+                 |     CASE WHEN m1.mq IS NULL THEN sv0
+                 |          ELSE CAST(m1.mq::DOUBLE / 1e6 AS FLOAT) END AS ce
+                 |   FROM c0px LEFT JOIN m1
+                 |     ON c0px.b = m1.b AND c0px.cid = m1.cid AND c0px.pos = m1.pos),
+                 | c1 AS (SELECT b, cid, list(ce ORDER BY pos) AS cemb FROM c1px GROUP BY 1, 2),
+                 | d2t AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM sub s JOIN c1 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign2 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d2t) WHERE rn = 1),
+                 | errp AS (
+                 |   SELECT s.vec_id,
+                 |     unnest(list_transform(range(1, len(s.sv) + 1),
+                 |       i -> round((s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE) * 1e12)::BIGINT)) AS q
+                 |   FROM sub s JOIN assign2 a ON s.vec_id = a.vec_id AND s.b = a.b
+                 |     JOIN c1 c ON c.b = a.b AND c.cid = a.cid),
+                 | erra AS (SELECT vec_id, sum(q)::BIGINT AS e2sum FROM errp GROUP BY vec_id),
+                 | codes AS (SELECT vec_id,
+                 |     max(CASE WHEN b = 0 THEN cid END)::BIGINT AS code0,
+                 |     max(CASE WHEN b = 1 THEN cid END)::BIGINT AS code1,
+                 |     max(CASE WHEN b = 2 THEN cid END)::BIGINT AS code2,
+                 |     max(CASE WHEN b = 3 THEN cid END)::BIGINT AS code3
+                 |   FROM assign2 GROUP BY vec_id)
+                 | SELECT c.vec_id, code0, code1, code2, code3, e.e2sum
+                 | FROM codes c JOIN erra e ON c.vec_id = e.vec_id
+                 | ORDER BY c.vec_id"""))),
 
     // Semantic OUTLIER screen — the pruning companion of semantic dedup
     // (SemDeDup prunes redundancy; this prunes noise): a vector whose

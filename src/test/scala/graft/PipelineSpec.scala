@@ -114,6 +114,31 @@ class PipelineSpec extends SparkTestBase {
       s"two Lloyd steps must not lose recall: twoStep=$twoStep stub=$stub")
   }
 
+  test("i37 PQ training descends: iterated per-block Lloyd cuts reconstruction error") {
+    // The registry entry ships the 1-step codebook (SQL-reproducible);
+    // the iterated loop is the production trainer — each Lloyd round
+    // must not increase total reconstruction error (re-assignment and
+    // the mean M-step are both non-increasing for the L2 objective),
+    // and on random vectors the first step must strictly improve on
+    // the stub. Codes must stay in [0, k).
+    val emb = Tables.load(spark, dir, "embeddings")
+    val sub = PipelineOps.pqBlocks(emb, 4, 16).localCheckpoint(true)
+    def totalErr(cent: org.apache.spark.sql.DataFrame): Long =
+      PipelineOps.pqQuantize(sub, cent, 4)
+        .agg(sum(col("e2sum"))).head.getLong(0)
+    val stub = totalErr(PipelineOps.pqStubCodebook(sub, 8))
+    val one = totalErr(PipelineOps.pqTrainCodebook(sub, 8, 1))
+    val four = totalErr(PipelineOps.pqTrainCodebook(sub, 8, 4))
+    assert(one < stub, s"one Lloyd step must cut error: one=$one stub=$stub")
+    assert(four <= one, s"more steps must not regress: four=$four one=$one")
+    val codes = PipelineOps.pqQuantize(sub,
+        PipelineOps.pqTrainCodebook(sub, 8, 1), 4)
+      .select("code0", "code1", "code2", "code3")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(codes.nonEmpty && codes.forall { case (a, b, c, d) =>
+      Seq(a, b, c, d).forall(x => x >= 0 && x < 8) })
+  }
+
   test("i32 composed dedup verdict subsumes i15/i18/i31 (resolution, apply, cap laws)") {
     // The composed entry must be a strict superset view: each of the
     // three separate dedup entries is a filter over the verdict table.

@@ -400,6 +400,22 @@ class PlanSpec extends SparkTestBase {
       s"quantize joins nothing — no sort-merge anywhere:\n$p")
   }
 
+  test("i37: PQ codebooks broadcast everywhere — no corpus sort-merge, no cartesian") {
+    // Every join in the PQ plan has a codebook-bounded side (per-block
+    // centroid arrays, the trained (b,cid) table, the empty-cell
+    // carry-through anti-join) — all must plan as broadcast joins; the
+    // corpus-sized shuffles are only the quantized-mean partial aggs
+    // and the per-vector pivot.
+    val p = plan(Registry.byId("i37_pq_quantize").build(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ joins only codebook-bounded sides — no sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no unbounded join shapes in the PQ plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-block codebooks must broadcast:\n$p")
+  }
+
   test("i26: the corpus doc count broadcasts; no cartesian product") {
     val p = plan(Registry.byId("i26_tfidf_topk").build(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"),
