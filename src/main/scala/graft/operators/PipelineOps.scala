@@ -157,6 +157,17 @@ object PipelineOps {
     * the OPERATORS themselves take the params as arguments and are
     * property-tested at a second (k, nprobe) — nprobe = k must degrade
     * IVF to exact brute force (PipelineSpec).
+    *
+    * PRODUCTION SIZING RULE (k is fixture-bound here, not a design
+    * constant): choose k ≈ N / target-bucket-size so that the expected
+    * cluster holds a fixed number of vectors (dedup wants buckets small
+    * enough that the within-cluster quadratic term is a constant per
+    * cluster — typically 10³-10⁴ vectors; pure ANN routing tolerates
+    * larger), and scale nprobe WITH k to hold the probed corpus
+    * fraction nprobe/k. PipelineSpec's k-scaling property runs the
+    * parameterized family at k = ⌈√N⌉ with a trained codebook and pins
+    * both halves of the rule: assignment balance (max cluster ≤ 4·N/k)
+    * and no recall loss at equal probe fraction vs this stub k = 8.
     */
   final case class IvfParams(k: Int, nprobe: Int, nQueries: Int)
   private[graft] val ivfParams: IvfParams = IvfParams(k = 8, nprobe = 2, nQueries = 20)

@@ -114,6 +114,40 @@ class PipelineSpec extends SparkTestBase {
       s"two Lloyd steps must not lose recall: twoStep=$twoStep stub=$stub")
   }
 
+  test("IVF k-scaling: k = ceil(sqrt(N)) stays balanced and keeps recall at equal probe fraction") {
+    // The registry's k = 8 is fixture-bound; the production rule
+    // (documented at ivfParams) is k ≈ N / target-bucket-size, with
+    // nprobe scaled to hold the probed corpus fraction. This property
+    // runs the SAME parameterized family at k = ceil(sqrt(N)) with a
+    // TRAINED codebook and pins the two things the rule promises:
+    //   1. balance — no cluster exceeds c·N/k (the quadratic dedup
+    //      bound that justifies cluster-bucketed candidates), and
+    //   2. recall — at an equal probe fraction (nprobe/k constant) the
+    //      scaled index does not lose recall@3 vs the k = 8 stub.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val n = emb.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val cent = PipelineOps.trainCodebook(emb, k)
+    val sizes = PipelineOps.assignToCentroids(emb, cent)
+      .groupBy(col("cid")).agg(count(lit(1)).as("c"))
+      .select("c").as[Long].collect()
+    val maxCluster = sizes.max
+    println(s"[ivf-k] N=$n k=$k clusters=${sizes.length} " +
+      s"max=$maxCluster mean=${n.toDouble / k}")
+    val q = PipelineOps.queryBatch(emb, 20)
+    def hits(c: org.apache.spark.sql.DataFrame, nprobe: Int): Long =
+      PipelineOps.annRecall(emb, c, q, nprobe)
+        .agg(sum(col("n_hit"))).head.getLong(0)
+    val nprobeScaled = math.ceil(2.0 * k / 8).toInt
+    val stub8 = hits(PipelineOps.stubCodebook(emb, 8), 2)
+    val scaled = hits(cent, nprobeScaled)
+    println(s"[ivf-k] stub8=$stub8 scaled(k=$k,nprobe=$nprobeScaled)=$scaled")
+    assert(maxCluster <= 4 * n / k,
+      s"trained k=sqrt(N) index must stay balanced: max=$maxCluster N/k=${n / k}")
+    assert(scaled >= stub8,
+      s"equal-probe-fraction recall must not regress: scaled=$scaled stub=$stub8")
+  }
+
   test("i37 PQ training descends: iterated per-block Lloyd cuts reconstruction error") {
     // The registry entry ships the 1-step codebook (SQL-reproducible);
     // the iterated loop is the production trainer — each Lloyd round
