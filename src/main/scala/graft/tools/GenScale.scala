@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale a driver testdata directory N× by unioning shifted
+  * copies — the sf1 bench datapoint generator (BASELINE.md). Not part
+  * of the engine; bench-only data (the DuckDB oracle still runs on the
+  * driver's own sf directories).
+  *
+  * Scaling rules (chosen so per-query cost models stay interpretable):
+  *   - join keys shift by a copy-specific stride on EVERY table that
+  *     carries them, so referential integrity (orders→customer,
+  *     lineitem→orders/part/supplier) holds within each copy and no
+  *     cross-copy joins appear;
+  *   - region/nation are fixed dimensions (real TPC-H does not scale
+  *     them) — copied once;
+  *   - documents get doc_id block-shifted AND every token suffixed
+  *     `_c` per copy: cross-copy token sets are disjoint, so text
+  *     dedup/similarity queries grow linearly in corpus size (a
+  *     replicated corpus without perturbation would instead manufacture
+  *     10-copy duplicate cliques and measure a fixture artifact);
+  *     n_chars is recomputed from the perturbed text;
+  *   - embeddings get vec_id block-shifted, vectors and labels
+  *     UNCHANGED: a 10× corpus has 10× vectors per label/cluster, so
+  *     the label/cluster-bucketed quadratic family (i12/i24/i29) is
+  *     MEANT to show its bucket-size dependence here — that is the
+  *     measurement the fixture-bound k=8 discussion in BASELINE.md
+  *     needs;
+  *   - events keep their ns-int64 timestamps raw (read with
+  *     nanosAsLong, written back as int64 — Tables.load handles both),
+  *     event/user ids shift.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/root/repo/data/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val S = 10000000L // key stride, far above every sf0.1 key range
+    def read(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet")
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+    def scaled(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      val base = read(name)
+      write(name, (0 until copies).map(c => tx(base, c)).reduce(_ unionByName _))
+    }
+    def shiftCols(d: DataFrame, c: Int, cols: String*): DataFrame =
+      cols.foldLeft(d)((acc, n) => acc.withColumn(n, col(n) + c * S))
+
+    write("region", read("region"))
+    write("nation", read("nation"))
+    scaled("supplier")((d, c) => shiftCols(d, c, "s_suppkey"))
+    scaled("customer")((d, c) => shiftCols(d, c, "c_custkey"))
+    scaled("part")((d, c) => shiftCols(d, c, "p_partkey"))
+    scaled("orders")((d, c) => shiftCols(d, c, "o_orderkey", "o_custkey"))
+    scaled("lineitem")((d, c) =>
+      shiftCols(d, c, "l_orderkey", "l_partkey", "l_suppkey"))
+    scaled("events")((d, c) => shiftCols(d, c, "event_id", "user_id"))
+
+    val nDocs = read("documents").count()
+    scaled("documents") { (d, c) =>
+      if (c == 0) d
+      else {
+        val txt = array_join(
+          transform(split(col("text"), " "), t => concat(t, lit(s"_$c"))), " ")
+        d.select(
+          (col("doc_id") + c * nDocs).as("doc_id"),
+          txt.as("text"), col("lang"), col("source"),
+          length(txt).cast("long").as("n_chars"))
+      }
+    }
+    val nVecs = read("embeddings").count()
+    scaled("embeddings")((d, c) =>
+      d.withColumn("vec_id", col("vec_id") + c * nVecs))
+
+    spark.stop()
+  }
+}
