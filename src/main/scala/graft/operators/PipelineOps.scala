@@ -2055,6 +2055,163 @@ object PipelineOps {
                  | FROM codes c JOIN erra e ON c.vec_id = e.vec_id
                  | ORDER BY c.vec_id"""))),
 
+    // ADC search over the PQ codes — the read path that makes i37's 64×
+    // compression usable: the query's sub-blocks precompute a tiny
+    // (nBlocks × k) lookup table of L2 distances to every per-block
+    // centroid, and each stored vector's approximate distance is the
+    // SUM of 4 table lookups — the classic asymmetric distance
+    // computation, no stored vector is ever reconstructed. Scale: the
+    // LUT is 32 rows and broadcasts; the per-(vector, block) code rows
+    // join it map-side, and the only shuffle is the per-vector 4-row
+    // sum pivot (the pqQuantize shuffle); top-20 is a
+    // TakeOrderedAndProject over (vec_id, adc_q) pairs. Distances are
+    // micro-quantized longs (round(d2·1e6), the i23/i27 rule) so the
+    // 4-way sum is order-free integer arithmetic in both engines;
+    // ranking ties break on vec_id. PipelineSpec pins ADC top-20
+    // recall against the exact-L2 brute-force top-20.
+    Q("i39_ann_pq_adc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val sub = pqBlocks(emb, nBlocks = 4, blockDim = 16).localCheckpoint(true)
+        val cent = pqTrainStep(sub, pqStubCodebook(sub, ivfParams.k))
+        val codes = pqAssign(sub, cent).select(col("vec_id"), col("b"), col("cid"))
+        val qsub = sub.filter(col("vec_id") === 0)
+          .select(col("b"), col("sub").as("qv"))
+        val lut = cent.join(qsub, Seq("b"))
+          .select(col("b"), col("cid"),
+            round(round(VectorFunctions.l2sq(col("qv"), col("cemb")), 6) * 1e6)
+              .cast("long").as("d2q"))
+        codes.join(broadcast(lut), Seq("b", "cid"))
+          .filter(col("vec_id") =!= 0)
+          .groupBy(col("vec_id"))
+          .agg(sum(col("d2q")).as("adc_q"))
+          .orderBy(col("adc_q"), col("vec_id")).limit(20)
+      },
+      Some(sql("""WITH blocks AS (SELECT unnest(range(0, 4)) AS b),
+                 | sub AS (SELECT e.vec_id, b.b,
+                 |     list_slice(e.embedding, b.b * 16 + 1, b.b * 16 + 16) AS sv
+                 |   FROM embeddings e, blocks b),
+                 | c0 AS (SELECT b, vec_id AS cid, sv AS cemb FROM sub WHERE vec_id < 8),
+                 | d1 AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM sub s JOIN c0 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign1 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d1) WHERE rn = 1),
+                 | q1 AS (
+                 |   SELECT a.b, a.cid,
+                 |     unnest(range(0, len(s.sv))) AS pos,
+                 |     unnest(list_transform(range(0, len(s.sv)),
+                 |       i -> round(s.sv[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM sub s JOIN assign1 a ON s.vec_id = a.vec_id AND s.b = a.b),
+                 | m1 AS (SELECT b, cid, pos, round(sum(vq)::DOUBLE / count(*))::BIGINT AS mq
+                 |   FROM q1 GROUP BY 1, 2, 3),
+                 | c0px AS (SELECT b, cid,
+                 |     unnest(range(0, len(cemb))) AS pos,
+                 |     unnest(list_transform(range(0, len(cemb)), i -> cemb[i + 1])) AS sv0
+                 |   FROM c0),
+                 | c1px AS (SELECT c0px.b, c0px.cid, c0px.pos,
+                 |     CASE WHEN m1.mq IS NULL THEN sv0
+                 |          ELSE CAST(m1.mq::DOUBLE / 1e6 AS FLOAT) END AS ce
+                 |   FROM c0px LEFT JOIN m1
+                 |     ON c0px.b = m1.b AND c0px.cid = m1.cid AND c0px.pos = m1.pos),
+                 | c1 AS (SELECT b, cid, list(ce ORDER BY pos) AS cemb FROM c1px GROUP BY 1, 2),
+                 | d2t AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM sub s JOIN c1 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign2 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d2t) WHERE rn = 1),
+                 | qsub AS (SELECT b, sv AS qv FROM sub WHERE vec_id = 0),
+                 | lutp AS (
+                 |   SELECT b, cid, round(round(sum(p), 6) * 1e6)::BIGINT AS d2q
+                 |   FROM (SELECT c.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(q.qv) + 1),
+                 |             i -> (q.qv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (q.qv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM c1 c JOIN qsub q ON c.b = q.b)
+                 |   GROUP BY 1, 2)
+                 | SELECT a.vec_id, sum(l.d2q)::BIGINT AS adc_q
+                 | FROM assign2 a JOIN lutp l ON a.b = l.b AND a.cid = l.cid
+                 | WHERE a.vec_id <> 0
+                 | GROUP BY 1 ORDER BY adc_q, vec_id LIMIT 20"""))),
+
+    // Inter-source duplication AUDIT — the corpus-assembly diagnostic a
+    // mixture designer runs before setting i21/i34 rates: for every
+    // source pair, how much shingle-level content do they share?
+    // (Crawl snapshots, mirrored sites, and re-crawled domains show up
+    // as high-Jaccard source pairs; the per-pair numbers decide which
+    // sources merge or get down-weighted.) One corpus shuffle total:
+    // the 3-token shingle stream groups by its 8-byte hash with a
+    // map-side-combined collect_set(source) whose size is bounded by
+    // the source count (not the corpus), then per-source distinct
+    // totals and all ordered source pairs derive from that grouped
+    // table with NO second corpus pass (pair expansion is an in-row
+    // transform over the ≤|sources| set; output is ≤ |sources|² rows).
+    // Integer counts + one final rounded division (the i19 rule), so
+    // the matrix is oracle-exact; shingle identity is engine-internal
+    // xxhash64 (the i13 rule: counts are hash-invariant), the oracle
+    // joins raw shingle strings.
+    Q("i38_source_overlap",
+      (s, dir) => {
+        val grouped = t(s, dir, "documents")
+          .select(col("source"), explode(shingleZip(col("text"))).as("z"))
+          .select(col("source"),
+            xxhash64(col("z.0"), col("z.1"), col("z.2")).as("sh"))
+          .groupBy(col("sh"))
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .localCheckpoint(true)
+        val sz = grouped.select(explode(col("srcs")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val arr = col("srcs")
+        val pairArr = flatten(transform(arr, (x, i) =>
+          transform(slice(arr, i + lit(2), size(arr)), y =>
+            struct(x.as("source1"), y.as("source2")))))
+        grouped.select(explode(pairArr).as("p"))
+          .select(col("p.source1").as("source1"), col("p.source2").as("source2"))
+          .groupBy(col("source1"), col("source2"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sz.select(col("source").as("source1"), col("n_sh").as("n_sh1"))),
+            Seq("source1"))
+          .join(broadcast(sz.select(col("source").as("source2"), col("n_sh").as("n_sh2"))),
+            Seq("source2"))
+          .select(col("source1"), col("source2"), col("n_shared"),
+            col("n_sh1"), col("n_sh2"),
+            round(col("n_shared") / (col("n_sh1") + col("n_sh2") - col("n_shared")), 3)
+              .as("jaccard"))
+          .orderBy("source1", "source2")
+      },
+      Some(sql("""WITH sh AS (
+                 |   SELECT DISTINCT source,
+                 |     unnest(list_transform(range(1, len(toks)-1),
+                 |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                 |   FROM (SELECT source, string_split(text,' ') AS toks FROM documents
+                 |         WHERE len(string_split(text,' ')) >= 3)),
+                 | sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+                 | pr AS (SELECT a.source AS source1, b.source AS source2,
+                 |     count(*) AS n_shared
+                 |   FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+                 |   GROUP BY 1, 2)
+                 | SELECT source1, source2, n_shared, z1.n_sh AS n_sh1, z2.n_sh AS n_sh2,
+                 |   round(n_shared * 1.0 / (z1.n_sh + z2.n_sh - n_shared), 3) AS jaccard
+                 | FROM pr JOIN sz z1 ON source1 = z1.source
+                 |   JOIN sz z2 ON source2 = z2.source
+                 | ORDER BY source1, source2"""))),
+
     // Semantic OUTLIER screen — the pruning companion of semantic dedup
     // (SemDeDup prunes redundancy; this prunes noise): a vector whose
     // best-centroid similarity falls below τ belongs to no semantic

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 import graft.operators.PipelineOps
 
 /** Training-pipeline operator internals: the multimodal decode plumbing
@@ -171,6 +172,52 @@ class PipelineSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect()
     assert(codes.nonEmpty && codes.forall { case (a, b, c, d) =>
       Seq(a, b, c, d).forall(x => x >= 0 && x < 8) })
+  }
+
+  test("i39 ADC search: recall against exact-L2 brute force, and the LUT sum is exact") {
+    // ADC ranks by sum-of-4 table lookups; the test pins (a) agreement
+    // with the exact L2 brute-force top-20 at or above the recall the
+    // 4×8-codebook geometry actually delivers on this fixture, and
+    // (b) that the registry entry's integer adc_q for each vector
+    // equals the independently-computed LUT sum (the order-free
+    // integer contract).
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val exact = emb.crossJoin(broadcast(qvec))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        VectorFunctions.l2sq(col("embedding"), col("qe")).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(20)
+      .select("vec_id").as[Long].collect().toSet
+    val adc = Registry.byId("i39_ann_pq_adc").build(spark, dir)
+    val adcRows = adc.select("vec_id", "adc_q").as[(Long, Long)].collect()
+    val overlap = adcRows.map(_._1).toSet.intersect(exact).size
+    println(s"[pq-adc] recall@20 overlap=$overlap/20")
+    assert(overlap >= 6,
+      s"ADC top-20 must overlap exact top-20 on >=6: got $overlap")
+    // adc_q must be the sum of the per-block LUT entries for the
+    // vector's own codes — recompute via pqQuantize + an independent
+    // LUT join and compare integer-for-integer.
+    val sub = PipelineOps.pqBlocks(emb, 4, 16).localCheckpoint(true)
+    val cent = PipelineOps.pqTrainStep(sub, PipelineOps.pqStubCodebook(sub, 8))
+    val qsub = sub.filter(col("vec_id") === 0).select(col("b"), col("sub").as("qv"))
+    val lut = cent.join(qsub, Seq("b"))
+      .select(col("b"), col("cid"),
+        round(round(VectorFunctions.l2sq(col("qv"), col("cemb")), 6) * 1e6)
+          .cast("long").as("d2q"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (b, cid, d) => (b.toLong, cid) -> d }.toMap
+    val codes = PipelineOps.pqQuantize(sub, cent, 4)
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (v, c0, c1, c2, c3) =>
+        v -> Seq(c0, c1, c2, c3).zipWithIndex.map {
+          case (c, b) => lut((b.toLong, c)) }.sum
+      }.toMap
+    adcRows.foreach { case (v, q) =>
+      assert(codes(v) == q, s"vec $v: registry adc_q=$q recomputed=${codes(v)}")
+    }
   }
 
   test("i32 composed dedup verdict subsumes i15/i18/i31 (resolution, apply, cap laws)") {
