@@ -817,6 +817,41 @@ object PipelineOps {
         col("n_grams"))
   }
 
+  /** The eval-side shingle set collapsed to ONE row holding the distinct
+    * xxhash64 shingle hashes — the broadcast side of the contamination
+    * screen (benchmark suites are tiny next to the corpus, the i19
+    * premise).
+    */
+  private[graft] def evalShingleSet(evalDocs: DataFrame): DataFrame =
+    evalDocs
+      .select(explode(shingleZip(col("text"))).as("z"))
+      .select(xxhash64(col("z.0"), col("z.1"), col("z.2")).as("sh"))
+      .agg(collect_set(col("sh")).as("eval_sh"))
+
+  /** The IN-ROW form of i19's contamination screen, for the streaming
+    * twin: a doc's shingle set never leaves its row (array_distinct over
+    * the hashed gram array), the broadcast 1-row eval set intersects
+    * in-row, and the containment filter is a pure projection — no
+    * explode, no shuffle, no state store, so the SAME expression maps
+    * over each micro-batch (the i21/j7 stateless rule). Provably equal
+    * to the batch explode/groupBy form: array_distinct + array_intersect
+    * have exactly the distinct-count semantics the batch groupBy
+    * computes (StreamingSpec asserts shuffled feed ≡ batch i19).
+    */
+  private[graft] def contaminationScreen(docs: DataFrame, evalSet: DataFrame): DataFrame = {
+    val shArr = array_distinct(transform(gramZip(col("text"), 3), z =>
+      xxhash64(z.getField("0"), z.getField("1"), z.getField("2"))))
+    val containment = col("n_shared") / col("n_sh")
+    docs.crossJoin(broadcast(evalSet))
+      .select(col("doc_id"), shArr.as("sh_arr"), col("eval_sh"))
+      .select(col("doc_id"),
+        size(col("sh_arr")).cast("long").as("n_sh"),
+        size(array_intersect(col("sh_arr"), col("eval_sh"))).cast("long").as("n_shared"))
+      .filter(col("n_sh") > 0 && containment >= 0.2)
+      .select(col("doc_id"), col("n_shared"),
+        round(containment, 3).as("containment"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val qs: Seq[Q] = Seq(
@@ -1253,6 +1288,81 @@ object PipelineOps {
     // rule — counts are hash-invariant, the oracle joins raw bigrams);
     // the corpus-sized shuffles are the count partial-aggs and the
     // per-doc rollup, all on 8-byte keys with map-side combine.
+    // Leave-one-out LM screening — j10 APPLIED as the model-based
+    // quality gate (the CCNet shape): score every doc against the
+    // bigram LM trained on the corpus MINUS that doc, and emit the 20
+    // least-familiar docs. Self-exclusion is the statistically honest
+    // form — a gibberish doc repeating its own junk bigrams inflates
+    // its j10 self-score, but contributes nothing to its own held-out
+    // counts (a bigram unique to the doc scores 0). Implemented as
+    // count SUBTRACTION, not a per-doc retrain: the per-doc bigram
+    // table (doc_id, bk, own2) subtracts from the global (c2, c1)
+    // tables, so the whole leave-one-out sweep costs ONE extra
+    // corpus-keyed aggregate over what j10 already shuffles — at 100 TB
+    // a per-doc retrain is N jobs, the subtraction is one. Weights:
+    // each distinct (doc, bigram) contributes own2 occurrences of the
+    // same q, so the spine aggregates own2·q over distinct pairs (no
+    // occurrence re-explode). q is the j10 micro-quantized integer;
+    // a prefix unigram fully owned by the doc scores 0 (guarded — the
+    // 0/0 case both engines would NaN differently). Ranking compares
+    // the IEEE-identical unrounded double sq/n before the 4dp display
+    // rounding; ties break on doc_id.
+    Q("j12_lm_holdout",
+      (s, dir) => {
+        val occ = t(s, dir, "documents")
+          .select(col("doc_id"), explode(gramZip(col("text"), 2)).as("z"))
+          .select(col("doc_id"),
+            xxhash64(col("z.0"), col("z.1")).as("bk"),
+            xxhash64(col("z.0")).as("uk"))
+          .localCheckpoint(true)
+        val own2 = occ.groupBy(col("doc_id"), col("bk"), col("uk"))
+          .agg(count(lit(1)).as("own2"))
+        val own1 = occ.groupBy(col("doc_id"), col("uk"))
+          .agg(count(lit(1)).as("own1"))
+        val c2 = occ.groupBy(col("bk"), col("uk")).agg(count(lit(1)).as("c2"))
+        val c1 = occ.groupBy(col("uk")).agg(count(lit(1)).as("c1"))
+        val q = when(col("c1") === col("own1"), lit(0L))
+          .otherwise(round(lit(1e6) * (col("c2") - col("own2"))
+            / (col("c1") - col("own1"))).cast("long"))
+        own2.join(c2, Seq("bk", "uk"))
+          .join(own1, Seq("doc_id", "uk"))
+          .join(broadcast(c1), "uk")
+          .select(col("doc_id"), col("own2"), q.as("q"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("own2")).as("n_bigrams"),
+            sum(col("own2") * col("q")).as("sq"))
+          .orderBy(col("sq").cast("double") / col("n_bigrams"), col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sq").cast("double") / col("n_bigrams") / 1e6, 4)
+              .as("loo_score"))
+      },
+      Some(sql("""WITH occ AS (
+                 |   SELECT doc_id,
+                 |     unnest(list_transform(range(1, len(toks)),
+                 |       i -> toks[i] || ' ' || toks[i+1])) AS bg
+                 |   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+                 | o2 AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1, bg FROM occ),
+                 | own2 AS (SELECT doc_id, bg, min(w1) AS w1, count(*) AS own2
+                 |   FROM o2 GROUP BY doc_id, bg),
+                 | own1 AS (SELECT doc_id, w1, count(*) AS own1 FROM o2 GROUP BY doc_id, w1),
+                 | c2 AS (SELECT bg, count(*) AS c2 FROM o2 GROUP BY bg),
+                 | c1 AS (SELECT w1, count(*) AS c1 FROM o2 GROUP BY w1),
+                 | q AS (
+                 |   SELECT own2.doc_id, own2.own2,
+                 |     CASE WHEN c1.c1 = own1.own1 THEN 0
+                 |          ELSE round(1e6 * (c2.c2 - own2.own2)
+                 |               / (c1.c1 - own1.own1))::BIGINT END AS q
+                 |   FROM own2 JOIN c2 USING (bg)
+                 |     JOIN own1 ON own1.doc_id = own2.doc_id AND own1.w1 = own2.w1
+                 |     JOIN c1 ON c1.w1 = own2.w1),
+                 | sp AS (SELECT doc_id, sum(own2)::BIGINT AS n_bigrams,
+                 |     sum(own2 * q)::BIGINT AS sq
+                 |   FROM q GROUP BY doc_id)
+                 | SELECT doc_id, n_bigrams,
+                 |   round(sq::DOUBLE / n_bigrams / 1e6, 4) AS loo_score
+                 | FROM sp ORDER BY sq::DOUBLE / n_bigrams, doc_id LIMIT 20"""))),
+
     Q("j10_bigram_lm",
       (s, dir) => {
         // ONE tokenize pass for the three consumers (both count tables

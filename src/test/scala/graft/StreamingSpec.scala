@@ -511,6 +511,28 @@ class StreamingSpec extends SparkTestBase {
     assert(want.count() > 0, "screen must be non-vacuous at sf0.001")
   }
 
+  test("streaming contamination screen == batch i19 (stateless broadcast eval set)") {
+    // The leakage check run at INGEST time: train docs stream in, the
+    // eval-set shingle hashes sit static in one broadcast row, and the
+    // per-doc containment is computed IN-ROW (array_distinct +
+    // array_intersect over the hashed gram array) — no explode, no
+    // shuffle, no state store, so the same expression maps over each
+    // micro-batch and a shuffled feed reproduces batch i19 exactly.
+    // The twin also proves the in-row form == the batch explode/groupBy
+    // form, the same two-route check as the m1 decoder twin.
+    val docs = Tables.load(spark, dir, "documents")
+    val evalSet = PipelineOps.evalShingleSet(docs.filter(col("doc_id") < 50))
+      .localCheckpoint(true)
+    val train = docs.filter(col("doc_id") >= 50)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(37).shuffle(train)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.contaminationScreen(ds.toDF("doc_id", "text"), evalSet))
+    val want = Registry.byId("i19_contamination").build(spark, dir)
+    assertSameRows(got, want)
+    assert(want.count() > 0, "screen must be non-vacuous at sf0.001")
+  }
+
   test("streaming PII scrub == batch j7 (stateless, arrival-order free)") {
     // Redaction is a pure per-row projection: the SAME expression maps
     // over each micro-batch with no state store, and a shuffled feed
