@@ -817,6 +817,45 @@ object PipelineOps {
         col("n_grams"))
   }
 
+  /** Span-dedup APPLY (see the i40 registry entry): excise every REPEAT
+    * occurrence of a corpus-duplicated ≥k-token gram, keep the globally
+    * first (by (doc_id, pos)), and reassemble per-doc cleaned text with
+    * removal counts. Every excised token position lies inside an i35
+    * duplicateSpans range (the repeat grams are a subset of i35's
+    * marked occurrences) — PipelineSpec pins that containment law plus
+    * keep-first on crafted geometry.
+    */
+  private[graft] def spanExcise(docs: DataFrame, k: Int = 5): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), posexplode(gramZip(col("text"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64((0 until k).map(i => col(s"col.$i")): _*).as("g"))
+    val byG = Window.partitionBy(col("g"))
+      .orderBy(col("doc_id"), col("pos"))
+    val excised = occ
+      .withColumn("rn", row_number().over(byG))
+      .filter(col("rn") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("tp"),
+        col("col").as("tok"))
+    val kept = toks.join(excised, Seq("doc_id", "tp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** The eval-side shingle set collapsed to ONE row holding the distinct
     * xxhash64 shingle hashes — the broadcast side of the contamination
     * screen (benchmark suites are tiny next to the corpus, the i19
@@ -1690,6 +1729,50 @@ object PipelineOps {
                  |   max(pos) - min(pos) + 5 AS n_tokens, count(*) AS n_grams
                  | FROM isl GROUP BY doc_id, island
                  | ORDER BY doc_id, span_start"""))),
+
+    // Span-dedup APPLY — the excision step completing i35's find step
+    // (the i15→i18 find/apply pattern at sub-document granularity):
+    // every REPEAT occurrence of a corpus-duplicated ≥5-token gram is
+    // excised and the globally-FIRST occurrence kept (dedup removes
+    // repeats, not all copies — the boilerplate survives once), emitting
+    // per-doc cleaned text + removal counts. "First" is the (doc_id,
+    // pos) row_number over each gram's occurrences — repeats are rn ≥ 2,
+    // which also subsumes the count ≥ 2 test (a unique gram IS its own
+    // first). Scale: the gram window shuffles (8-byte hash, doc_id,
+    // pos) triples partitioned BY GRAM (never a global sort); covered
+    // token positions explode from repeat grams only; the text
+    // reassembly is the one inherently per-doc gather — an anti-join on
+    // (doc_id, tp) and a per-doc sorted collect bounded by doc length,
+    // partitioned by doc_id.
+    Q("i40_span_excise",
+      (s, dir) => spanExcise(t(s, dir, "documents")).orderBy("doc_id"),
+      Some(sql("""WITH tks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+                 | g AS (SELECT doc_id,
+                 |     unnest(range(1, len(tk)-3)) - 1 AS pos,
+                 |     unnest(list_transform(range(1, len(tk)-3),
+                 |       i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) AS gram
+                 |   FROM tks),
+                 | m AS (SELECT doc_id, pos FROM (
+                 |     SELECT doc_id, pos,
+                 |       row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                 |     FROM g) WHERE rn >= 2),
+                 | ex AS (SELECT DISTINCT doc_id, pos + o AS tp
+                 |   FROM m, (SELECT unnest(range(0, 5)) AS o) os),
+                 | tok AS (SELECT doc_id, unnest(range(1, len(tk)+1)) - 1 AS tp,
+                 |     unnest(tk) AS tok FROM tks),
+                 | kept AS (SELECT t.doc_id, t.tp, t.tok FROM tok t
+                 |   WHERE NOT EXISTS (SELECT 1 FROM ex
+                 |     WHERE ex.doc_id = t.doc_id AND ex.tp = t.tp)),
+                 | agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                 |     string_agg(tok, ' ' ORDER BY tp) AS clean_text
+                 |   FROM kept GROUP BY doc_id),
+                 | sz AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
+                 |   FROM documents)
+                 | SELECT sz.doc_id, n_tokens,
+                 |   (n_tokens - COALESCE(n_kept, 0))::BIGINT AS n_removed,
+                 |   COALESCE(clean_text, '') AS clean_text
+                 | FROM sz LEFT JOIN agg USING (doc_id)
+                 | ORDER BY sz.doc_id"""))),
 
     // Train↔eval CONTAMINATION screening — the leakage check a training
     // pipeline runs before any benchmark claim: for every train doc, the

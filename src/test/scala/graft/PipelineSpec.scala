@@ -174,6 +174,45 @@ class PipelineSpec extends SparkTestBase {
       Seq(a, b, c, d).forall(x => x >= 0 && x < 8) })
   }
 
+  test("i40 span excision keeps the first occurrence and removals stay inside i35 spans") {
+    // Crafted geometry: B repeats A's 5-token boilerplate header, C is
+    // clean. Keep-first means A survives whole, B loses exactly the
+    // header's 5 tokens, C is untouched.
+    val docs = Seq(
+      (0L, "H1 H2 H3 H4 H5 a1 a2 a3"),
+      (1L, "H1 H2 H3 H4 H5 b1 b2 b3"),
+      (2L, "c1 c2 c3 c4 c5 c6")).toDF("doc_id", "text")
+    val got = PipelineOps.spanExcise(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((0L, 8L, 0L, "H1 H2 H3 H4 H5 a1 a2 a3")),
+      s"first occurrence must survive whole: ${got(0)}")
+    assert(got(1) == ((1L, 8L, 5L, "b1 b2 b3")),
+      s"repeat must lose exactly the header: ${got(1)}")
+    assert(got(2) == ((2L, 6L, 0L, "c1 c2 c3 c4 c5 c6")),
+      s"clean doc must be untouched: ${got(2)}")
+    // Containment law on real data: every token position i40 excises
+    // lies inside some i35 duplicated-span range for that doc — the
+    // repeat occurrences are a subset of i35's marked occurrences.
+    val corpus = Tables.load(spark, dir, "documents")
+    val spans = PipelineOps.duplicateSpans(corpus)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    val excised = PipelineOps.spanExcise(corpus)
+      .filter(col("n_removed") > 0)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(excised.nonEmpty, "excision must be non-vacuous at sf0.001")
+    excised.foreach { case (d, nTok, nRem, _) =>
+      val covered = spans.getOrElse(d, Array.empty)
+        .map { case (a, b) => b - a + 1 }.sum
+      assert(nRem <= covered,
+        s"doc $d: removed $nRem tokens but i35 spans cover only $covered")
+      assert(nRem < nTok || covered == nTok,
+        s"doc $d: fully excised yet spans don't cover the whole doc")
+    }
+  }
+
   test("i39 ADC search: recall against exact-L2 brute force, and the LUT sum is exact") {
     // ADC ranks by sum-of-4 table lookups; the test pins (a) agreement
     // with the exact L2 brute-force top-20 at or above the recall the
