@@ -416,6 +416,53 @@ class PlanSpec extends SparkTestBase {
       s"the per-block codebooks must broadcast:\n$p")
   }
 
+  test("i39: ADC ranks via broadcast LUT lookups and a TakeOrderedAndProject top-k") {
+    // The read path must never move the corpus to the LUT: the (4×8)
+    // table and the per-block codebooks broadcast, code rows join them
+    // map-side, and the global top-20 is a TakeOrderedAndProject over
+    // (vec_id, adc_q) — not a full sort.
+    val p = plan(Registry.byId("i39_ann_pq_adc").build(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      s"LUT and codebook joins must broadcast — no sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ADC lookup table must join as a broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject, not a full sort:\n$p")
+  }
+
+  test("i38: pair expansion and totals derive from one materialized grouped table") {
+    // The corpus contributes exactly one shuffle — the groupBy(sh) with
+    // a map-side-combined collect_set — which materializes once
+    // (localCheckpoint) and feeds BOTH the per-source totals and the
+    // in-row pair explode as ExistingRDD scans; the totals then attach
+    // as broadcast joins over the ≤|sources|² pair rows.
+    val p = plan(Registry.byId("i38_source_overlap").build(spark, dir))
+    assert(p.contains("Scan ExistingRDD"),
+      s"the grouped shingle table must be a materialized scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-source totals must broadcast onto the pair rows:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the broadcast totals joins:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product in the overlap matrix plan:\n$p")
+  }
+
+  test("j12: holdout spine joins the corpus-keyed tables; unigram counts broadcast") {
+    // The leave-one-out subtraction must keep j10's join discipline:
+    // the occurrence table materializes once (all four count tables
+    // derive from the same checkpoint), c1 joins by broadcast hint,
+    // and the screening top-20 is a TakeOrderedAndProject.
+    val p = plan(Registry.byId("j12_lm_holdout").build(spark, dir))
+    assert(p.contains("Scan ExistingRDD"),
+      s"the occurrence table must be a materialized scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the unigram count table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the screening top-20 must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product in the holdout plan:\n$p")
+  }
+
   test("i26: the corpus doc count broadcasts; no cartesian product") {
     val p = plan(Registry.byId("i26_tfidf_topk").build(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"),
