@@ -825,16 +825,21 @@ object PipelineOps {
     * marked occurrences) — PipelineSpec pins that containment law plus
     * keep-first on crafted geometry.
     */
-  private[graft] def spanExcise(docs: DataFrame, k: Int = 5): DataFrame = {
-    val occ = docs
-      .select(col("doc_id"), posexplode(gramZip(col("text"), k)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64((0 until k).map(i => col(s"col.$i")): _*).as("g"))
-    val byG = Window.partitionBy(col("g"))
-      .orderBy(col("doc_id"), col("pos"))
-    val excised = occ
-      .withColumn("rn", row_number().over(byG))
-      .filter(col("rn") >= 2)
+  /** (doc_id, pos, g) k-gram occurrence stream — the shared spine of the
+    * span-dedup family (i35/i40/i41).
+    */
+  private def gramOcc(d: DataFrame, k: Int): DataFrame = d
+    .select(col("doc_id"), posexplode(gramZip(col("text"), k)))
+    .select(col("doc_id"), col("pos").cast("long").as("pos"),
+      xxhash64((0 until k).map(i => col(s"col.$i")): _*).as("g"))
+
+  /** Expand marked gram positions to covered token positions, excise,
+    * and reassemble per-doc cleaned text + removal counts (the shared
+    * tail of i40/i41).
+    */
+  private def reassembleExcised(docs: DataFrame, markedGramPos: DataFrame,
+      k: Int): DataFrame = {
+    val excised = markedGramPos
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
       .distinct()
@@ -855,6 +860,46 @@ object PipelineOps {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  private[graft] def spanExcise(docs: DataFrame, k: Int = 5): DataFrame = {
+    val byG = Window.partitionBy(col("g"))
+      .orderBy(col("doc_id"), col("pos"))
+    val marked = gramOcc(docs, k)
+      .withColumn("rn", row_number().over(byG))
+      .filter(col("rn") >= 2)
+      .select(col("doc_id"), col("pos"))
+    reassembleExcised(docs, marked, k)
+  }
+
+  /** The batch-side marked gram positions of INCREMENTAL span dedup
+    * (see the i41 registry entry): a batch occurrence is a repeat iff
+    * its gram exists in the persisted corpus gram set (every corpus
+    * occurrence precedes every batch one) OR an earlier within-batch
+    * occurrence exists — together exactly the global rn ≥ 2 rule
+    * restricted to batch docs (PipelineSpec pins that law). The
+    * streaming twin reproduces this set via a stream-static corpus
+    * flag + gram-keyed min state.
+    */
+  private[graft] def repeatGramsIncremental(docs: DataFrame, boundary: Long,
+      k: Int = 5): DataFrame = {
+    val batchOcc = gramOcc(docs.filter(col("doc_id") >= boundary), k)
+      .localCheckpoint(true)
+    val corpusGrams = gramOcc(docs.filter(col("doc_id") < boundary), k)
+      .select(col("g")).distinct()
+    val screened = batchOcc.join(corpusGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byG = Window.partitionBy(col("g"))
+      .orderBy(col("doc_id"), col("pos"))
+    val inBatch = batchOcc.withColumn("rn", row_number().over(byG))
+      .filter(col("rn") >= 2)
+      .select(col("doc_id"), col("pos"))
+    screened.union(inBatch).distinct()
+  }
+
+  private[graft] def spanExciseIncremental(docs: DataFrame, boundary: Long,
+      k: Int = 5): DataFrame =
+    reassembleExcised(docs.filter(col("doc_id") >= boundary),
+      repeatGramsIncremental(docs, boundary, k), k)
 
   /** The eval-side shingle set collapsed to ONE row holding the distinct
     * xxhash64 shingle hashes — the broadcast side of the contamination
@@ -1772,6 +1817,54 @@ object PipelineOps {
                  |   (n_tokens - COALESCE(n_kept, 0))::BIGINT AS n_removed,
                  |   COALESCE(clean_text, '') AS clean_text
                  | FROM sz LEFT JOIN agg USING (doc_id)
+                 | ORDER BY sz.doc_id"""))),
+
+    // INCREMENTAL span dedup — the ingest form completing the span
+    // family's lifecycle symmetry with the exact (i1/i18/i25) and
+    // near (i2/i14/i36) families: a new batch (doc_id ≥ 400) excises
+    // against the PERSISTED corpus gram set — no corpus text recompute,
+    // only its distinct 8-byte gram hashes — plus a within-batch
+    // keep-first window over batch occurrences alone. Because every
+    // corpus occurrence precedes every batch one, (corpus-present OR
+    // earlier-in-batch) is EXACTLY the global rn ≥ 2 rule restricted
+    // to batch docs: the oracle is i40's global SQL restricted to the
+    // batch, and PipelineSpec pins incremental ≡ global-restricted as
+    // a two-route law. Scale: the screen moves batch gram hashes
+    // against the corpus gram set (semi-join on the 8-byte key, ids
+    // only); the window sees batch-only occurrences; reassembly
+    // touches batch docs only. The streaming twin reproduces the
+    // marked set via a stream-static corpus flag + gram-keyed min
+    // state (SpanDedupStream).
+    Q("i41_span_dedup_incremental",
+      (s, dir) => spanExciseIncremental(t(s, dir, "documents"), 400)
+        .orderBy("doc_id"),
+      Some(sql("""WITH tks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+                 | g AS (SELECT doc_id,
+                 |     unnest(range(1, len(tk)-3)) - 1 AS pos,
+                 |     unnest(list_transform(range(1, len(tk)-3),
+                 |       i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])) AS gram
+                 |   FROM tks),
+                 | m AS (SELECT doc_id, pos FROM (
+                 |     SELECT doc_id, pos,
+                 |       row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                 |     FROM g) WHERE rn >= 2),
+                 | ex AS (SELECT DISTINCT doc_id, pos + o AS tp
+                 |   FROM m, (SELECT unnest(range(0, 5)) AS o) os),
+                 | tok AS (SELECT doc_id, unnest(range(1, len(tk)+1)) - 1 AS tp,
+                 |     unnest(tk) AS tok FROM tks),
+                 | kept AS (SELECT t.doc_id, t.tp, t.tok FROM tok t
+                 |   WHERE NOT EXISTS (SELECT 1 FROM ex
+                 |     WHERE ex.doc_id = t.doc_id AND ex.tp = t.tp)),
+                 | agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                 |     string_agg(tok, ' ' ORDER BY tp) AS clean_text
+                 |   FROM kept GROUP BY doc_id),
+                 | sz AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens
+                 |   FROM documents)
+                 | SELECT sz.doc_id, n_tokens,
+                 |   (n_tokens - COALESCE(n_kept, 0))::BIGINT AS n_removed,
+                 |   COALESCE(clean_text, '') AS clean_text
+                 | FROM sz LEFT JOIN agg USING (doc_id)
+                 | WHERE sz.doc_id >= 400
                  | ORDER BY sz.doc_id"""))),
 
     // Train↔eval CONTAMINATION screening — the leakage check a training

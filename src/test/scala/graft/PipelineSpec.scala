@@ -213,6 +213,21 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i41 incremental span dedup == the global i40 excision restricted to the batch") {
+    // The two-route law the oracle encodes: (corpus-present OR
+    // earlier-in-batch) over batch occurrences is exactly the global
+    // rn >= 2 rule restricted to batch docs, because every corpus
+    // occurrence precedes every batch one. Both routes must agree
+    // row-for-row on real data, and the batch must be non-trivially
+    // excised.
+    val docs = Tables.load(spark, dir, "documents")
+    val inc = PipelineOps.spanExciseIncremental(docs, 400)
+    val global = PipelineOps.spanExcise(docs).filter(col("doc_id") >= 400)
+    assertSameRows(inc, global)
+    assert(inc.filter(col("n_removed") > 0).count() > 0,
+      "incremental excision must be non-vacuous at sf0.001")
+  }
+
   test("i39 ADC search: recall against exact-L2 brute force, and the LUT sum is exact") {
     // ADC ranks by sum-of-4 table lookups; the test pins (a) agreement
     // with the exact L2 brute-force top-20 at or above the recall the

@@ -511,6 +511,45 @@ class StreamingSpec extends SparkTestBase {
     assert(want.count() > 0, "screen must be non-vacuous at sf0.001")
   }
 
+  test("streaming incremental span dedup == batch i41 marks (stream-static flag + gram state)") {
+    // The i41 ingest shape run INCREMENTALLY: each micro-batch computes
+    // its gram occurrences statelessly, the persisted corpus gram set
+    // joins a static in_corpus flag on, and gram-keyed state recomputes
+    // the repeat set from full membership — so a shuffled feed
+    // reproduces the batch operator's marked positions exactly.
+    import graft.streaming.{GramArrival, SpanDedupStream}
+    val boundary = 400L
+    val docs = Tables.load(spark, dir, "documents")
+    def occ(d: DataFrame) = d
+      .select(col("doc_id"), posexplode(PipelineOps.gramZip(col("text"), 5)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64((0 until 5).map(i => col(s"col.$i")): _*).as("g"))
+    val corpusGrams = occ(docs.filter(col("doc_id") < boundary))
+      .select(col("g")).distinct()
+      .withColumn("inc", lit(true)).localCheckpoint(true)
+    val want = PipelineOps.repeatGramsIncremental(docs, boundary)
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "batch marks must be non-vacuous at sf0.001")
+    val batch = docs.filter(col("doc_id") >= boundary)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(43).shuffle(batch)
+    val latest = TrieMap.empty[Long, Seq[(Long, Long)]]
+    Replay.runForeach(spark, feed, 4, OutputMode.Update())(ds =>
+      SpanDedupStream(
+        occ(ds.toDF("doc_id", "text"))
+          .join(corpusGrams, Seq("g"), "left")
+          .select(col("g"), col("doc_id"), col("pos"),
+            coalesce(col("inc"), lit(false)).as("in_corpus"))
+          .as[GramArrival]).toDF()
+    ) { (df, _) =>
+      df.as[(Long, Seq[(Long, Long)])].collect()
+        .foreach { case (g, reps) => latest(g) = reps }
+    }
+    val got = latest.values.flatten.toSet
+    assert(got == want,
+      s"marked-position sets differ: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("streaming contamination screen == batch i19 (stateless broadcast eval set)") {
     // The leakage check run at INGEST time: train docs stream in, the
     // eval-set shingle hashes sit static in one broadcast row, and the
