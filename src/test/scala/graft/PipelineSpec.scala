@@ -746,6 +746,15 @@ class PipelineSpec extends SparkTestBase {
     assert(PipelineOps.semDedup(noEmb, cent, 0.9).count() == 0)
     assert(PipelineOps.piiRedact(noDocs.select("doc_id", "text")).count() == 0)
     assert(PipelineOps.mixtureSample(noDocs).count() == 0)
+    // round-9 helpers: span family, contamination screen, PQ spine
+    assert(PipelineOps.duplicateSpans(noDocs).count() == 0)
+    assert(PipelineOps.spanExcise(noDocs).count() == 0)
+    assert(PipelineOps.spanExciseIncremental(noDocs, 400L).count() == 0)
+    assert(PipelineOps.repeatGramsIncremental(noDocs, 400L).count() == 0)
+    assert(PipelineOps.contaminationScreen(
+      noDocs.select("doc_id", "text"),
+      PipelineOps.evalShingleSet(noDocs)).count() == 0)
+    assert(PipelineOps.pqBlocks(noEmb, 4, 16).count() == 0)
   }
 
   test("i31 capped dedup keeps min(K, size) per cluster and contains the full dedup") {
