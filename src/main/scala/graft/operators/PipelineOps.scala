@@ -2436,6 +2436,140 @@ object PipelineOps {
                  | WHERE a.vec_id <> 0
                  | GROUP BY 1 ORDER BY adc_q, vec_id LIMIT 20"""))),
 
+    // IVF-PQ search — the two compressions COMPOSED into the standard
+    // production ANN index shape (coarse quantizer routes, product
+    // quantizer ranks): the query routes to its nprobe=2 nearest coarse
+    // centroids (i20's shuffle-free inline routing), and only vectors
+    // ASSIGNED to those clusters rank by the ADC lookup-table sum
+    // (i39's read path) — the index never touches (corpus/k)·(k−nprobe)
+    // of the codes. Scale: coarse assignment and PQ codes are the two
+    // persisted index tables; the probe list and the (4×8) LUT
+    // broadcast; the only corpus-sized moves are the probe-filter
+    // semi-join and the 4-row ADC pivot, both keyed on vec_id and both
+    // carrying ids + integer codes only. Distances are the i39
+    // micro-quantized longs; top-10 is a TakeOrderedAndProject.
+    Q("i42_ann_ivf_pq",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val coarse = stubCodebook(emb, ivfParams.k)
+        val assigned = assignToCentroids(emb, coarse)
+          .select(col("vec_id"), col("cid"))
+        val sub = pqBlocks(emb, nBlocks = 4, blockDim = 16).localCheckpoint(true)
+        val cent = pqTrainStep(sub, pqStubCodebook(sub, ivfParams.k))
+        val codes = pqAssign(sub, cent)
+          .select(col("vec_id"), col("b"), col("cid").as("pcid"))
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"))
+        val probes = query.crossJoin(broadcast(centroidArray(coarse)))
+          .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
+            struct(
+              (-round(VectorFunctions.dot(col("qemb"), c.getField("cemb")), 6)).as("nqd"),
+              c.getField("cid").as("cid")))), 1, ivfParams.nprobe))
+          .select(explode(col("pr")).as("p"))
+          .select(col("p").getField("cid").as("cid"))
+        val qsub = sub.filter(col("vec_id") === 0)
+          .select(col("b"), col("sub").as("qv"))
+        val lut = cent.join(qsub, Seq("b"))
+          .select(col("b"), col("cid").as("pcid"),
+            round(round(VectorFunctions.l2sq(col("qv"), col("cemb")), 6) * 1e6)
+              .cast("long").as("d2q"))
+        val candIds = assigned.join(broadcast(probes), Seq("cid"), "left_semi")
+          .select(col("vec_id")).filter(col("vec_id") =!= 0)
+        codes.join(candIds, Seq("vec_id"), "left_semi")
+          .join(broadcast(lut), Seq("b", "pcid"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("d2q")).as("adc_q"))
+          .orderBy(col("adc_q"), col("vec_id")).limit(10)
+      },
+      Some(sql("""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+                 | adot AS (
+                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+                 |   FROM (SELECT e.vec_id, c.cid,
+                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM embeddings e, cent c)
+                 |   GROUP BY 1, 2),
+                 | assigned AS (
+                 |   SELECT vec_id, cid FROM (
+                 |     SELECT vec_id, cid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+                 |     FROM adot) WHERE rn = 1),
+                 | q0 AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+                 | qdot AS (
+                 |   SELECT cid, round(sum(p), 6) AS qd
+                 |   FROM (SELECT c.cid,
+                 |           unnest(q0.qemb)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM q0, cent c)
+                 |   GROUP BY 1),
+                 | probes AS (SELECT cid FROM (
+                 |     SELECT cid, row_number() OVER (ORDER BY qd DESC, cid) AS rn
+                 |     FROM qdot) WHERE rn <= 2),
+                 | blocks AS (SELECT unnest(range(0, 4)) AS b),
+                 | sub AS (SELECT e.vec_id, b.b,
+                 |     list_slice(e.embedding, b.b * 16 + 1, b.b * 16 + 16) AS sv
+                 |   FROM embeddings e, blocks b),
+                 | c0 AS (SELECT b, vec_id AS cid, sv AS cemb FROM sub WHERE vec_id < 8),
+                 | d1 AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM sub s JOIN c0 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign1 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d1) WHERE rn = 1),
+                 | q1 AS (
+                 |   SELECT a.b, a.cid,
+                 |     unnest(range(0, len(s.sv))) AS pos,
+                 |     unnest(list_transform(range(0, len(s.sv)),
+                 |       i -> round(s.sv[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM sub s JOIN assign1 a ON s.vec_id = a.vec_id AND s.b = a.b),
+                 | m1 AS (SELECT b, cid, pos, round(sum(vq)::DOUBLE / count(*))::BIGINT AS mq
+                 |   FROM q1 GROUP BY 1, 2, 3),
+                 | c0px AS (SELECT b, cid,
+                 |     unnest(range(0, len(cemb))) AS pos,
+                 |     unnest(list_transform(range(0, len(cemb)), i -> cemb[i + 1])) AS sv0
+                 |   FROM c0),
+                 | c1px AS (SELECT c0px.b, c0px.cid, c0px.pos,
+                 |     CASE WHEN m1.mq IS NULL THEN sv0
+                 |          ELSE CAST(m1.mq::DOUBLE / 1e6 AS FLOAT) END AS ce
+                 |   FROM c0px LEFT JOIN m1
+                 |     ON c0px.b = m1.b AND c0px.cid = m1.cid AND c0px.pos = m1.pos),
+                 | c1 AS (SELECT b, cid, list(ce ORDER BY pos) AS cemb FROM c1px GROUP BY 1, 2),
+                 | d2t AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM sub s JOIN c1 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign2 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d2t) WHERE rn = 1),
+                 | qsub AS (SELECT b, sv AS qv FROM sub WHERE vec_id = 0),
+                 | lutp AS (
+                 |   SELECT b, cid, round(round(sum(p), 6) * 1e6)::BIGINT AS d2q
+                 |   FROM (SELECT c.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(q.qv) + 1),
+                 |             i -> (q.qv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (q.qv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM c1 c JOIN qsub q ON c.b = q.b)
+                 |   GROUP BY 1, 2),
+                 | adc AS (
+                 |   SELECT a.vec_id, sum(l.d2q)::BIGINT AS adc_q
+                 |   FROM assign2 a JOIN lutp l ON a.b = l.b AND a.cid = l.cid
+                 |   WHERE a.vec_id <> 0 GROUP BY 1)
+                 | SELECT adc.vec_id, adc_q FROM adc
+                 |   JOIN assigned s ON s.vec_id = adc.vec_id
+                 |   JOIN probes p ON s.cid = p.cid
+                 | ORDER BY adc_q, adc.vec_id LIMIT 10"""))),
+
     // Inter-source duplication AUDIT — the corpus-assembly diagnostic a
     // mixture designer runs before setting i21/i34 rates: for every
     // source pair, how much shingle-level content do they share?

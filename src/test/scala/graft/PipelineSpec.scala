@@ -274,6 +274,44 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i42 IVF-PQ: results live in probed clusters and agree with the full ADC ranking") {
+    // The composed index must be exactly "i39's ADC restricted to the
+    // probe set": every returned vector's coarse assignment is one of
+    // the query's nprobe nearest centroids (recomputed independently
+    // with the same rounded-dot order), and adc_q agrees
+    // integer-for-integer with the unrestricted i39 ranking wherever
+    // the two overlap.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val i42 = Registry.byId("i42_ann_ivf_pq").build(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(i42.nonEmpty && i42.length <= 10)
+    val assigned = PipelineOps.assignToCentroids(
+        emb, PipelineOps.stubCodebook(emb, 8))
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val cents = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val probes = cents
+      .map { case (cid, ce) =>
+        (BigDecimal(dot(qv, ce))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid) }
+      .sortBy { case (d, cid) => (-d, cid) }.take(2).map(_._2).toSet
+    i42.foreach { case (v, _) =>
+      assert(probes(assigned(v)),
+        s"vec $v (cluster ${assigned(v)}) outside probed clusters $probes")
+    }
+    val i39 = Registry.byId("i39_ann_pq_adc").build(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val shared = i42.filter { case (v, _) => i39.contains(v) }
+    assert(shared.nonEmpty, "i42 and i39 tops must overlap on this fixture")
+    shared.foreach { case (v, a) =>
+      assert(i39(v) == a, s"vec $v: i42 adc_q=$a i39 adc_q=${i39(v)}")
+    }
+  }
+
   test("i32 composed dedup verdict subsumes i15/i18/i31 (resolution, apply, cap laws)") {
     // The composed entry must be a strict superset view: each of the
     // three separate dedup entries is a filter over the verdict table.
