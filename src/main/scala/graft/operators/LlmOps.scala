@@ -630,18 +630,6 @@ object LlmOps {
                   | FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
                   | ORDER BY d.doc_id"""))),
 
-    // INCREMENTAL exact dedup — the shape an ingest pipeline actually
-    // runs: a new batch (doc_id ≥ 400 as the deterministic stand-in for
-    // "this crawl") arrives against an existing corpus (doc_id < 400),
-    // and a new doc survives iff its fingerprint appears NEITHER in the
-    // corpus NOR earlier in its own batch (min-doc_id canonical, the i1
-    // rule — arrival order inside a batch is not a dedup decision).
-    // Scale: both probes move 16-byte fingerprints + ids only — the
-    // corpus side projects to its fingerprint set before the anti-join,
-    // so the new batch (small) shuffles against corpus FINGERPRINTS,
-    // never corpus text; the within-batch window partitions by
-    // fingerprint. The streaming twin of this op is CuratedDedup's keyed
-    // state (a fingerprint survives its first batch only).
     // Incremental NEAR-dedup — the near-dup lift of i25's ingest shape
     // (see nearDedupIncremental): the new batch screens against the
     // PERSISTED corpus band/sketch tables (no corpus recompute), then
@@ -649,9 +637,12 @@ object LlmOps {
     // canonicals. The fixture is non-vacuous at every SF (36-40 batch
     // docs are corpus-matched, 11-13 batch-internal pairs at
     // sf0.001/0.01). The oracle is the exact unfiltered same-source
-    // J ≥ 0.9 SQL with the same screen-first composition; the streaming
-    // twin (stream-static screen + per-source keyed state) is asserted
-    // ≡ this batch operator in StreamingSpec.
+    // J ≥ 0.9 SQL with the same screen-first composition — the i14
+    // LSH contract: candidates are band-filtered, so agreement with
+    // the exact oracle (and with the exact-screening streaming twin)
+    // holds up to the banding miss probability ≤ (1−J)⁸ ≤ 1e-8 per
+    // true pair at θ=0.9, verified zero-miss on the fixtures at all
+    // three SFs and on the twin's crafted geometry.
     Q("i36_near_dedup_incremental",
       (s, dir) => nearDedupIncremental(t(s, dir, "documents"), 400)
         .orderBy("doc_id"),
@@ -677,6 +668,18 @@ object LlmOps {
                   |   AND doc_id NOT IN (SELECT v FROM lbl WHERE v <> canon)
                   | ORDER BY doc_id"""))),
 
+    // INCREMENTAL exact dedup — the shape an ingest pipeline actually
+    // runs: a new batch (doc_id ≥ 400 as the deterministic stand-in for
+    // "this crawl") arrives against an existing corpus (doc_id < 400),
+    // and a new doc survives iff its fingerprint appears NEITHER in the
+    // corpus NOR earlier in its own batch (min-doc_id canonical, the i1
+    // rule — arrival order inside a batch is not a dedup decision).
+    // Scale: both probes move 16-byte fingerprints + ids only — the
+    // corpus side projects to its fingerprint set before the anti-join,
+    // so the new batch (small) shuffles against corpus FINGERPRINTS,
+    // never corpus text; the within-batch window partitions by
+    // fingerprint. The streaming twin of this op is CuratedDedup's keyed
+    // state (a fingerprint survives its first batch only).
     Q("i25_dedup_incremental",
       (s, dir) => incrementalDedup(t(s, dir, "documents"), 400).orderBy("doc_id"),
       Some(sql("""WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),

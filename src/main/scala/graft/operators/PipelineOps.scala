@@ -794,11 +794,7 @@ object PipelineOps {
     * shuffles total, both on 8-byte keys; text never moves.
     */
   def duplicateSpans(docs: DataFrame, k: Int = 5): DataFrame = {
-    val occ = docs
-      .select(col("doc_id"), posexplode(gramZip(col("text"), k)))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        xxhash64((0 until k).map(i => col(s"col.$i")): _*).as("g"))
-    val marked = occ
+    val marked = gramOcc(docs, k)
       .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("c") >= 2)
       .select(col("doc_id"), col("pos"))
@@ -817,14 +813,6 @@ object PipelineOps {
         col("n_grams"))
   }
 
-  /** Span-dedup APPLY (see the i40 registry entry): excise every REPEAT
-    * occurrence of a corpus-duplicated ≥k-token gram, keep the globally
-    * first (by (doc_id, pos)), and reassemble per-doc cleaned text with
-    * removal counts. Every excised token position lies inside an i35
-    * duplicateSpans range (the repeat grams are a subset of i35's
-    * marked occurrences) — PipelineSpec pins that containment law plus
-    * keep-first on crafted geometry.
-    */
   /** (doc_id, pos, g) k-gram occurrence stream — the shared spine of the
     * span-dedup family (i35/i40/i41).
     */
@@ -861,6 +849,14 @@ object PipelineOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Span-dedup APPLY (see the i40 registry entry): excise every REPEAT
+    * occurrence of a corpus-duplicated ≥k-token gram, keep the globally
+    * first (by (doc_id, pos)), and reassemble per-doc cleaned text with
+    * removal counts. Every excised token position lies inside an i35
+    * duplicateSpans range (the repeat grams are a subset of i35's
+    * marked occurrences) — PipelineSpec pins that containment law plus
+    * keep-first on crafted geometry.
+    */
   private[graft] def spanExcise(docs: DataFrame, k: Int = 5): DataFrame = {
     val byG = Window.partitionBy(col("g"))
       .orderBy(col("doc_id"), col("pos"))

@@ -67,28 +67,6 @@ object SemDedupStream {
     s
   }
 
-  /** Component minima of one cluster's ≥ θ similarity graph — batch
-    * i29's resolve rule over a full member set (star contraction
-    * computes the same labels distributed). Retained as the one-shot
-    * batch form; the streaming fold below reaches the same partition
-    * incrementally via the cached parents.
-    */
-  def componentKeeps(members: Seq[SemArrival], theta: Double): Seq[Long] = {
-    val ms = members.sortBy(_.vec_id)
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    for {
-      i <- ms.indices; j <- (i + 1) until ms.size
-      if round3(dot(ms(i).embedding, ms(j).embedding)) >= theta
-    } {
-      val (ra, rb) = (find(ms(i).vec_id), find(ms(j).vec_id))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    ms.map(_.vec_id).filter(id => find(id) == id)
-  }
 
   def fold(theta: Double, maxMembers: Int = 1 << 20)(key: Long,
       rows: Iterator[SemArrival], state: GroupState[SemState]): SemKeeps = {

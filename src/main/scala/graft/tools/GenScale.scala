@@ -71,7 +71,19 @@ object GenScale {
       shiftCols(d, c, "l_orderkey", "l_partkey", "l_suppkey"))
     scaled("events")((d, c) => shiftCols(d, c, "event_id", "user_id"))
 
+    // documents/embeddings shift by ROW COUNT (so copy 0 keeps the
+    // driver's id range and the ≥400 incremental boundaries stay
+    // meaningful); that is only collision-free when ids are dense and
+    // 0-based — assert it rather than silently manufacture cross-copy
+    // id clashes (which would read as exact-dup cliques downstream).
+    def requireDense(name: String, idCol: String, n: Long): Unit = {
+      val maxId = read(name).agg(max(col(idCol))).head.getLong(0)
+      require(maxId < n,
+        s"$name.$idCol must be dense 0-based for the row-count stride " +
+          s"(max=$maxId, rows=$n); use an explicit stride instead")
+    }
     val nDocs = read("documents").count()
+    requireDense("documents", "doc_id", nDocs)
     scaled("documents") { (d, c) =>
       if (c == 0) d
       else {
@@ -84,6 +96,7 @@ object GenScale {
       }
     }
     val nVecs = read("embeddings").count()
+    requireDense("embeddings", "vec_id", nVecs)
     scaled("embeddings")((d, c) =>
       d.withColumn("vec_id", col("vec_id") + c * nVecs))
 

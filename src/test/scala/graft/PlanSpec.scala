@@ -322,7 +322,7 @@ class PlanSpec extends SparkTestBase {
         h.children.exists(_.references.exists(_.name.contains("vec_id")))
       case _ => false
     }
-    assert(opt.expressions.exists(hasSaltBucket) ||
+    assert(
       opt.collect { case n if n.expressions.exists(hasSaltBucket) => n }.nonEmpty,
       s"expected the pmod(xxhash64(vec_id), salts) bucketing expression in:\n$opt")
     assert(p.contains("TakeOrderedAndProject"),
