@@ -273,6 +273,53 @@ class PropertySpec extends SparkTestBase {
       s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
   }
 
+  test("leave-one-out LM screening matches the literal per-doc retrain model") {
+    // j12 implements self-exclusion as count SUBTRACTION from the
+    // global tables; the independent model RETRAINS the LM from
+    // scratch on corpus-minus-doc for every doc — if the subtraction,
+    // the own2 occurrence weighting, or the owned-prefix guard is
+    // wrong anywhere, the two disagree. Rounding mirrors the engine:
+    // micro-quantized integer q per occurrence, 4dp display mean,
+    // ranking on the unrounded sq/n with doc_id tie-break.
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = sample(docGen, 40, seed = 73L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-j12")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got =
+      try Registry.byId("j12_lm_holdout").build(spark, dir.toString)
+        .as[(Long, Long, Double)].collect().toSeq
+      finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    def rnd(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    def bigrams(id: Long): Seq[(String, String)] =
+      toks(id).sliding(2).filter(_.size == 2).map(p => (p.head, p.last)).toSeq
+    val scored = docs.map(_._1).map { d =>
+      val restOccs = docs.map(_._1).filter(_ != d).flatMap(bigrams)
+      val c2r = restOccs.groupBy(identity).view.mapValues(_.size).toMap
+      val c1r = restOccs.groupBy(_._1).view.mapValues(_.size).toMap
+      val qs = bigrams(d).map { bg =>
+        val c1v = c1r.getOrElse(bg._1, 0)
+        if (c1v == 0) 0L
+        else rnd(1e6 * c2r.getOrElse(bg, 0) / c1v, 0).toLong
+      }
+      (d, qs.size.toLong, qs.sum)
+    }
+    val want = scored
+      .sortBy { case (d, n, sq) => (sq.toDouble / n, d) }.take(20)
+      .map { case (d, n, sq) => (d, n, rnd(sq.toDouble / n / 1e6, 4)) }
+    assert(got == want,
+      s"first diff: ${got.zip(want).find { case (a, b) => a != b }}")
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     val word = Gen.oneOf("x", "y", "z")
     val docGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, word))
