@@ -58,8 +58,13 @@ object Bench {
     println(line)
     // Self-contained artifact: the stdout line gets tail-truncated by the
     // harness past ~100 per-query entries, so the FULL line is also
-    // written to a file ($SPARK_GRAFT_OUT, default ./BENCH_FULL.json).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_FULL.json")
+    // written to a file. The default name carries the sf directory's
+    // basename so back-to-back runs at different SFs (sf0.1 then sf1)
+    // land in distinct files instead of overwriting each other;
+    // $SPARK_GRAFT_OUT still overrides.
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", s"BENCH_FULL_$sfTag.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

@@ -38,8 +38,12 @@ final case class NearKeeps(source: String, kept: Seq[Long])
   * integer division the batch verify computes — intersection and sizes
   * of distinct hash sets — so stream and batch agree bit-for-bit on the
   * θ compare. State is ingest-bounded (one sketch per surviving
-  * arrival of the source); the `maxMembers` guard fails loudly when a
-  * bucket outgrows what one key should hold.
+  * arrival of the source); the `maxStateBytes` guard fails loudly when
+  * a bucket outgrows what one key should hold. The cap is BYTE-based
+  * (a member carries a full token-hash sketch, KBs per doc), so it
+  * trips before the state store's serialized value approaches executor
+  * memory — a member-count cap sized for small payloads would OOM
+  * first and never fire.
   */
 object NearDedupStream {
 
@@ -49,7 +53,11 @@ object NearDedupStream {
     inter.toDouble / (sa.size + b.size - inter)
   }
 
-  def fold(theta: Double, maxMembers: Int = 1 << 20)(key: String,
+  /** Approximate serialized footprint of one member sketch. */
+  private[streaming] def memberBytes(m: (Long, Seq[Long])): Long =
+    16L + 8L * m._2.length
+
+  def fold(theta: Double, maxStateBytes: Long = 64L << 20)(key: String,
       rows: Iterator[NearArrival], state: GroupState[NearState]): NearKeeps = {
     val st = state.getOption.getOrElse(NearState(Seq.empty, Seq.empty))
     val seen = st.members.map(_._1).toSet
@@ -70,9 +78,11 @@ object NearDedupStream {
       }
       members = members :+ (m.doc_id -> m.rks)
     }
-    require(members.size <= maxMembers,
-      s"source '$key' accumulated ${members.size} members (cap $maxMembers): " +
-        "bound the ingest window or flush state to the batch path")
+    val stateBytes = members.iterator.map(memberBytes).sum
+    require(stateBytes <= maxStateBytes,
+      s"source '$key' accumulated ${members.size} members / ~$stateBytes " +
+        s"state bytes (cap $maxStateBytes): bound the ingest window or flush " +
+        "state to the batch path")
     val ids = members.map(_._1).sorted
     ids.foreach(find)
     state.update(NearState(members,

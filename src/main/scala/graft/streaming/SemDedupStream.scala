@@ -48,10 +48,16 @@ final case class SemKeeps(cid: Long, kept: Seq[Long])
   * owns the key; the batch path spreads the same quadratic term over
   * salt buckets (saltedSelfPairs), which a keyed state store cannot do.
   * The incremental pairing bounds the per-UPDATE cost; the
-  * `maxMembers` guard fails loudly (rather than degrading silently)
-  * when a cluster's accumulated membership exceeds what one key should
-  * hold — production ingests should bound the window (timeout policy or
-  * periodic state flush to the batch path) before that point.
+  * `maxStateBytes` guard fails loudly (rather than degrading silently)
+  * when a cluster's accumulated state outgrows what one key should
+  * hold. The cap is BYTE-based, not member-count-based: a member here
+  * carries a full embedding (hundreds of bytes), so a count cap high
+  * enough for small payloads would let one key accumulate hundreds of
+  * MB of serialized state and OOM the state store before ever
+  * tripping. 64 MiB default — well past any sane per-key state, well
+  * before executor memory exhaustion; production ingests should bound
+  * the window (timeout policy or periodic state flush to the batch
+  * path) long before that point.
   */
 object SemDedupStream {
 
@@ -68,7 +74,13 @@ object SemDedupStream {
   }
 
 
-  def fold(theta: Double, maxMembers: Int = 1 << 20)(key: Long,
+  /** Approximate serialized footprint of one member: the float payload
+    * plus per-row id/length overhead.
+    */
+  private[streaming] def memberBytes(a: SemArrival): Long =
+    16L + 4L * a.embedding.length
+
+  def fold(theta: Double, maxStateBytes: Long = 64L << 20)(key: Long,
       rows: Iterator[SemArrival], state: GroupState[SemState]): SemKeeps = {
     val st = state.getOption.getOrElse(SemState(Seq.empty, Seq.empty))
     val seen = st.members.map(_.vec_id).toSet
@@ -95,9 +107,11 @@ object SemDedupStream {
       }
       members = members :+ m
     }
-    require(members.size <= maxMembers,
-      s"cluster $key accumulated ${members.size} members (cap $maxMembers): " +
-        "bound the ingest window or flush state to the batch path")
+    val stateBytes = members.iterator.map(memberBytes).sum
+    require(stateBytes <= maxStateBytes,
+      s"cluster $key accumulated ${members.size} members / ~$stateBytes state " +
+        s"bytes (cap $maxStateBytes): bound the ingest window or flush state " +
+        "to the batch path")
     val ids = members.map(_.vec_id).sorted
     ids.foreach(find) // path-compress so the persisted chains stay flat
     state.update(SemState(members,

@@ -32,22 +32,25 @@ final case class GramRepeats(g: Long, repeats: Seq[(Long, Long)])
   * corpus-present grams mark every member and fresh grams mark all but
   * the global (doc_id, pos) minimum — exactly the screen ∪ rn ≥ 2
   * union the batch operator computes. State per gram is bounded by the
-  * gram's frequency in the ingest window; the `maxMembers` guard fails
-  * loudly when one gram outgrows what a key should hold (a stop-word
-  * run — at that frequency the gram belongs in the corpus set, not in
-  * per-key state).
+  * gram's frequency in the ingest window; the `maxStateBytes` guard
+  * fails loudly when one gram outgrows what a key should hold (a
+  * stop-word run — at that frequency the gram belongs in the corpus
+  * set, not in per-key state). The cap is BYTE-based for symmetry with
+  * the sibling streams (an occurrence is a fixed 16 bytes, so here it
+  * is equivalent to a ~4M-occurrence count cap).
   */
 object SpanDedupStream {
 
-  def fold(maxMembers: Int = 1 << 20)(key: Long,
+  def fold(maxStateBytes: Long = 64L << 20)(key: Long,
       rows: Iterator[GramArrival], state: GroupState[GramState]): GramRepeats = {
     val st = state.getOption.getOrElse(GramState(Seq.empty, corpus = false))
     val fresh = rows.toSeq
     val corpus = st.corpus || fresh.exists(_.in_corpus)
     val members =
       (st.members ++ fresh.map(a => (a.doc_id, a.pos))).distinct.sorted
-    require(members.size <= maxMembers,
-      s"gram $key accumulated ${members.size} occurrences (cap $maxMembers): " +
+    require(16L * members.size <= maxStateBytes,
+      s"gram $key accumulated ${members.size} occurrences " +
+        s"(~${16L * members.size} state bytes, cap $maxStateBytes): " +
         "fold it into the persisted corpus gram set instead")
     state.update(GramState(members, corpus))
     GramRepeats(key, if (corpus) members else members.drop(1))

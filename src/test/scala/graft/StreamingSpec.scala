@@ -444,6 +444,13 @@ class StreamingSpec extends SparkTestBase {
     //   107~108~109 is a transitive chain (J(107,109) < 0.9) -> the
     //     component rule keeps 107 alone;
     //   105 is unique -> survives.
+    // Oracle-exactness note: this twin (and the DuckDB oracle) screens
+    // against the corpus EXACTLY, while the batch engine's corpus
+    // screen is LSH-band-gated — agreement therefore holds up to the
+    // documented banding miss probability <= (1-J)^8 per true pair
+    // (J >= 0.9 => <= 1e-8), verified zero-miss on this geometry and
+    // at all three SFs. If the band count ever changes, re-derive the
+    // bound at the i36 registry entry and here.
     import graft.streaming.{NearArrival, NearDedupStream}
     val boundary = 100L
     val corpus = Seq(
@@ -609,6 +616,43 @@ class StreamingSpec extends SparkTestBase {
       PipelineOps.normalizeText(ds.toDF("doc_id", "text")))
     val want = Registry.byId("j11_normalize").build(spark, dir)
     assertSameRows(got, want)
+  }
+
+  test("state caps are byte-based and trip before a runaway key OOMs") {
+    // ADVICE r9: a member-count cap sized for small payloads would let
+    // an embedding/sketch key accumulate hundreds of MB of serialized
+    // state and OOM the store before firing. The guard now counts
+    // approximate payload BYTES, so a tiny cap trips on the second
+    // heavy member while the 64 MiB default passes normal folds.
+    import graft.streaming._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def st[S]: TestGroupState[S] = TestGroupState.create[S](
+      Optional.empty[S], GroupStateTimeout.NoTimeout(), 0L,
+      Optional.empty[Long], hasTimedOut = false)
+    val emb = Seq.fill(64)(0.0f) // 16 + 4*64 = 272 bytes/member
+    val exSem = intercept[IllegalArgumentException] {
+      SemDedupStream.fold(0.99, maxStateBytes = 500L)(1L,
+        Iterator(SemArrival(1L, 1L, emb), SemArrival(1L, 2L, emb)),
+        st[SemState])
+    }
+    assert(exSem.getMessage.contains("state bytes"))
+    val ok = SemDedupStream.fold(0.99)(1L,
+      Iterator(SemArrival(1L, 3L, emb)), st[SemState])
+    assert(ok.kept == Seq(3L))
+    val exNear = intercept[IllegalArgumentException] {
+      NearDedupStream.fold(0.9, maxStateBytes = 800L)("s",
+        Iterator(NearArrival("s", 1L, (1L to 100L).toSeq)), // 816 bytes
+        st[NearState])
+    }
+    assert(exNear.getMessage.contains("state bytes"))
+    val exSpan = intercept[IllegalArgumentException] {
+      SpanDedupStream.fold(maxStateBytes = 31L)(7L, // 2 occ * 16 = 32
+        Iterator(GramArrival(7L, 1L, 0L, in_corpus = false),
+          GramArrival(7L, 1L, 1L, in_corpus = false)),
+        st[GramState])
+    }
+    assert(exSpan.getMessage.contains("state bytes"))
   }
 
   test("graceful shutdown: stop() drains without error") {
