@@ -570,7 +570,73 @@ object RelationalOps {
                  |   AND o_orderdate >= TIMESTAMP '1995-01-01'
                  |   AND o_orderdate < TIMESTAMP '1996-01-01'
                  | GROUP BY n_name
-                 | ORDER BY revenue DESC, n_name""")))
+                 | ORDER BY revenue DESC, n_name"""))),
+
+    // The TPC-H Q17 shape: a CORRELATED SCALAR SUBQUERY (per-part average
+    // quantity gating each lineitem row). Catalyst decorrelates it into a
+    // partkey-grouped aggregate joined back on l_partkey (SURVEY §4's free
+    // rewrite) — no per-row re-scan, no cross product; PlanSpec pins the
+    // decorrelated shape. Determinism: l_quantity is integer-valued, so
+    // avg = exact-sum/count is the identical double on both engines and
+    // the 0.2× gate compares identical bits; the money sum runs in
+    // DECIMAL and the single final /7.0 is one IEEE division over
+    // identical doubles. (The reference's test tables have no
+    // p_container; p_brand alone supplies the Q17 part filter.)
+    Q("b11_sql_q17",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        t(s, dir, "part").createOrReplaceTempView("v_part")
+        s.sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+                |FROM v_lineitem l
+                |JOIN v_part p ON p.p_partkey = l.l_partkey
+                |WHERE p.p_brand = 'Brand#23'
+                |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                |                      FROM v_lineitem l2
+                |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+      },
+      Some(sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+                 | FROM lineitem l
+                 | JOIN part p ON p.p_partkey = l.l_partkey
+                 | WHERE p.p_brand = 'Brand#23'
+                 |   AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                 |                       FROM lineitem l2
+                 |                       WHERE l2.l_partkey = p.p_partkey)"""))),
+
+    // The TPC-H Q18 shape: an IN subquery over a grouped HAVING (large-
+    // quantity orders). Catalyst rewrites the IN into a left-semi join
+    // against the aggregated order set — the decorrelation PlanSpec pins —
+    // so the big-order filter is one extra aggregate over lineitem, not a
+    // per-row membership probe. total_qty is an exact integer sum emitted
+    // as BIGINT; the top-k is a total order (unique o_orderkey tie-break)
+    // before LIMIT.
+    Q("b12_sql_q18",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                |  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+                |FROM v_customer c
+                |JOIN v_orders o ON c.c_custkey = o.o_custkey
+                |JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+                |WHERE o.o_orderkey IN (SELECT l_orderkey FROM v_lineitem
+                |                       GROUP BY l_orderkey
+                |                       HAVING SUM(l_quantity) > 250)
+                |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+                |ORDER BY o_totalprice DESC, o_orderkey
+                |LIMIT 100""".stripMargin)
+      },
+      Some(sql("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 |  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+                 | FROM customer c
+                 | JOIN orders o ON c.c_custkey = o.o_custkey
+                 | JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                 | WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                 |                        GROUP BY l_orderkey
+                 |                        HAVING SUM(l_quantity) > 250)
+                 | GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+                 | ORDER BY o_totalprice DESC, o_orderkey
+                 | LIMIT 100""")))
   )
 
   private val scalars: Seq[Q] = Seq(

@@ -92,6 +92,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cross product in Q5 tree:\n$p")
   }
 
+  test("b11/b12: subqueries decorrelate — no per-row re-scan, no cross product") {
+    // b11's correlated scalar subquery (per-part avg quantity) must
+    // rewrite into ONE partkey-grouped aggregate over lineitem joined
+    // back on l_partkey — visible as a partial/final HashAggregate pair
+    // around an Exchange, never a nested-loop or cartesian re-probe.
+    val p17 = plan(Registry.byId("b11_sql_q17").build(spark, dir))
+    assert(!p17.contains("CartesianProduct") &&
+      !p17.contains("BroadcastNestedLoopJoin"),
+      s"Q17 subquery failed to decorrelate:\n$p17")
+    assert("HashAggregate".r.findAllIn(p17).length >= 2,
+      s"expected the decorrelated per-part aggregate:\n$p17")
+    assert(p17.contains("BroadcastHashJoin"),
+      s"part dim + avg table must broadcast at this scale:\n$p17")
+    // b12's IN + grouped HAVING must rewrite into a LeftSemi join
+    // against the aggregated big-order set.
+    val p18 = plan(Registry.byId("b12_sql_q18").build(spark, dir))
+    assert(p18.contains("LeftSemi"),
+      s"IN subquery must plan as a semi join:\n$p18")
+    assert(!p18.contains("CartesianProduct") &&
+      !p18.contains("BroadcastNestedLoopJoin"),
+      s"Q18 subquery failed to decorrelate:\n$p18")
+  }
+
   test("i30: no array-keyed sort-merge join; group verify sides broadcast; no rank window over pairs") {
     // The three structural decisions that keep the fuzzy join scale-safe:
     // probe rows get their group id from a window over the rks shuffle
