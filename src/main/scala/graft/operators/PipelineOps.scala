@@ -597,6 +597,41 @@ object PipelineOps {
       .agg(codeCols.head, (codeCols.tail :+ sum(col("e2")).as("e2sum")): _*)
   }
 
+  /** The i43 ANN index ingest body — the lifecycle gap closer: every
+    * dedup family has find → apply → incremental (i25/i36/i41), and this
+    * is the ANN index's ingest form. New vectors (vec_id ≥ `boundary`)
+    * route against the COARSE codebook and PQ-encode against the
+    * per-block codebooks, BOTH trained on the corpus side only — the
+    * production contract: an index ingest never retrains, it encodes
+    * arrivals against the persisted codebooks so old and new codes stay
+    * comparable under one LUT. Training slices are the oracled fixed
+    * forms (one Lloyd step each — the i23b/i37 rule), so the whole
+    * ingest is SQL-reproducible. Output per new vector: its coarse
+    * route, its 4 PQ codes, and the integer-exact reconstruction
+    * checksum (the i37 contract).
+    *
+    * Scale: the corpus contributes only its two trained codebooks
+    * (k·dim + nBlocks·k·blockDim floats — broadcast), never rows; the
+    * batch-side work is the shuffle-free inline argmax/argmin plus the
+    * one per-vector pivot over nBlocks narrow rows. A 100 TB corpus
+    * ingesting a daily crawl touches corpus data zero times.
+    */
+  private[graft] def annIndexIngest(emb: DataFrame, boundary: Long): DataFrame = {
+    val corpus = emb.filter(col("vec_id") < boundary)
+    val c0 = stubCodebook(corpus, ivfParams.k)
+    val coarse = lloydCodebook(lloydQuantMeans(corpus, c0), c0)
+      .localCheckpoint(true)
+    val subC = pqBlocks(corpus, nBlocks = 4, blockDim = 16).localCheckpoint(true)
+    val pqCent = pqTrainStep(subC, pqStubCodebook(subC, ivfParams.k))
+      .localCheckpoint(true)
+    val batch = emb.filter(col("vec_id") >= boundary)
+    val routed = assignToCentroids(batch, coarse)
+      .select(col("vec_id"), col("cid"))
+    val codes = pqQuantize(pqBlocks(batch, nBlocks = 4, blockDim = 16),
+      pqCent, nBlocks = 4)
+    routed.join(codes, Seq("vec_id"))
+  }
+
   // ------------------------------------------------------------ minhash
 
   private val NumHashes = 8
@@ -2565,6 +2600,135 @@ object PipelineOps {
                  |   JOIN assigned s ON s.vec_id = adc.vec_id
                  |   JOIN probes p ON s.cid = p.cid
                  | ORDER BY adc_q, adc.vec_id LIMIT 10"""))),
+
+    // ANN index INGEST — the lifecycle gap closer (see annIndexIngest):
+    // new vectors (vec_id ≥ 400, the i25 batch convention) route
+    // against the coarse codebook and PQ-encode against the per-block
+    // codebooks, both trained on the CORPUS side only (vec_id < 400) —
+    // no retrain on ingest, the production index contract. Both
+    // training slices are the fixed one-Lloyd-step forms the i23b/i37
+    // oracles already reproduce, composed here over the corpus
+    // restriction. Outputs are the i37 integer-exact contract: coarse
+    // cid, 4 code ids, Σ round(err²·1e12) reconstruction checksum.
+    // Scale: corpus contributes only its trained codebooks (broadcast);
+    // the batch side is shuffle-free inline argmax/argmin plus the one
+    // per-vector nBlocks-row pivot. The streaming twin (StreamingSpec)
+    // runs the same encode stateless per micro-batch.
+    Q("i43_ann_index_ingest",
+      (s, dir) => annIndexIngest(t(s, dir, "embeddings"), 400)
+        .orderBy("vec_id"),
+      Some(sql("""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+                 | batchv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400),
+                 | cent AS (SELECT vec_id AS cid, embedding AS cemb FROM corpus WHERE vec_id < 8),
+                 | adot AS (
+                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+                 |   FROM (SELECT e.vec_id, c.cid,
+                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM corpus e, cent c)
+                 |   GROUP BY 1, 2),
+                 | assigned AS (
+                 |   SELECT vec_id, cid FROM (
+                 |     SELECT vec_id, cid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+                 |     FROM adot) WHERE rn = 1),
+                 | q1 AS (
+                 |   SELECT a.cid,
+                 |     unnest(range(0, len(e.embedding))) AS pos,
+                 |     unnest(list_transform(range(0, len(e.embedding)),
+                 |       i -> round(e.embedding[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM corpus e JOIN assigned a ON e.vec_id = a.vec_id),
+                 | m1 AS (SELECT cid, pos, round(sum(vq)::DOUBLE / count(*))::BIGINT AS mq
+                 |   FROM q1 GROUP BY 1, 2),
+                 | c0px AS (SELECT cid,
+                 |     unnest(range(0, len(cemb))) AS pos,
+                 |     unnest(list_transform(range(0, len(cemb)), i -> cemb[i + 1])) AS sv
+                 |   FROM cent),
+                 | c1px AS (SELECT c0px.cid, c0px.pos,
+                 |     CASE WHEN m1.mq IS NULL THEN sv
+                 |          ELSE CAST(m1.mq::DOUBLE / 1e6 AS FLOAT) END AS ce
+                 |   FROM c0px LEFT JOIN m1 ON c0px.cid = m1.cid AND c0px.pos = m1.pos),
+                 | cent1 AS (SELECT cid, list(ce ORDER BY pos) AS cemb1 FROM c1px GROUP BY cid),
+                 | bdot AS (
+                 |   SELECT vec_id, cid, round(sum(p), 6) AS cd
+                 |   FROM (SELECT e.vec_id, c.cid,
+                 |           unnest(e.embedding)::DOUBLE * unnest(c.cemb1)::DOUBLE AS p
+                 |         FROM batchv e, cent1 c)
+                 |   GROUP BY 1, 2),
+                 | routed AS (
+                 |   SELECT vec_id, cid FROM (
+                 |     SELECT vec_id, cid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY cd DESC, cid) AS rn
+                 |     FROM bdot) WHERE rn = 1),
+                 | blocks AS (SELECT unnest(range(0, 4)) AS b),
+                 | subc AS (SELECT e.vec_id, b.b,
+                 |     list_slice(e.embedding, b.b * 16 + 1, b.b * 16 + 16) AS sv
+                 |   FROM corpus e, blocks b),
+                 | subb AS (SELECT e.vec_id, b.b,
+                 |     list_slice(e.embedding, b.b * 16 + 1, b.b * 16 + 16) AS sv
+                 |   FROM batchv e, blocks b),
+                 | pc0 AS (SELECT b, vec_id AS cid, sv AS cemb FROM subc WHERE vec_id < 8),
+                 | d1 AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM subc s JOIN pc0 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign1 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d1) WHERE rn = 1),
+                 | pq1 AS (
+                 |   SELECT a.b, a.cid,
+                 |     unnest(range(0, len(s.sv))) AS pos,
+                 |     unnest(list_transform(range(0, len(s.sv)),
+                 |       i -> round(s.sv[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM subc s JOIN assign1 a ON s.vec_id = a.vec_id AND s.b = a.b),
+                 | pm1 AS (SELECT b, cid, pos, round(sum(vq)::DOUBLE / count(*))::BIGINT AS mq
+                 |   FROM pq1 GROUP BY 1, 2, 3),
+                 | pc0px AS (SELECT b, cid,
+                 |     unnest(range(0, len(cemb))) AS pos,
+                 |     unnest(list_transform(range(0, len(cemb)), i -> cemb[i + 1])) AS sv0
+                 |   FROM pc0),
+                 | pc1px AS (SELECT pc0px.b, pc0px.cid, pc0px.pos,
+                 |     CASE WHEN pm1.mq IS NULL THEN sv0
+                 |          ELSE CAST(pm1.mq::DOUBLE / 1e6 AS FLOAT) END AS ce
+                 |   FROM pc0px LEFT JOIN pm1
+                 |     ON pc0px.b = pm1.b AND pc0px.cid = pm1.cid AND pc0px.pos = pm1.pos),
+                 | pc1 AS (SELECT b, cid, list(ce ORDER BY pos) AS cemb FROM pc1px GROUP BY 1, 2),
+                 | d2t AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM subb s JOIN pc1 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign2 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d2t) WHERE rn = 1),
+                 | errp AS (
+                 |   SELECT s.vec_id,
+                 |     unnest(list_transform(range(1, len(s.sv) + 1),
+                 |       i -> round((s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE) * 1e12)::BIGINT)) AS q
+                 |   FROM subb s JOIN assign2 a ON s.vec_id = a.vec_id AND s.b = a.b
+                 |     JOIN pc1 c ON c.b = a.b AND c.cid = a.cid),
+                 | erra AS (SELECT vec_id, sum(q)::BIGINT AS e2sum FROM errp GROUP BY vec_id),
+                 | codes AS (SELECT vec_id,
+                 |     max(CASE WHEN b = 0 THEN cid END)::BIGINT AS code0,
+                 |     max(CASE WHEN b = 1 THEN cid END)::BIGINT AS code1,
+                 |     max(CASE WHEN b = 2 THEN cid END)::BIGINT AS code2,
+                 |     max(CASE WHEN b = 3 THEN cid END)::BIGINT AS code3
+                 |   FROM assign2 GROUP BY vec_id)
+                 | SELECT r.vec_id, r.cid, code0, code1, code2, code3, e.e2sum
+                 | FROM routed r JOIN codes c ON r.vec_id = c.vec_id
+                 |   JOIN erra e ON r.vec_id = e.vec_id
+                 | ORDER BY r.vec_id"""))),
 
     // Inter-source duplication AUDIT — the corpus-assembly diagnostic a
     // mixture designer runs before setting i21/i34 rates: for every

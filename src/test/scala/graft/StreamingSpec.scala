@@ -557,6 +557,45 @@ class StreamingSpec extends SparkTestBase {
       s"marked-position sets differ: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("streaming ANN index ingest == batch i43 (stateless encode against corpus codebooks)") {
+    // The i43 ingest run INCREMENTALLY: new vectors stream in and route
+    // + PQ-encode against the STATIC corpus-trained codebooks (broadcast
+    // stream-static side, NO retrain — the production index contract).
+    // The encode runs inside foreachBatch — the production index-write
+    // path (encode each micro-batch, append to the index table): the
+    // per-vector 4-block pivot is a batch-local aggregation there, and
+    // since per-arrival work needs no cross-batch state a shuffled feed
+    // reproduces the batch operator exactly (the i33 rule applied to
+    // the index write path).
+    val emb = Tables.load(spark, dir, "embeddings")
+    val boundary = 400L
+    val corpus = emb.filter(col("vec_id") < boundary)
+    val c0 = PipelineOps.stubCodebook(corpus, 8)
+    val coarse = PipelineOps.lloydCodebook(
+      PipelineOps.lloydQuantMeans(corpus, c0), c0).localCheckpoint(true)
+    val subC = PipelineOps.pqBlocks(corpus, 4, 16).localCheckpoint(true)
+    val pqCent = PipelineOps.pqTrainStep(
+      subC, PipelineOps.pqStubCodebook(subC, 8)).localCheckpoint(true)
+    val batch = emb.filter(col("vec_id") >= boundary)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val feed = new scala.util.Random(83).shuffle(batch)
+    val rows = TrieMap.empty[Long, Seq[org.apache.spark.sql.Row]]
+    Replay.runForeach(spark, feed, 4, OutputMode.Append())(
+      ds => ds.toDF("vec_id", "embedding")) { (df, id) =>
+      val enc = PipelineOps.assignToCentroids(df, coarse)
+        .select(col("vec_id"), col("cid"))
+        .join(PipelineOps.pqQuantize(
+          PipelineOps.pqBlocks(df, 4, 16), pqCent, 4), Seq("vec_id"))
+      rows(id) = enc.collect().toSeq
+    }
+    val got = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.values.flatten.toSeq),
+      Registry.byId("i43_ann_index_ingest").build(spark, dir).schema)
+    val want = Registry.byId("i43_ann_index_ingest").build(spark, dir)
+    assertSameRows(got, want)
+    assert(want.count() > 0, "ingest must be non-vacuous at sf0.001")
+  }
+
   test("streaming contamination screen == batch i19 (stateless broadcast eval set)") {
     // The leakage check run at INGEST time: train docs stream in, the
     // eval-set shingle hashes sit static in one broadcast row, and the
