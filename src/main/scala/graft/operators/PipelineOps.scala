@@ -632,6 +632,48 @@ object PipelineOps {
     routed.join(codes, Seq("vec_id"))
   }
 
+  /** The i44 batch-ADC body — i39's single-query read path given the
+    * i20 lift: ALL queries' lookup tables materialize as ONE broadcast
+    * (qid, b, cid, d2q) table (|queries|·nBlocks·k narrow integer rows
+    * — for 10k daily queries against k=256 that is ~10M longs, still a
+    * broadcast), the stored codes join it map-side, and the only
+    * shuffles in the whole many-query scan are the per-(qid, vec_id)
+    * nBlocks-row integer sum and the per-qid top-k window over narrow
+    * (qid, vec_id, adc_q) triples. The corpus contributes codes ONCE,
+    * not once per query — the point of the lift: query count scales the
+    * broadcast and the aggregate width, never the number of corpus
+    * scans. Distances stay micro-quantized longs (the i39 contract) so
+    * the 4-way sum is order-free integer arithmetic in both engines;
+    * self-matches (vec_id = qid) drop before the sum.
+    */
+  private[graft] def annPqBatch(emb: DataFrame, nQueries: Int,
+      topK: Int): DataFrame = {
+    val sub = pqBlocks(emb, nBlocks = 4, blockDim = 16).localCheckpoint(true)
+    // Codebook and code table materialize once — they ARE the persisted
+    // index tables the i42 doc names; the counted read-path plan
+    // (PlanSpec) starts from them, exactly as a production scan reads
+    // the index parquet rather than retraining per query batch.
+    val cent = pqTrainStep(sub, pqStubCodebook(sub, ivfParams.k))
+      .localCheckpoint(true)
+    val codes = pqAssign(sub, cent).select(col("vec_id"), col("b"), col("cid"))
+      .localCheckpoint(true)
+    val qsub = sub.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("b"), col("sub").as("qv"))
+    val lut = cent.join(broadcast(qsub), Seq("b"))
+      .select(col("qid"), col("b"), col("cid"),
+        round(round(VectorFunctions.l2sq(col("qv"), col("cemb")), 6) * 1e6)
+          .cast("long").as("d2q"))
+    codes.join(broadcast(lut), Seq("b", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_q"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc_q"))
+  }
+
   // ------------------------------------------------------------ minhash
 
   private val NumHashes = 8
@@ -2729,6 +2771,88 @@ object PipelineOps {
                  | FROM routed r JOIN codes c ON r.vec_id = c.vec_id
                  |   JOIN erra e ON r.vec_id = e.vec_id
                  | ORDER BY r.vec_id"""))),
+
+    // BATCH ADC — i39's single-query read path given the i20 lift (see
+    // annPqBatch): all 20 queries' LUTs are ONE broadcast
+    // (qid, b, cid, d2q) integer table; codes join it map-side; the
+    // only shuffles are the per-(qid, vec_id) 4-row sum and the
+    // per-qid top-10 window over narrow triples (PlanSpec pins exactly
+    // those two hash Exchanges, the i20 counting rule). Oracle = the
+    // i39 training/assignment CTE chain + a qid-keyed LUT; the 4-way
+    // sum is order-free integer arithmetic in both engines.
+    Q("i44_ann_pq_batch",
+      (s, dir) => annPqBatch(t(s, dir, "embeddings"),
+          ivfParams.nQueries, topK = 10)
+        .orderBy("qid", "rank"),
+      Some(sql("""WITH blocks AS (SELECT unnest(range(0, 4)) AS b),
+                 | sub AS (SELECT e.vec_id, b.b,
+                 |     list_slice(e.embedding, b.b * 16 + 1, b.b * 16 + 16) AS sv
+                 |   FROM embeddings e, blocks b),
+                 | c0 AS (SELECT b, vec_id AS cid, sv AS cemb FROM sub WHERE vec_id < 8),
+                 | d1 AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM sub s JOIN c0 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign1 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d1) WHERE rn = 1),
+                 | q1 AS (
+                 |   SELECT a.b, a.cid,
+                 |     unnest(range(0, len(s.sv))) AS pos,
+                 |     unnest(list_transform(range(0, len(s.sv)),
+                 |       i -> round(s.sv[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM sub s JOIN assign1 a ON s.vec_id = a.vec_id AND s.b = a.b),
+                 | m1 AS (SELECT b, cid, pos, round(sum(vq)::DOUBLE / count(*))::BIGINT AS mq
+                 |   FROM q1 GROUP BY 1, 2, 3),
+                 | c0px AS (SELECT b, cid,
+                 |     unnest(range(0, len(cemb))) AS pos,
+                 |     unnest(list_transform(range(0, len(cemb)), i -> cemb[i + 1])) AS sv0
+                 |   FROM c0),
+                 | c1px AS (SELECT c0px.b, c0px.cid, c0px.pos,
+                 |     CASE WHEN m1.mq IS NULL THEN sv0
+                 |          ELSE CAST(m1.mq::DOUBLE / 1e6 AS FLOAT) END AS ce
+                 |   FROM c0px LEFT JOIN m1
+                 |     ON c0px.b = m1.b AND c0px.cid = m1.cid AND c0px.pos = m1.pos),
+                 | c1 AS (SELECT b, cid, list(ce ORDER BY pos) AS cemb FROM c1px GROUP BY 1, 2),
+                 | d2t AS (
+                 |   SELECT vec_id, b, cid, round(sum(p), 6) AS d2
+                 |   FROM (SELECT s.vec_id, s.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(s.sv) + 1),
+                 |             i -> (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (s.sv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM sub s JOIN c1 c ON s.b = c.b)
+                 |   GROUP BY 1, 2, 3),
+                 | assign2 AS (
+                 |   SELECT vec_id, b, cid FROM (
+                 |     SELECT vec_id, b, cid,
+                 |       row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cid) AS rn
+                 |     FROM d2t) WHERE rn = 1),
+                 | qsub AS (SELECT vec_id AS qid, b, sv AS qv FROM sub WHERE vec_id < 20),
+                 | lutp AS (
+                 |   SELECT qid, b, cid, round(round(sum(p), 6) * 1e6)::BIGINT AS d2q
+                 |   FROM (SELECT q.qid, c.b AS b, c.cid,
+                 |           unnest(list_transform(range(1, len(q.qv) + 1),
+                 |             i -> (q.qv[i]::DOUBLE - c.cemb[i]::DOUBLE)
+                 |                * (q.qv[i]::DOUBLE - c.cemb[i]::DOUBLE))) AS p
+                 |         FROM c1 c JOIN qsub q ON c.b = q.b)
+                 |   GROUP BY 1, 2, 3),
+                 | sums AS (
+                 |   SELECT l.qid, a.vec_id, sum(l.d2q)::BIGINT AS adc_q
+                 |   FROM assign2 a JOIN lutp l ON a.b = l.b AND a.cid = l.cid
+                 |   WHERE a.vec_id <> l.qid
+                 |   GROUP BY 1, 2),
+                 | ranked AS (
+                 |   SELECT qid, vec_id, adc_q,
+                 |     row_number() OVER (PARTITION BY qid ORDER BY adc_q, vec_id) AS rank
+                 |   FROM sums)
+                 | SELECT qid, rank::BIGINT AS rank, vec_id, adc_q FROM ranked
+                 | WHERE rank <= 10 ORDER BY qid, rank"""))),
 
     // Inter-source duplication AUDIT — the corpus-assembly diagnostic a
     // mixture designer runs before setting i21/i34 rates: for every

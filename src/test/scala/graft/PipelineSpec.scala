@@ -312,6 +312,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i44 batch ADC: the qid=0 slice IS i39's single-query ranking") {
+    // The lift must change the orchestration, never the math: i44's
+    // qid=0 rows (top-10, self-match dropped) are exactly the first 10
+    // rows of i39's global top-20 for the same query, adc_q
+    // integer-for-integer — same codebooks, same LUT arithmetic, just
+    // batched. Catches any drift between the per-query and unified
+    // LUT formulations.
+    val i44q0 = Registry.byId("i44_ann_pq_batch").build(spark, dir)
+      .filter(col("qid") === 0)
+      .select("rank", "vec_id", "adc_q")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(i44q0.length == 10, s"expected 10 qid=0 rows, got ${i44q0.length}")
+    val i39 = Registry.byId("i39_ann_pq_adc").build(spark, dir)
+      .as[(Long, Long)].collect()
+    i44q0.foreach { case (r, v, a) =>
+      val (v39, a39) = i39(r.toInt - 1)
+      assert(v == v39 && a == a39,
+        s"rank $r: i44 ($v, $a) vs i39 ($v39, $a39)")
+    }
+  }
+
   test("i32 composed dedup verdict subsumes i15/i18/i31 (resolution, apply, cap laws)") {
     // The composed entry must be a strict superset view: each of the
     // three separate dedup entries is a filter over the verdict table.

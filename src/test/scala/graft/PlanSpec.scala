@@ -249,6 +249,21 @@ class PlanSpec extends SparkTestBase {
       s"i20 must shuffle once (candidate top-k), got $hashShuffles:\n$p20")
   }
 
+  test("i44: batch ADC shuffles exactly twice — the 4-row sum and the per-qid top-k") {
+    // The many-query ADC scan must keep the i20 counting discipline:
+    // the unified (qid, b, cid, d2q) LUT broadcasts onto the code
+    // table (no sort-merge anywhere), so the only hash Exchanges are
+    // the per-(qid, vec_id) 4-row integer sum and the per-qid top-k
+    // window over narrow (qid, vec_id, adc_q) triples. Query count
+    // scales the broadcast, never the number of corpus passes.
+    val p = plan(Registry.byId("i44_ann_pq_batch").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"LUT must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side sort-merge:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 2,
+      s"i44 must shuffle twice (pair sum + per-qid top-k), got $hashShuffles:\n$p")
+  }
+
   test("i32: corpus re-read once for ids; sketch and pairs are materialized scans") {
     // The composed dedup plan tokenizes the corpus exactly once — into
     // the checkpointed sketch — so the final plan reads ExistingRDD for
