@@ -396,6 +396,52 @@ object LlmOps {
       .join(batchDrop, Seq("doc_id"), "left_anti")
   }
 
+  /** The i45 delete-cascade body — right-to-be-forgotten propagation,
+    * the removal op every production corpus pipeline ships: given a
+    * content-addressed delete list (`saltedBucket("del:") < 5`, the i16
+    * rule — a deterministic ~5% stand-in for a legal removal request),
+    * emit one verdict row per doc. The deleted=0 rows ARE the surviving
+    * corpus; each deleted doc carries the exact row counts the cascade
+    * removes from every derived table the engine persists — fingerprint
+    * (i1: 1 row), LSH bands (i14/i36: 8 rows), span grams (i35/i41:
+    * max(n_tok−4, 0) rows), near-dup cluster membership (i15: 0/1) —
+    * plus `canon_moved`, flagging deleted docs that were the canonical
+    * of an exact-dup group with survivors (the canonical-pointer
+    * rewrite a production catalog must then apply).
+    *
+    * Scale: the delete decision is a codegen'd md5 projection (no
+    * driver-side list); fp/gram counts compute in-row on the one corpus
+    * pass (at 100 TB they aggregate from the PERSISTED derived tables
+    * by doc_id — ids only, the T-tier bucketed-read variants show that
+    * path); membership is an ids-only left join against the label
+    * table; the fp-group window partitions by the 16-byte fingerprint,
+    * group-bounded. Text never shuffles.
+    */
+  private[graft] def deleteCascade(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp"),
+      greatest(size(split(col("text"), " ")) - 4, lit(0))
+        .cast("long").as("n_grams"),
+      (saltedBucket("del:") < 5).cast("long").as("deleted"))
+    val byFp = Window.partitionBy(col("fp"))
+    val grp = base
+      .withColumn("gmin", min(col("doc_id")).over(byFp))
+      .withColumn("nsurv", sum(lit(1L) - col("deleted")).over(byFp))
+    val members = clusterLabels(nearDupPairs(docs))
+      .select(col("doc_id"), lit(1L).as("is_member"))
+    grp.join(members, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("deleted"),
+        col("deleted").as("fp_rows"),
+        (col("deleted") * 8).as("band_rows"),
+        (col("deleted") * col("n_grams")).as("gram_rows"),
+        (col("deleted") * coalesce(col("is_member"), lit(0L))).as("member_rows"),
+        when(col("deleted") === 1 && col("doc_id") === col("gmin") &&
+          col("nsurv") > 0, 1L).otherwise(0L).as("canon_moved"))
+  }
+
   /** Salted-md5 bucket in [0,100) over doc_id. One definition for every
     * content-addressed assignment (split bands, mixture sampling):
     * distinct salts give independent buckets, and the md5 arithmetic is a
@@ -667,6 +713,43 @@ object LlmOps {
                   |   AND doc_id NOT IN (SELECT doc_id FROM crossm)
                   |   AND doc_id NOT IN (SELECT v FROM lbl WHERE v <> canon)
                   | ORDER BY doc_id"""))),
+
+    // DELETE cascade — right-to-be-forgotten propagation (see
+    // deleteCascade): a content-addressed ~5% delete list removes docs
+    // AND their rows in every persisted derived table; the output is
+    // the per-doc verdict (survivors = deleted=0 rows, removal counts
+    // for fingerprints/bands/grams/memberships, canonical-pointer
+    // rewrites). The oracle recomputes the same md5 delete rule, gram
+    // arithmetic, fp-group windows, and the recursive-CC membership.
+    Q("i45_delete_cascade",
+      (s, dir) => deleteCascade(t(s, dir, "documents")).orderBy("doc_id"),
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                  | edges AS (
+                  |   SELECT doc_id1 AS s, doc_id2 AS d FROM nd
+                  |   UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                  | reach(doc_id, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.doc_id),
+                  | lbl AS (SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id),
+                  | base AS (SELECT doc_id, md5(text) AS fp,
+                  |     greatest(len(string_split(text, ' ')) - 4, 0)::BIGINT AS n_grams,
+                  |     (CASE WHEN ('0x' || substr(md5('del:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+                  |      THEN 1 ELSE 0 END)::BIGINT AS deleted
+                  |   FROM documents),
+                  | grp AS (SELECT doc_id, n_grams, deleted,
+                  |     min(doc_id) OVER (PARTITION BY fp) AS gmin,
+                  |     sum(1 - deleted) OVER (PARTITION BY fp) AS nsurv
+                  |   FROM base)
+                  | SELECT g.doc_id, g.deleted,
+                  |   g.deleted AS fp_rows,
+                  |   (g.deleted * 8)::BIGINT AS band_rows,
+                  |   (g.deleted * g.n_grams)::BIGINT AS gram_rows,
+                  |   (g.deleted * (CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END))::BIGINT AS member_rows,
+                  |   (CASE WHEN g.deleted = 1 AND g.doc_id = g.gmin AND g.nsurv > 0
+                  |    THEN 1 ELSE 0 END)::BIGINT AS canon_moved
+                  | FROM grp g LEFT JOIN lbl l ON g.doc_id = l.doc_id
+                  | ORDER BY g.doc_id"""))),
 
     // INCREMENTAL exact dedup — the shape an ingest pipeline actually
     // runs: a new batch (doc_id ≥ 400 as the deterministic stand-in for

@@ -333,6 +333,40 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i45 delete cascade: crafted geometry fires every column, incl. canon_moved") {
+    // The parquet fixtures never delete an exact-dup canonical that has
+    // survivors (canon_moved sums to 0 at all three SFs — verified), so
+    // the pointer-rewrite flag needs crafted geometry: pick a deleted
+    // bucket id and a surviving one (computed from the same salted-md5
+    // rule the operator uses), give them IDENTICAL text, and check the
+    // deleted canonical reports the full cascade while the survivor
+    // reports zeros.
+    val buckets = spark.range(0, 100)
+      .select(col("id").as("doc_id"), graft.operators.LlmOps.saltedBucket("del:").as("b"))
+      .as[(Long, Long)].collect().toMap
+    val dDel = (0L until 100L).find(buckets(_) < 5).get
+    val dSur = (dDel + 1 until 100L).find(buckets(_) >= 5).get
+    val dDelSolo = (dSur + 1 until 100L).find(buckets(_) < 5).get
+    val dupText = "a b c d e f" // 6 tokens -> 2 five-grams
+    val docs = Seq(
+      (dDel, dupText, "s0"),
+      (dSur, dupText, "s0"),
+      (dDelSolo, "unique text pad pad2 pad3 pad4 pad5", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.LlmOps.deleteCascade(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // deleted canonical of a surviving dup group: full cascade + rewrite
+    assert(out(dDel) == ((dDel, 1L, 1L, 8L, 2L, 1L, 1L)),
+      s"deleted canonical row wrong: ${out(dDel)}")
+    // its surviving twin: nothing removed, no flags
+    assert(out(dSur) == ((dSur, 0L, 0L, 0L, 0L, 0L, 0L)),
+      s"survivor row wrong: ${out(dSur)}")
+    // deleted singleton: cascade but no membership, no pointer rewrite
+    assert(out(dDelSolo) == ((dDelSolo, 1L, 1L, 8L, 3L, 0L, 0L)),
+      s"deleted singleton row wrong: ${out(dDelSolo)}")
+  }
+
   test("i32 composed dedup verdict subsumes i15/i18/i31 (resolution, apply, cap laws)") {
     // The composed entry must be a strict superset view: each of the
     // three separate dedup entries is a filter over the verdict table.
