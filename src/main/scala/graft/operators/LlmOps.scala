@@ -365,9 +365,29 @@ object LlmOps {
     */
   def nearDedupIncremental(docs: DataFrame, boundary: Long): DataFrame = {
     val sets = hashedTokenSets(docs).localCheckpoint(true)
-    val corpusBands = PipelineOps.minhashBands(
-      sets.filter(col("doc_id") < boundary)).localCheckpoint(true)
-    val batchSets = sets.filter(col("doc_id") >= boundary)
+    nearDedupIncrementalFrom(
+      sets.filter(col("doc_id") < boundary),
+      PipelineOps.minhashBands(
+        sets.filter(col("doc_id") < boundary)).localCheckpoint(true),
+      sets.filter(col("doc_id") >= boundary))
+  }
+
+  /** Core of [[nearDedupIncremental]] over EXPLICIT corpus artifacts —
+    * the persisted-table entry point: a real ingest passes the bucketed
+    * corpus sketch (i2) and band (i14) tables here (PersistedIndexSpec
+    * pins that the band screen then plans zero Exchange on the bucketed
+    * side and corpus text is never re-tokenized), while the in-query
+    * registry form passes the freshly-derived frames.
+    */
+  def nearDedupIncrementalFrom(corpusSets: DataFrame, corpusBands: DataFrame,
+      batchSets0: DataFrame): DataFrame = {
+    val batchSets = batchSets0.localCheckpoint(true)
+    // The verify stage needs both sides' sketches; corpus sketches come
+    // from the persisted table, never a re-tokenize.
+    val sets = corpusSets
+      .select(col("doc_id"), col("source"), col("rks"), col("n_tok"))
+      .union(batchSets
+        .select(col("doc_id"), col("source"), col("rks"), col("n_tok")))
     // Two consumers (cross-probe + internal pairs) — materialize once,
     // the nearDupPairs rule.
     val batchBands = PipelineOps.minhashBands(batchSets).localCheckpoint(true)

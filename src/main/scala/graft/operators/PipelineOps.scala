@@ -186,7 +186,7 @@ object PipelineOps {
     * global collect_list runs over k rows (an Exchange SinglePartition of
     * k centroids, not corpus data).
     */
-  private def centroidArray(cent: DataFrame): DataFrame =
+  private[graft] def centroidArray(cent: DataFrame): DataFrame =
     cent.agg(collect_list(struct(col("cid"), col("cemb"))).as("cents"))
 
   /** All within-bucket embedding pairs (i < j) over a
@@ -674,6 +674,42 @@ object PipelineOps {
         col("vec_id"), col("adc_q"))
   }
 
+  /** The i42 IVF-PQ READ path over explicit index tables — the
+    * persisted-table entry point: `assigned` (vec_id, cid) and `codes`
+    * (vec_id, b, pcid) are the two persisted index tables (a real
+    * deployment reads them bucketed on vec_id — PersistedIndexSpec pins
+    * that the probe semi-join and ADC pivot then plan ZERO hash
+    * Exchange), `cent` the persisted per-block codebooks; the in-query
+    * registry form passes freshly-derived frames. Only the query row is
+    * read from `emb` (pushed vec_id filter).
+    */
+  private[graft] def ivfPqSearch(emb: DataFrame, coarse: DataFrame,
+      cent: DataFrame, assigned: DataFrame, codes: DataFrame): DataFrame = {
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"))
+    val probes = query.crossJoin(broadcast(centroidArray(coarse)))
+      .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
+        struct(
+          (-round(VectorFunctions.dot(col("qemb"), c.getField("cemb")), 6)).as("nqd"),
+          c.getField("cid").as("cid")))), 1, ivfParams.nprobe))
+      .select(explode(col("pr")).as("p"))
+      .select(col("p").getField("cid").as("cid"))
+    val qsub = pqBlocks(emb.filter(col("vec_id") === 0),
+        nBlocks = 4, blockDim = 16)
+      .select(col("b"), col("sub").as("qv"))
+    val lut = cent.join(qsub, Seq("b"))
+      .select(col("b"), col("cid").as("pcid"),
+        round(round(VectorFunctions.l2sq(col("qv"), col("cemb")), 6) * 1e6)
+          .cast("long").as("d2q"))
+    val candIds = assigned.join(broadcast(probes), Seq("cid"), "left_semi")
+      .select(col("vec_id")).filter(col("vec_id") =!= 0)
+    codes.join(candIds, Seq("vec_id"), "left_semi")
+      .join(broadcast(lut), Seq("b", "pcid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_q"))
+      .orderBy(col("adc_q"), col("vec_id")).limit(10)
+  }
+
   // ------------------------------------------------------------ minhash
 
   private val NumHashes = 8
@@ -893,7 +929,7 @@ object PipelineOps {
   /** (doc_id, pos, g) k-gram occurrence stream — the shared spine of the
     * span-dedup family (i35/i40/i41).
     */
-  private def gramOcc(d: DataFrame, k: Int): DataFrame = d
+  private[graft] def gramOcc(d: DataFrame, k: Int): DataFrame = d
     .select(col("doc_id"), posexplode(gramZip(col("text"), k)))
     .select(col("doc_id"), col("pos").cast("long").as("pos"),
       xxhash64((0 until k).map(i => col(s"col.$i")): _*).as("g"))
@@ -954,11 +990,22 @@ object PipelineOps {
     * flag + gram-keyed min state.
     */
   private[graft] def repeatGramsIncremental(docs: DataFrame, boundary: Long,
-      k: Int = 5): DataFrame = {
-    val batchOcc = gramOcc(docs.filter(col("doc_id") >= boundary), k)
-      .localCheckpoint(true)
-    val corpusGrams = gramOcc(docs.filter(col("doc_id") < boundary), k)
-      .select(col("g")).distinct()
+      k: Int = 5): DataFrame =
+    repeatGramsIncrementalFrom(
+      docs.filter(col("doc_id") >= boundary),
+      gramOcc(docs.filter(col("doc_id") < boundary), k)
+        .select(col("g")).distinct(), k)
+
+  /** Core of [[repeatGramsIncremental]] over an EXPLICIT corpus gram
+    * set — the persisted-table entry point: a real ingest passes the
+    * bucketed corpus gram table here (PersistedIndexSpec pins that the
+    * screen then plans zero Exchange on the bucketed side and never
+    * re-tokenizes corpus text), while the in-query registry form passes
+    * the freshly-derived set.
+    */
+  private[graft] def repeatGramsIncrementalFrom(batchDocs: DataFrame,
+      corpusGrams: DataFrame, k: Int = 5): DataFrame = {
+    val batchOcc = gramOcc(batchDocs, k).localCheckpoint(true)
     val screened = batchOcc.join(corpusGrams, Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val byG = Window.partitionBy(col("g"))
@@ -2531,28 +2578,7 @@ object PipelineOps {
         val cent = pqTrainStep(sub, pqStubCodebook(sub, ivfParams.k))
         val codes = pqAssign(sub, cent)
           .select(col("vec_id"), col("b"), col("cid").as("pcid"))
-        val query = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qemb"))
-        val probes = query.crossJoin(broadcast(centroidArray(coarse)))
-          .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
-            struct(
-              (-round(VectorFunctions.dot(col("qemb"), c.getField("cemb")), 6)).as("nqd"),
-              c.getField("cid").as("cid")))), 1, ivfParams.nprobe))
-          .select(explode(col("pr")).as("p"))
-          .select(col("p").getField("cid").as("cid"))
-        val qsub = sub.filter(col("vec_id") === 0)
-          .select(col("b"), col("sub").as("qv"))
-        val lut = cent.join(qsub, Seq("b"))
-          .select(col("b"), col("cid").as("pcid"),
-            round(round(VectorFunctions.l2sq(col("qv"), col("cemb")), 6) * 1e6)
-              .cast("long").as("d2q"))
-        val candIds = assigned.join(broadcast(probes), Seq("cid"), "left_semi")
-          .select(col("vec_id")).filter(col("vec_id") =!= 0)
-        codes.join(candIds, Seq("vec_id"), "left_semi")
-          .join(broadcast(lut), Seq("b", "pcid"))
-          .groupBy(col("vec_id"))
-          .agg(sum(col("d2q")).as("adc_q"))
-          .orderBy(col("adc_q"), col("vec_id")).limit(10)
+        ivfPqSearch(emb, coarse, cent, assigned, codes)
       },
       Some(sql("""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
                  | adot AS (
