@@ -632,6 +632,51 @@ object PipelineOps {
     routed.join(codes, Seq("vec_id"))
   }
 
+  /** The i46 ingest-time near-dup screen — the optional arm of the i43
+    * ingest (the i29 θ-rule applied at the index write path): each new
+    * vector, after routing to its coarse cluster, compares against the
+    * INDEXED corpus vectors of that same cluster; a cosine ≥ θ match
+    * marks the arrival as a semantic near-dup of existing content
+    * (kept=0) with its best corpus match (max rounded sim, min-id
+    * tiebreak) and match count. The production "don't index what you
+    * already have" gate, composed from the persisted assignment table
+    * (i42's) and the same cluster-bounded candidate rule as i29 — a
+    * batch arrival is compared against ONE cluster's vectors, never the
+    * corpus.
+    *
+    * Scale: batch routing is the shuffle-free broadcast argmax; the
+    * screen join keys on cid (cluster-bounded — the i29 salting applies
+    * verbatim if a cluster runs hot); corpus vectors arrive via their
+    * persisted (cid, vec_id, embedding) assignment layout, batch text
+    * never moves. Sim is rounded to 3dp before the θ compare and the
+    * argmax (the i29 arithmetic, identical cross-engine).
+    */
+  private[graft] def annIngestScreen(emb: DataFrame, boundary: Long,
+      theta: Double): DataFrame = {
+    val cent = stubCodebook(emb, ivfParams.k)
+    val corpus = assignToCentroids(emb.filter(col("vec_id") < boundary), cent)
+      .select(col("cid"), col("vec_id").as("cvid"), col("embedding").as("cemb"))
+    val batch = assignToCentroids(emb.filter(col("vec_id") >= boundary), cent)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .localCheckpoint(true)
+    val matches = batch.join(corpus, Seq("cid"))
+      .select(col("vec_id"),
+        round(VectorFunctions.dot(col("embedding"), col("cemb")), 3).as("sim"),
+        col("cvid"))
+      .filter(col("sim") >= theta)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("sim"), (-col("cvid")).as("nid"))).as("best"))
+      .select(col("vec_id"), col("n_matches"),
+        (-col("best").getField("nid")).as("match_id"))
+    batch.select(col("vec_id"), col("cid"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        when(col("n_matches").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** The i44 batch-ADC body — i39's single-query read path given the
     * i20 lift: ALL queries' lookup tables materialize as ONE broadcast
     * (qid, b, cid, d2q) table (|queries|·nBlocks·k narrow integer rows
@@ -2879,6 +2924,42 @@ object PipelineOps {
                  |   FROM sums)
                  | SELECT qid, rank::BIGINT AS rank, vec_id, adc_q FROM ranked
                  | WHERE rank <= 10 ORDER BY qid, rank"""))),
+
+    // Ingest-time near-dup SCREEN — the optional arm of the i43 ingest
+    // (see annIngestScreen): arrivals route to their coarse cluster and
+    // compare only against that cluster's INDEXED corpus vectors; a
+    // cosine ≥ 0.4 match (the i29 θ) marks the arrival kept=0 with its
+    // best corpus match. Oracle: the shared centroid-assignment CTE
+    // split at the 400 boundary + per-pair rounded dots.
+    Q("i46_ann_ingest_screen",
+      (s, dir) => annIngestScreen(t(s, dir, "embeddings"), 400, 0.4)
+        .orderBy("vec_id"),
+      Some(sql(s"""WITH $centroidAssignCte,
+                 | corpus AS (SELECT a.cid, a.vec_id AS cvid, e.embedding AS cemb
+                 |   FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+                 |   WHERE a.vec_id < 400),
+                 | batch AS (SELECT a.vec_id, a.cid, e.embedding
+                 |   FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+                 |   WHERE a.vec_id >= 400),
+                 | psim AS (
+                 |   SELECT vec_id, cvid, round(sum(p), 3) AS sim
+                 |   FROM (SELECT b.vec_id, c.cvid,
+                 |           unnest(b.embedding)::DOUBLE * unnest(c.cemb)::DOUBLE AS p
+                 |         FROM batch b JOIN corpus c ON b.cid = c.cid)
+                 |   GROUP BY 1, 2),
+                 | hits AS (SELECT vec_id, cvid, sim FROM psim WHERE sim >= 0.4),
+                 | best AS (SELECT vec_id, cvid FROM (
+                 |     SELECT vec_id, cvid,
+                 |       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cvid) AS rn
+                 |     FROM hits) WHERE rn = 1),
+                 | cnt AS (SELECT vec_id, count(*) AS n_matches FROM hits GROUP BY 1)
+                 | SELECT b.vec_id, b.cid,
+                 |   coalesce(c.n_matches, 0)::BIGINT AS n_matches,
+                 |   coalesce(t.cvid, -1)::BIGINT AS match_id,
+                 |   (CASE WHEN c.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS kept
+                 | FROM batch b LEFT JOIN cnt c ON b.vec_id = c.vec_id
+                 |   LEFT JOIN best t ON b.vec_id = t.vec_id
+                 | ORDER BY b.vec_id"""))),
 
     // Inter-source duplication AUDIT — the corpus-assembly diagnostic a
     // mixture designer runs before setting i21/i34 rates: for every

@@ -596,6 +596,40 @@ class StreamingSpec extends SparkTestBase {
     assert(want.count() > 0, "ingest must be non-vacuous at sf0.001")
   }
 
+  test("streaming ANN ingest screen == batch i46 (stateless cid-bounded corpus probe)") {
+    // The i46 screen run at ingest: arrivals stream in, the corpus's
+    // per-cluster vector table sits static, and each micro-batch
+    // routes + screens in foreachBatch (the i43 write-path pattern).
+    // No cross-batch state — a match verdict depends only on the
+    // arrival and the static corpus — so a shuffled feed reproduces
+    // the batch operator exactly.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val boundary = 400L
+    val batch = emb.filter(col("vec_id") >= boundary)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val feed = new scala.util.Random(71).shuffle(batch)
+    val rows = TrieMap.empty[Long, Seq[org.apache.spark.sql.Row]]
+    Replay.runForeach(spark, feed, 4, OutputMode.Append())(
+      ds => ds.toDF("vec_id", "embedding")) { (df, id) =>
+      // Screen THIS micro-batch against the full static corpus by
+      // substituting the arrivals for the batch slice: union them with
+      // the corpus rows so the shared operator sees (corpus ∪ batch).
+      val corpus = emb.filter(col("vec_id") < boundary)
+        .select(col("vec_id"), col("embedding"))
+      val screened = PipelineOps.annIngestScreen(
+        corpus.union(df.select(col("vec_id"), col("embedding"))),
+        boundary, 0.4)
+      rows(id) = screened.collect().toSeq
+    }
+    val want = Registry.byId("i46_ann_ingest_screen").build(spark, dir)
+    val got = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.values.flatten.toSeq),
+      want.schema)
+    assertSameRows(got, want)
+    assert(want.filter(col("kept") === 0).count() > 0,
+      "screen must drop at least one arrival at sf0.001 (non-vacuous)")
+  }
+
   test("streaming contamination screen == batch i19 (stateless broadcast eval set)") {
     // The leakage check run at INGEST time: train docs stream in, the
     // eval-set shingle hashes sit static in one broadcast row, and the

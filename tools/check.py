@@ -5,7 +5,7 @@ compare per-query (rows, schema-width, values with columns sorted by name).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, sys, glob
+import json, os, sys, glob
 
 import duckdb
 import pandas as pd
@@ -32,8 +32,13 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # Driver testdata ships single-file tables; GenScale (data/sf1)
+        # writes Spark directory tables — accept both layouts.
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
