@@ -31,14 +31,30 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    paths = {}
     for t in TABLES:
         # Driver testdata ships single-file tables; GenScale (data/sf1)
         # writes Spark directory tables — accept both layouts.
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        paths[t] = path
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    # The driver's events.parquet stores ns-precision timestamps, which
+    # DuckDB reads as TIMESTAMP at us precision. GenScale writes the same
+    # ns instants as raw BIGINTs (Spark timestamps cap at us, so the 10x
+    # clone keeps the longs); present them to the oracles exactly as the
+    # driver layout reads — truncated to us.
+    ts_type = con.execute(
+        "SELECT data_type FROM duckdb_columns() "
+        "WHERE table_name = 'events' AND column_name = 'ts'").fetchone()
+    if ts_type and ts_type[0] == "BIGINT":
+        con.execute("DROP VIEW events")
+        con.execute(
+            "CREATE VIEW events AS SELECT event_id, "
+            "make_timestamp(ts // 1000) AS ts, user_id, event_type, value, "
+            f"props FROM read_parquet('{paths['events']}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
