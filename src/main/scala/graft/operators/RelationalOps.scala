@@ -636,7 +636,74 @@ object RelationalOps {
                  |                        HAVING SUM(l_quantity) > 250)
                  | GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
                  | ORDER BY o_totalprice DESC, o_orderkey
-                 | LIMIT 100""")))
+                 | LIMIT 100"""))),
+
+    // The TPC-H Q4 shape: order-priority checking via a CORRELATED
+    // EXISTS whose inner predicate mixes the equi-key with a
+    // cross-table inequality (any line shipped > 60 days after the
+    // order date — the fixture's stand-in for Q4's commit<receipt,
+    // which its lineitem lacks). Catalyst decorrelates into a LeftSemi
+    // join on l_orderkey carrying the inequality as the join's extra
+    // condition (PlanSpec) — one pass over lineitem, no per-order
+    // probe. Date arithmetic is exact (UTC timestamps, +INTERVAL 60
+    // DAY identical in both engines); order_count is an integer count.
+    Q("b13_sql_q4",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+                |FROM v_orders o
+                |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+                |  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+                |  AND EXISTS (SELECT 1 FROM v_lineitem l
+                |              WHERE l.l_orderkey = o.o_orderkey
+                |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(sql("""SELECT o_orderpriority, count(*) AS order_count
+                 | FROM orders o
+                 | WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+                 |   AND o.o_orderdate < TIMESTAMP '1995-07-01'
+                 |   AND EXISTS (SELECT 1 FROM lineitem l
+                 |               WHERE l.l_orderkey = o.o_orderkey
+                 |                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                 | GROUP BY o_orderpriority
+                 | ORDER BY o_orderpriority"""))),
+
+    // The TPC-H Q22 shape with the two remaining subquery forms in one
+    // text: an UNCORRELATED SCALAR subquery threshold (above-average
+    // order value) gating a NOT EXISTS (no line shipped within 30 days
+    // — "high-value orders with no prompt shipment"; the classic
+    // customers-without-orders anti is structurally EMPTY on this
+    // fixture, b5). The scalar threshold compares in exact DECIMAL via
+    // cross-multiplication — price·count > sum, never a float average,
+    // so no last-ulp boundary flip at any SF — and Catalyst plans the
+    // scalars as one-row broadcasts and the NOT EXISTS as a LeftAnti
+    // join carrying the inequality (PlanSpec).
+    Q("b14_sql_q22",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+                |FROM v_orders o
+                |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM v_orders) >
+                |      (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM v_orders o2)
+                |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l
+                |                  WHERE l.l_orderkey = o.o_orderkey
+                |                    AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some(sql("""SELECT o_orderpriority, count(*) AS order_count
+                 | FROM orders o
+                 | WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders) >
+                 |       (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2)
+                 |   AND NOT EXISTS (SELECT 1 FROM lineitem l
+                 |                   WHERE l.l_orderkey = o.o_orderkey
+                 |                     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY)
+                 | GROUP BY o_orderpriority
+                 | ORDER BY o_orderpriority""")))
   )
 
   private val scalars: Seq[Q] = Seq(

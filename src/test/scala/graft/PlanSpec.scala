@@ -115,6 +115,29 @@ class PlanSpec extends SparkTestBase {
       s"Q18 subquery failed to decorrelate:\n$p18")
   }
 
+  test("b13/b14: EXISTS/NOT-EXISTS decorrelate to semi/anti joins carrying the inequality") {
+    // b13's correlated EXISTS (equi-key + cross-table inequality) must
+    // plan as ONE LeftSemi join over lineitem — the inequality rides
+    // the join condition, never a per-order re-probe.
+    val p4 = plan(Registry.byId("b13_sql_q4").build(spark, dir))
+    assert(p4.contains("LeftSemi"),
+      s"EXISTS must plan as a semi join:\n$p4")
+    assert(!p4.contains("CartesianProduct") &&
+      !p4.contains("BroadcastNestedLoopJoin"),
+      s"Q4 EXISTS failed to decorrelate:\n$p4")
+    // b14: the NOT EXISTS becomes a LeftAnti join and the two
+    // uncorrelated scalar thresholds plan as one-row subquery
+    // broadcasts, not joins.
+    val p22 = plan(Registry.byId("b14_sql_q22").build(spark, dir))
+    assert(p22.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join:\n$p22")
+    assert(p22.contains("Subquery") || p22.contains("scalar-subquery"),
+      s"scalar thresholds must plan as subquery broadcasts:\n$p22")
+    assert(!p22.contains("CartesianProduct") &&
+      !p22.contains("BroadcastNestedLoopJoin"),
+      s"Q22 shape failed to decorrelate:\n$p22")
+  }
+
   test("i30: no array-keyed sort-merge join; group verify sides broadcast; no rank window over pairs") {
     // The three structural decisions that keep the fuzzy join scale-safe:
     // probe rows get their group id from a window over the rks shuffle
