@@ -437,13 +437,30 @@ object LlmOps {
     * table; the fp-group window partitions by the 16-byte fingerprint,
     * group-bounded. Text never shuffles.
     */
-  private[graft] def deleteCascade(docs: DataFrame): DataFrame = {
+  private[graft] def deleteCascade(docs: DataFrame): DataFrame =
+    deleteCascadeFor(docs,
+      docs.filter(saltedBucket("del:") < 5).select(col("doc_id")))
+
+  /** Core of [[deleteCascade]] over an EXPLICIT delete list — the
+    * production entry point (a legal removal request arrives as ids,
+    * not as a hash rule; the registry form derives its list from the
+    * content-addressed sample). The verdict semantics are ATOMIC over
+    * the whole list: nsurv counts group members not deleted by ANY
+    * request in the list, which is what the streaming twin
+    * (DeleteCascadeStream) converges to as requests arrive — its
+    * per-group keyed state re-emits corrected verdicts when later
+    * deletes land in the same exact-dup group.
+    */
+  private[graft] def deleteCascadeFor(docs: DataFrame,
+      deletes: DataFrame): DataFrame = {
     val base = docs.select(
-      col("doc_id"),
-      md5(col("text")).as("fp"),
-      greatest(size(split(col("text"), " ")) - 4, lit(0))
-        .cast("long").as("n_grams"),
-      (saltedBucket("del:") < 5).cast("long").as("deleted"))
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        greatest(size(split(col("text"), " ")) - 4, lit(0))
+          .cast("long").as("n_grams"))
+      .join(deletes.select(col("doc_id"), lit(1L).as("del")),
+        Seq("doc_id"), "left")
+      .withColumn("deleted", coalesce(col("del"), lit(0L)))
     val byFp = Window.partitionBy(col("fp"))
     val grp = base
       .withColumn("gmin", min(col("doc_id")).over(byFp))

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -594,6 +595,101 @@ class StreamingSpec extends SparkTestBase {
     val want = Registry.byId("i43_ann_index_ingest").build(spark, dir)
     assertSameRows(got, want)
     assert(want.count() > 0, "ingest must be non-vacuous at sf0.001")
+  }
+
+  test("streaming delete cascade == batch i45 (tombstone stream; canon_moved flips when the last survivor goes)") {
+    // i45 run as a TOMBSTONE stream: delete requests arrive keyed by
+    // their doc's fingerprint group, per-group state accumulates the
+    // deleted members, and the group's verdicts re-emit on every
+    // update. canon_moved is the one cascade column that is NOT
+    // arrival-local — "does the group still have survivors?" — so a
+    // later delete in the same group must FLIP the canonical's earlier
+    // verdict once the last survivor goes. The crafted geometry drives
+    // exactly that flip; the final snapshot must equal the batch
+    // operator's atomic-list verdicts.
+    import graft.streaming.{DeleteCascadeStream, DeleteRequest}
+    val docs = Seq(
+      (1L, "a b c d e f", "s0"), (2L, "a b c d e f", "s0"),
+      (3L, "a b c d e f", "s0"),
+      (7L, "solo text x1 x2 x3 x4", "s0"),
+      (9L, "keep me around y1 y2 y3", "s0"))
+      .toDF("doc_id", "text", "source")
+    val byFp = Window.partitionBy(col("fp"))
+    val base = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        greatest(size(split(col("text"), " ")) - 4, lit(0))
+          .cast("long").as("n_grams"))
+      .withColumn("gmin", min(col("doc_id")).over(byFp))
+      .withColumn("group_size", count(lit(1)).over(byFp).cast("long"))
+    val members = LlmOps.clusterLabels(LlmOps.nearDupPairs(docs))
+      .select(col("doc_id"), lit(true).as("is_member"))
+    val enrich = base.join(members, Seq("doc_id"), "left")
+      .select(col("fp"), col("doc_id"), col("n_grams"),
+        coalesce(col("is_member"), lit(false)).as("is_member"),
+        col("gmin"), col("group_size"))
+      .as[DeleteRequest].collect().map(r => r.doc_id -> r).toMap
+    // Deletion order: 1 (group canonical; 2,3 survive) → 7 (singleton)
+    // → 2 (3 still survives) → 3 (last survivor gone — the flip).
+    val feed = Seq(1L, 7L, 2L, 3L).map(enrich)
+    val canonHist = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val latest = TrieMap.empty[String, Seq[(Long, Long, Long, Long, Long, Long, Long)]]
+    Replay.runForeach(spark, feed, 4, OutputMode.Update())(
+      ds => DeleteCascadeStream(ds).toDF()) { (df, _) =>
+      df.as[(String, Seq[(Long, Long, Long, Long, Long, Long, Long)])]
+        .collect().foreach { case (fp, vs) =>
+          latest(fp) = vs
+          vs.find(_._1 == 1L).foreach(v => canonHist += v._7)
+        }
+    }
+    // The flip: doc 1's canon_moved was 1 while any twin survived, 0
+    // once the whole group is deleted.
+    assert(canonHist.headOption.contains(1L) && canonHist.lastOption.contains(0L),
+      s"expected canon_moved 1→0 flip for doc 1, saw $canonHist")
+    val got = latest.values.flatten.toSet
+    val deletes = Seq(1L, 7L, 2L, 3L).toDF("doc_id")
+    val want = LlmOps.deleteCascadeFor(docs, deletes)
+      .filter(col("deleted") === 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"final verdicts diverge: got=$got want=$want")
+  }
+
+  test("streaming delete cascade == batch i45 on the parquet fixture (shuffled tombstones)") {
+    // Breadth twin of the crafted law above: the registry's own
+    // content-addressed delete list replayed as a shuffled tombstone
+    // stream over the sf0.001 corpus; the final verdict snapshot must
+    // equal the i45 registry rows for deleted docs (survivor rows are
+    // simply never emitted — a tombstone stream only speaks about
+    // tombstones).
+    import graft.streaming.{DeleteCascadeStream, DeleteRequest}
+    val docs = Tables.load(spark, dir, "documents")
+    val byFp = Window.partitionBy(col("fp"))
+    val base = docs.select(col("doc_id"), md5(col("text")).as("fp"),
+        greatest(size(split(col("text"), " ")) - 4, lit(0))
+          .cast("long").as("n_grams"))
+      .withColumn("gmin", min(col("doc_id")).over(byFp))
+      .withColumn("group_size", count(lit(1)).over(byFp).cast("long"))
+    val members = LlmOps.clusterLabels(LlmOps.nearDupPairs(docs))
+      .select(col("doc_id"), lit(true).as("is_member"))
+    val delIds = docs.filter(LlmOps.saltedBucket("del:") < 5)
+      .select(col("doc_id"))
+    val feed0 = base.join(members, Seq("doc_id"), "left")
+      .join(delIds, Seq("doc_id"), "left_semi")
+      .select(col("fp"), col("doc_id"), col("n_grams"),
+        coalesce(col("is_member"), lit(false)).as("is_member"),
+        col("gmin"), col("group_size"))
+      .as[DeleteRequest].collect().toSeq
+    val feed = new scala.util.Random(59).shuffle(feed0)
+    assert(feed.nonEmpty, "delete list must be non-empty at sf0.001")
+    val latest = TrieMap.empty[String, Seq[(Long, Long, Long, Long, Long, Long, Long)]]
+    Replay.runForeach(spark, feed, 4, OutputMode.Update())(
+      ds => DeleteCascadeStream(ds).toDF()) { (df, _) =>
+      df.as[(String, Seq[(Long, Long, Long, Long, Long, Long, Long)])]
+        .collect().foreach { case (fp, vs) => latest(fp) = vs }
+    }
+    val got = latest.values.flatten.toSet
+    val want = Registry.byId("i45_delete_cascade").build(spark, dir)
+      .filter(col("deleted") === 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"fixture verdicts diverge: got ${got.size} want ${want.size}")
   }
 
   test("streaming ANN ingest screen == batch i46 (stateless cid-bounded corpus probe)") {
