@@ -692,6 +692,19 @@ object PipelineOps {
     * self-matches (vec_id = qid) drop before the sum.
     */
   private[graft] def annPqBatch(emb: DataFrame, nQueries: Int,
+      topK: Int): DataFrame =
+    annPqBatchFor(emb,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")), topK)
+
+  /** Core of [[annPqBatch]] over an EXPLICIT query frame — the
+    * production entry point (queries arrive from outside the index;
+    * the registry form carves its batch out of the corpus by id). The
+    * streaming twin (StreamingSpec) feeds each micro-batch of arrived
+    * queries here, so the LUT is built from exactly the queries in
+    * flight while the index tables stay static.
+    */
+  private[graft] def annPqBatchFor(emb: DataFrame, queries: DataFrame,
       topK: Int): DataFrame = {
     val sub = pqBlocks(emb, nBlocks = 4, blockDim = 16).localCheckpoint(true)
     // Codebook and code table materialize once — they ARE the persisted
@@ -702,7 +715,7 @@ object PipelineOps {
       .localCheckpoint(true)
     val codes = pqAssign(sub, cent).select(col("vec_id"), col("b"), col("cid"))
       .localCheckpoint(true)
-    val qsub = sub.filter(col("vec_id") < nQueries)
+    val qsub = pqBlocks(queries, nBlocks = 4, blockDim = 16)
       .select(col("vec_id").as("qid"), col("b"), col("sub").as("qv"))
     val lut = cent.join(broadcast(qsub), Seq("b"))
       .select(col("qid"), col("b"), col("cid"),

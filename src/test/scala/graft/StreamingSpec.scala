@@ -692,6 +692,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want, s"fixture verdicts diverge: got ${got.size} want ${want.size}")
   }
 
+  test("streaming ANN query batch == batch i44 (query stream against the static PQ index)") {
+    // The i44 lift with queries ARRIVING as a stream — the production
+    // search path: the PQ index (codes + codebooks) sits static, each
+    // micro-batch of queries builds its own broadcast LUT slice in
+    // foreachBatch, and per-query top-10s are query-local (no
+    // cross-query state), so a shuffled query feed reproduces the
+    // batch ranking exactly. Completes the ANN family's streaming
+    // story: ingest (i43), screen (i46), search (here).
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val feed = new scala.util.Random(47).shuffle(queries)
+    val rows = TrieMap.empty[Long, Seq[org.apache.spark.sql.Row]]
+    Replay.runForeach(spark, feed, 4, OutputMode.Append())(
+      ds => ds.toDF("vec_id", "embedding")) { (df, id) =>
+      rows(id) = PipelineOps.annPqBatchFor(emb, df, topK = 10).collect().toSeq
+    }
+    val want = Registry.byId("i44_ann_pq_batch").build(spark, dir)
+    val got = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.values.flatten.toSeq),
+      want.schema)
+    assertSameRows(got, want)
+  }
+
   test("streaming ANN ingest screen == batch i46 (stateless cid-bounded corpus probe)") {
     // The i46 screen run at ingest: arrivals stream in, the corpus's
     // per-cluster vector table sits static, and each micro-batch
