@@ -250,6 +250,52 @@ object LlmOps {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** The i47 incremental materialized-view maintenance logic: a per-
+    * (source, lang) profile MV (counts, char sums, min/max, derived
+    * mean) kept current by merging the DELTA batch's partial aggregates
+    * into the existing MV — never rescanning the corpus. Every kept
+    * statistic is chosen mergeable: counts and sums add, min/max fold,
+    * and the MEAN is never stored (the avg-of-avgs trap) but derived
+    * from the merged sum/count at read time, micro-quantized to an
+    * exact integer (×10⁴ floor-div — identical cross-engine, no float
+    * division). A non-mergeable statistic (distinct counts, medians)
+    * needs a sketch instead — that's c9/c10's HLL/KLL contract.
+    * At 100 TB the maintenance cost is |delta| + |MV|: the corpus term
+    * exists only here in-query (registry isolation, the i36/i41 story —
+    * a real pipeline reads the persisted MV and writes it back merged);
+    * the streaming twin in StreamingSpec maintains the same MV with
+    * foreachBatch merge-upserts and is pinned ≡ this batch form.
+    * Output: one row per (source, lang), unordered.
+    */
+  def mvMaintain(docs: DataFrame, boundary: Long): DataFrame = {
+    def partials(d: DataFrame): DataFrame =
+      d.groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    val baseMv = partials(docs.filter(col("doc_id") < boundary))
+    val deltaMv = partials(docs.filter(col("doc_id") >= boundary))
+    mergeMv(baseMv, deltaMv)
+  }
+
+  /** Merge-of-partials for the i47 MV: union + re-aggregate with each
+    * statistic's own merge function. Factored so the streaming twin
+    * folds arriving micro-batch partials with the identical merge.
+    */
+  def mergeMv(mv: DataFrame, deltaPartials: DataFrame): DataFrame =
+    mv.unionAll(deltaPartials)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"))
+      .select(col("source"), col("lang"), col("n_docs"), col("sum_chars"),
+        col("min_chars"), col("max_chars"),
+        expr("sum_chars * 10000 DIV n_docs").as("avg_chars_x1e4"))
+
   /** The i30 fuzzy-join logic over any (doc_id, source, text) frame:
     * docs at or past `boundary` are the probe side, docs below it the
     * base side; each probe links to its best (max rounded-Jaccard,
@@ -812,6 +858,27 @@ object LlmOps {
                  | SELECT doc_id, fp FROM canon
                  | WHERE fp NOT IN (SELECT fp FROM fps WHERE doc_id < 400)
                  | ORDER BY doc_id"""))),
+
+    // Incremental MATERIALIZED-VIEW maintenance — the aggregate sibling
+    // of i25's incremental dedup: the per-(source, lang) corpus profile
+    // MV stays current by folding the delta batch's (doc_id ≥ 400)
+    // partial aggregates into the existing MV with each statistic's own
+    // merge function — adds for counts/sums, folds for min/max, the mean
+    // DERIVED from merged sum/count (never averaged averages) as an
+    // exact ×10⁴ integer. The oracle is the full recompute over the
+    // whole corpus: merge-of-partials ≡ recompute IS the correctness
+    // claim (the algebraic-aggregate law), pinned by the driver at every
+    // SF. Scale: maintenance touches |delta| rows + |MV| rows only —
+    // the fixture's corpus term is registry isolation (i36/i41's story);
+    // the production loop reads the persisted MV, merges, writes back.
+    // Streaming twin: foreachBatch merge-upserts in StreamingSpec.
+    Q("i47_mv_maintain",
+      (s, dir) => mvMaintain(t(s, dir, "documents"), 400).orderBy("source", "lang"),
+      Some(sql("""SELECT source, lang, count(*) AS n_docs,
+                 |   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 |   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                 |   CAST((CAST(sum(n_chars) AS BIGINT) * 10000) // count(*) AS BIGINT) AS avg_chars_x1e4
+                 | FROM documents GROUP BY source, lang ORDER BY source, lang"""))),
 
     // Fuzzy JOIN — the directional sibling of near-dedup: link every
     // incoming doc (doc_id ≥ 400, the i25 batch convention) to its BEST

@@ -326,7 +326,58 @@ object RelationalOps {
                  | count(*) FILTER (o_orderstatus = 'F') AS n_f,
                  | count(*) FILTER (o_orderstatus = 'O') AS n_o,
                  | count(*) FILTER (o_orderstatus = 'P') AS n_p
-                 | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
+                 | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // Sketch-backed distinct count next to its exact twin. At 100 TB the
+    // exact count(DISTINCT) is the expensive form (a second shuffle keyed
+    // on (group, value)); the HLL++ sketch is one mergeable fixed-size
+    // state per group — the monitoring-grade answer. Approx estimates
+    // can't hash-match a different engine's sketch, so the oracled
+    // contract is the exact count PLUS the engine-side assertion that the
+    // sketch landed within 3× its configured rsd (est_ok, deterministic:
+    // HLL++ has no randomness — same data, same estimate). The oracle
+    // pins exact_distinct by value and est_ok ≡ 1; a sketch drifting out
+    // of bound fails the hash, so the accuracy claim is driver-verified.
+    Q("c9_sketch_distinct",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("exact_distinct"),
+            approx_count_distinct(col("o_custkey"), 0.05).as("est"))
+          .select(col("o_orderpriority"), col("exact_distinct"),
+            (abs(col("est") - col("exact_distinct")) <=
+              greatest(lit(1.0), col("exact_distinct") * 0.15)).cast("long").as("est_ok"))
+          .orderBy("o_orderpriority"),
+      Some(sql("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct,
+                 | CAST(1 AS BIGINT) AS est_ok
+                 | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
+
+    // Sketch-backed median next to its exact twin — same contract as c9
+    // for quantiles: exact percentile (one sort-based agg) is the
+    // expensive form at scale, percentile_approx is a fixed-size
+    // mergeable KLL-style sketch with a RANK-error guarantee
+    // (≤ n/accuracy). The engine asserts the guarantee with ~45× slack —
+    // the estimate must land inside the exact [p45, p55] value window
+    // (±5% rank ≫ n/10000 rank error at every SF) — and the oracle pins
+    // the exact median by value and est_ok ≡ 1. Deterministic: the
+    // sketch is randomness-free, so est_ok never flakes.
+    Q("c10_sketch_quantile",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(percentile(col("l_extendedprice"), lit(0.5)), 3).as("p50_exact"),
+            percentile(col("l_extendedprice"), lit(0.45)).as("lo"),
+            percentile(col("l_extendedprice"), lit(0.55)).as("hi"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("est"),
+            count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"), col("p50_exact"), col("n_rows"),
+            (col("est") >= col("lo") && col("est") <= col("hi")).cast("long").as("est_ok"))
+          .orderBy("l_returnflag"),
+      Some(sql("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
+                 | count(*) AS n_rows, CAST(1 AS BIGINT) AS est_ok
+                 | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
   )
 
   // -------------------------------------------------------------- windows
@@ -433,7 +484,59 @@ object RelationalOps {
                  |   SELECT c_mktsegment, c_custkey, c_acctbal,
                  |     row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
                  |   FROM customer)
-                 | WHERE rn <= 3 ORDER BY c_mktsegment, rn""")))
+                 | WHERE rn <= 3 ORDER BY c_mktsegment, rn"""))),
+
+    // Batch sessionization — the gaps-and-islands form of h3's streaming
+    // session_window, emitting the full per-session record (ordinal id,
+    // start/end, duration, count, exact money sum) instead of h3's
+    // start+count projection. Same break rule as Spark's session merge
+    // (strict: a gap ≥ 10 min starts a new session), compared in exact
+    // integer microseconds on both engines. One shuffle on user_id serves
+    // the lag window, the running-sum window, AND the per-session
+    // aggregate (same key — Catalyst reuses the partitioning; windows are
+    // bounded per user). PropertySpec pins the (user, start, count)
+    // projection ≡ h3's session_window output — the batch/stream law.
+    Q("d7_sessionize",
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+          .withColumn("is_brk",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 600000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid",
+            sum(col("is_brk")).over(
+              wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(
+            min(col("ts")).as("start0"),
+            max(col("ts")).as("end0"),
+            count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .select(col("user_id"), col("sid"),
+            col("start0").cast("timestamp_ntz").as("session_start"),
+            col("end0").cast("timestamp_ntz").as("session_end"),
+            (unix_micros(col("end0")) - unix_micros(col("start0"))).as("duration_us"),
+            col("n_events"), col("sum_cents"))
+          .orderBy("user_id", "sid")
+      },
+      Some(sql("""WITH brk AS (
+                 |   SELECT user_id, ts, event_id, value,
+                 |     CASE WHEN lag(ts) OVER w IS NULL
+                 |            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000 THEN 1 ELSE 0 END AS is_brk
+                 |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                 | ), sess AS (
+                 |   SELECT user_id, ts, value,
+                 |     sum(is_brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                 |   FROM brk)
+                 | SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS session_start, max(ts) AS session_end,
+                 |   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                 |   count(*) AS n_events,
+                 |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+                 | FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""")))
   )
 
   // --------------------------------------------------- sort / set / scalar
@@ -461,6 +564,49 @@ object RelationalOps {
           .limit(10),
       Some(sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                  | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))),
+
+    // Z-order clustering — the multi-dimensional data-LAYOUT operator: a
+    // 100 TB table queried by BOTH partkey and suppkey ranges can't sort
+    // by either alone, so the write path sorts by the interleaved-bit
+    // Morton key and readers skip whole files/row-groups via min-max zone
+    // maps that stay tight in BOTH dimensions. The key is pure bit
+    // arithmetic (16 unrolled shift/mask terms per dimension — one
+    // codegen'd projection, no UDF); the emitted table is the ZONE MAP
+    // itself: per 4096-key Z-range, row count + min/max of both
+    // dimensions — bucket membership is `zkey >> 12`, arithmetic on the
+    // row, so building it is ONE hash aggregate (no global sort needed
+    // for the stats; the layout write would `repartitionByRange(zkey)`).
+    // PropertySpec quantifies the skipping payoff: under Z-order, a
+    // partkey range predicate prunes the large majority of zones in
+    // BOTH dimensions' zone maps, which no single-column sort achieves.
+    Q("e3_zorder_cluster",
+      (s, dir) => {
+        val px = col("l_partkey").bitwiseAND(lit(65535L))
+        val sx = col("l_suppkey").bitwiseAND(lit(65535L))
+        val zkey = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+          acc
+            .bitwiseOR(shiftleft(px.bitwiseAND(lit(1L << i)), i + 1))
+            .bitwiseOR(shiftleft(sx.bitwiseAND(lit(1L << i)), i))
+        }
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+          .withColumn("zone_id", shiftright(zkey, 12))
+          .groupBy(col("zone_id"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+            min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+          .orderBy("zone_id")
+      },
+      Some {
+        val terms = (0 until 16).flatMap(i => Seq(
+          s"(((l_partkey & 65535) & ${1L << i}) << ${i + 1})",
+          s"(((l_suppkey & 65535) & ${1L << i}) << $i)")).mkString(" | ")
+        sql(s"""SELECT (($terms) >> 12) AS zone_id, count(*) AS n_rows,
+               | min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+               | min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+               | FROM lineitem GROUP BY zone_id ORDER BY zone_id""")
+      }),
 
     Q("f1_union_all",
       (s, dir) =>
@@ -703,7 +849,69 @@ object RelationalOps {
                  |                   WHERE l.l_orderkey = o.o_orderkey
                  |                     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY)
                  | GROUP BY o_orderpriority
-                 | ORDER BY o_orderpriority""")))
+                 | ORDER BY o_orderpriority"""))),
+
+    // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
+    // an initial snapshot (every customer starts at attr 'NONE') merged
+    // with a change stream (each order stamps its priority as the
+    // customer's new state at o_orderdate) into versioned validity
+    // intervals [valid_from, valid_to) with an is_current flag. Two
+    // window passes over ONE shuffle on the dimension key (the no-op
+    // suppression filter preserves partitioning AND sort order, so
+    // Catalyst plans lag → filter → row_number/lead with a single
+    // Exchange — PlanSpec pins it): pass 1 drops changes that don't
+    // change the attribute (consecutive same-priority orders — the
+    // suppression fires on ~half the fixture's change rows, never
+    // vacuous); pass 2 numbers versions and chains valid_to =
+    // next.valid_from. Ordering is total: (change ts, orderkey) with the
+    // snapshot pinned first via seq −1. PropertySpec pins the interval
+    // laws: per key exactly one is_current, intervals chain gaplessly,
+    // and no two consecutive versions share an attribute value.
+    Q("b15_scd2_merge",
+      (s, dir) => {
+        val snap = t(s, dir, "customer").select(
+          col("c_custkey").as("k"),
+          to_timestamp(lit("1990-01-01 00:00:00")).as("chg_ts"),
+          lit(-1L).as("chg_seq"),
+          lit("NONE").as("attr"))
+        val changes = t(s, dir, "orders").select(
+          col("o_custkey").as("k"),
+          col("o_orderdate").as("chg_ts"),
+          col("o_orderkey").as("chg_seq"),
+          col("o_orderpriority").as("attr"))
+        val ord = Window.partitionBy(col("k"))
+          .orderBy(col("chg_ts").asc, col("chg_seq").asc)
+        snap.unionAll(changes)
+          .withColumn("prev_attr", lag(col("attr"), 1).over(ord))
+          .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+          .withColumn("ver", row_number().over(ord).cast("long"))
+          .withColumn("valid_to0", lead(col("chg_ts"), 1).over(ord))
+          .select(col("k").as("c_custkey"), col("ver"),
+            col("chg_ts").cast("timestamp_ntz").as("valid_from"),
+            col("valid_to0").cast("timestamp_ntz").as("valid_to"),
+            col("attr"),
+            col("valid_to0").isNull.cast("long").as("is_current"))
+          .orderBy("c_custkey", "ver")
+      },
+      Some(sql("""WITH uni AS (
+                 |   SELECT c_custkey AS k, TIMESTAMP '1990-01-01 00:00:00' AS chg_ts,
+                 |          CAST(-1 AS BIGINT) AS chg_seq, 'NONE' AS attr FROM customer
+                 |   UNION ALL
+                 |   SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority FROM orders
+                 | ), flt AS (
+                 |   SELECT k, chg_ts, chg_seq, attr FROM (
+                 |     SELECT k, chg_ts, chg_seq, attr,
+                 |       lag(attr) OVER (PARTITION BY k ORDER BY chg_ts, chg_seq) AS prev_attr
+                 |     FROM uni)
+                 |   WHERE prev_attr IS NULL OR attr <> prev_attr)
+                 | SELECT k AS c_custkey,
+                 |   CAST(row_number() OVER w AS BIGINT) AS ver,
+                 |   chg_ts AS valid_from,
+                 |   lead(chg_ts) OVER w AS valid_to,
+                 |   attr,
+                 |   CAST(CASE WHEN lead(chg_ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+                 | FROM flt WINDOW w AS (PARTITION BY k ORDER BY chg_ts, chg_seq)
+                 | ORDER BY c_custkey, ver""")))
   )
 
   private val scalars: Seq[Q] = Seq(
