@@ -268,17 +268,21 @@ object LlmOps {
     * Output: one row per (source, lang), unordered.
     */
   def mvMaintain(docs: DataFrame, boundary: Long): DataFrame = {
-    def partials(d: DataFrame): DataFrame =
-      d.groupBy(col("source"), col("lang"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          min(col("n_chars")).as("min_chars"),
-          max(col("n_chars")).as("max_chars"))
-    val baseMv = partials(docs.filter(col("doc_id") < boundary))
-    val deltaMv = partials(docs.filter(col("doc_id") >= boundary))
+    val baseMv = mvPartials(docs.filter(col("doc_id") < boundary))
+    val deltaMv = mvPartials(docs.filter(col("doc_id") >= boundary))
     mergeMv(baseMv, deltaMv)
   }
+
+  /** Partial-aggregate shape of the i47 MV over any (source, lang,
+    * n_chars) frame — the unit the streaming twin folds per micro-batch.
+    */
+  def mvPartials(d: DataFrame): DataFrame =
+    d.groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
 
   /** Merge-of-partials for the i47 MV: union + re-aggregate with each
     * statistic's own merge function. Factored so the streaming twin

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-operator algebraic laws for the round-10 frontier operators —
+  * the invariants a DuckDB value-compare can't express: batch/stream
+  * agreement (d7≡h3), SCD2 interval algebra (b15), Z-order's
+  * two-dimensional skipping payoff vs a single-column sort (e3), and
+  * lossless HLL sketch mergeability (the c9 scale contract).
+  */
+class LawSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d7 batch sessionization projects onto h3's streaming session_window output") {
+    // The batch gaps-and-islands form and Spark's session_window must
+    // describe the SAME sessions: identical break rule (strict ≥ 10 min),
+    // so (user, start, count) agree row-for-row. d7's extra columns
+    // (ordinal id, end, duration, money sum) are the batch enrichment.
+    val d7 = Registry.byId("d7_sessionize").build(spark, dir)
+      .select(col("user_id"), col("session_start"), col("n_events").as("cnt"))
+    val h3 = Registry.byId("h3_stream_session").build(spark, dir)
+    assertSameRows(d7, h3)
+    assert(h3.count() > 0)
+  }
+
+  test("b15 SCD2 output satisfies the interval algebra") {
+    val scd = Registry.byId("b15_scd2_merge").build(spark, dir).cache()
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("ver"))
+    // exactly one open (is_current) version per key
+    assert(scd.groupBy("c_custkey").agg(sum("is_current").as("n"))
+      .filter(col("n") =!= 1).isEmpty, "exactly one current version per key")
+    // versions chain gaplessly: valid_to == next version's valid_from,
+    // and only the last version is open
+    assert(scd.withColumn("nxt", lead(col("valid_from"), 1).over(w))
+      .filter(!((col("valid_to").isNull && col("nxt").isNull) ||
+        (col("valid_to") === col("nxt")))).isEmpty,
+      "valid_to must chain to the next version's valid_from")
+    // no-op suppression held: consecutive versions never repeat a value
+    assert(scd.withColumn("prv", lag(col("attr"), 1).over(w))
+      .filter(col("attr") === col("prv")).isEmpty,
+      "consecutive versions must differ in attr")
+    // and it actually fired: fewer versions than snapshot+changes rows,
+    // while multi-version keys exist (non-vacuous both ways)
+    val raw = Tables.load(spark, dir, "customer").count() +
+      Tables.load(spark, dir, "orders").count()
+    assert(scd.count() < raw, "suppression must drop some change rows")
+    assert(scd.filter(col("ver") > 1).count() > 0, "multi-version keys must exist")
+    scd.unpersist()
+  }
+
+  test("e3 Z-order zone maps prune in BOTH dimensions; a single-column sort cannot") {
+    // sf0.01: partkey spans ~1..2000, suppkey ~1..100, zones fix the
+    // high bits of BOTH. The data-skipping measure: fraction of zones
+    // whose [min,max] overlaps a range predicate — what a reader would
+    // have to scan.
+    val d01 = "/root/testdata/sf0.01"
+    val zones = Registry.byId("e3_zorder_cluster").build(spark, d01).cache()
+    val nZones = zones.count().toDouble
+    val pTouch = zones.filter(col("p_max") >= 1000 && col("p_min") <= 1063)
+      .count() / nZones
+    val sTouch = zones.filter(col("s_max") >= 1 && col("s_min") <= 40)
+      .count() / nZones
+    assert(pTouch < 0.15, s"partkey range must prune most zones, touched $pTouch")
+    assert(sTouch < 0.75, s"suppkey range must prune some zones, touched $sTouch")
+    // The counterfactual: zone the same rows by a partkey-ONLY sort
+    // (bucket = partkey >> 5 — same zone count scale). partkey pruning
+    // is perfect, but every zone spans ~the whole suppkey domain: the
+    // second dimension cannot prune at all. That asymmetry is the whole
+    // reason Z-order exists.
+    val sorted = Tables.load(spark, d01, "lineitem")
+      .groupBy(shiftright(col("l_partkey"), 5).as("zone_id"))
+      .agg(min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+      .cache()
+    val sortedTouch = sorted.filter(col("s_max") >= 1 && col("s_min") <= 40)
+      .count().toDouble / sorted.count()
+    assert(sortedTouch > 0.95,
+      s"single-column sort must NOT prune the second dim, touched $sortedTouch")
+    assert(sTouch < sortedTouch, "Z-order must beat the single-column sort on dim 2")
+    zones.unpersist(); sorted.unpersist()
+  }
+
+  test("c9's scale contract: HLL sketch merge is lossless (merged halves == whole)") {
+    // The reason c9's sketch is the 100 TB answer: per-partition sketches
+    // union into the global sketch with NO accuracy loss — the register
+    // state of sketch(A ∪ B) is the register-wise max, exactly what
+    // hll_union computes. So the estimate from merged half-sketches must
+    // EQUAL the whole-table estimate bit-for-bit, not approximately.
+    val orders = Tables.load(spark, dir, "orders")
+    val whole = orders
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .collect()(0).getLong(0)
+    val merged = orders
+      .groupBy(pmod(col("o_orderkey"), lit(2)).as("half"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    assert(merged == whole, s"lossless merge: merged=$merged whole=$whole")
+    assert(whole > 0)
+  }
+}

@@ -532,6 +532,50 @@ class PlanSpec extends SparkTestBase {
       s"no cartesian product in the tf-idf plan:\n$p")
   }
 
+  test("d7: sessionization runs on ONE shuffle — windows and session agg share the user_id partitioning") {
+    // lag window, running-sum window, and the per-(user, sid) aggregate
+    // all key on user_id (HashPartitioning(user_id) satisfies the
+    // (user_id, sid) clustering), so the whole operator is one Exchange
+    // + one sorted pass + one aggregate. A second hash Exchange would
+    // mean the session agg re-shuffled — the scale bug to pin out.
+    val p = plan(Registry.byId("d7_sessionize").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected ONE hash Exchange, got $hashShuffles:\n$p")
+  }
+
+  test("b15: SCD2 merge runs on ONE shuffle — suppression filter preserves sort and partitioning") {
+    val p = plan(Registry.byId("b15_scd2_merge").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected ONE hash Exchange, got $hashShuffles:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the merge plan:\n$p")
+  }
+
+  test("e3: zone-map build is one hash aggregate — no global sort, no window") {
+    // The Morton key and zone id are row-local arithmetic; building the
+    // zone map needs ONE partial+final aggregate on zone_id. A plan that
+    // globally sorted by zkey (the layout-write path) or windowed would
+    // not scale as a stats pass.
+    val p = plan(Registry.byId("e3_zorder_cluster").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected ONE hash Exchange, got $hashShuffles:\n$p")
+    assert(!p.contains("Window"), s"no window in the zone-map plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"zone stats must run partial+final:\n$p")
+  }
+
+  test("i47: MV maintenance shuffles only on the MV key (partials + merge, no cartesian)") {
+    // Two partial aggregates (base | delta) + the merge re-aggregate,
+    // every Exchange keyed on (source, lang) — the |delta|+|MV| cost
+    // story. More Exchanges would mean the merge re-keyed or the corpus
+    // shuffled twice.
+    val p = plan(Registry.byId("i47_mv_maintain").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles <= 3, s"expected ≤3 hash Exchanges, got $hashShuffles:\n$p")
+    assert("hashpartitioning\\(source".r.findAllIn(p).size == hashShuffles,
+      s"every Exchange must key on the MV key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the MV plan:\n$p")
+  }
+
   test("g6: props JSON parses once per row (one from_json, no re-extract)") {
     val df = Registry.byId("g6_json_funcs").build(spark, dir)
     val o = df.queryExecution.optimizedPlan.toString

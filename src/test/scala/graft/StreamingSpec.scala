@@ -848,6 +848,35 @@ class StreamingSpec extends SparkTestBase {
     assert(exSpan.getMessage.contains("state bytes"))
   }
 
+  test("streaming MV maintenance == batch i47 (foreachBatch merge-upserts, shuffled feed)") {
+    // The i47 MV maintained INCREMENTALLY: delta docs stream in shuffled,
+    // each micro-batch folds its partial aggregates into the running MV
+    // with the SAME mergeMv the batch operator uses (foreachBatch — the
+    // production read-merge-write loop against the persisted MV table).
+    // Every kept statistic is mergeable (adds/folds), so merge order and
+    // batch boundaries cannot matter — the final MV must equal the batch
+    // operator's one-shot merge exactly, including the derived ×10⁴ mean.
+    val docs = Tables.load(spark, dir, "documents")
+    val boundary = 400L
+    var mv = LlmOps.mvPartials(docs.filter(col("doc_id") < boundary))
+      .localCheckpoint(true)
+    val delta = docs.filter(col("doc_id") >= boundary)
+      .select("doc_id", "source", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val feed = new scala.util.Random(47).shuffle(delta)
+    Replay.runForeach(spark, feed, 5, OutputMode.Append())(
+      ds => ds.toDF("doc_id", "source", "lang", "n_chars")) { (df, _) =>
+      mv = LlmOps.mergeMv(mv, LlmOps.mvPartials(df))
+        .drop("avg_chars_x1e4").localCheckpoint(true)
+    }
+    val emptyPartials = LlmOps.mvPartials(
+      docs.filter(lit(false)).select("source", "lang", "n_chars"))
+    val got = LlmOps.mergeMv(mv, emptyPartials)
+    val want = Registry.byId("i47_mv_maintain").build(spark, dir)
+    assertSameRows(got, want)
+    assert(want.count() > 0, "MV must be non-vacuous at sf0.001")
+  }
+
   test("graceful shutdown: stop() drains without error") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
