@@ -846,6 +846,12 @@ class StreamingSpec extends SparkTestBase {
         st[GramState])
     }
     assert(exSpan.getMessage.contains("state bytes"))
+    val exScd = intercept[IllegalArgumentException] {
+      Scd2Stream.fold(maxStateBytes = 35L)(1L, // 2 × (16 + 2·1) = 36
+        Iterator(ChangeArrival(1L, 1L, 1L, "A"), ChangeArrival(1L, 2L, 2L, "B")),
+        st[Scd2State])
+    }
+    assert(exScd.getMessage.contains("state bytes"))
   }
 
   test("streaming MV maintenance == batch i47 (foreachBatch merge-upserts, shuffled feed)") {
@@ -875,6 +881,71 @@ class StreamingSpec extends SparkTestBase {
     val want = Registry.byId("i47_mv_maintain").build(spark, dir)
     assertSameRows(got, want)
     assert(want.count() > 0, "MV must be non-vacuous at sf0.001")
+  }
+
+  test("streaming SCD2 merge: a LATE change re-derives its neighbors (crafted geometry)") {
+    // The property that forces full-history state: versions derive from
+    // (ts, seq) order, never arrival order. Batch 1 establishes
+    // A(t1)→B(t3); a LATE arrival B'(t2) then lands BETWEEN them — the
+    // t3 change becomes a no-op against its new predecessor, so the
+    // B-value version's valid_from must move EARLIER to t2 while the
+    // version count stays 2. An append-only fold would emit 3 versions
+    // with t3 intact — exactly the wrong answer this test pins out.
+    import graft.streaming.{ChangeArrival, Scd2Stream}
+    val (t1, t2, t3) = (1000000L, 2000000L, 3000000L)
+    val hist = TrieMap.empty[Long, Seq[(Long, Long, Long, String, Long)]]
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Long, String, Long)]]
+    val feed = Seq(
+      ChangeArrival(1L, t1, 10L, "A"), ChangeArrival(1L, t3, 30L, "B"),
+      ChangeArrival(1L, t2, 20L, "B"))
+    Replay.runForeach(spark, feed, 2, OutputMode.Update())(
+      ds => Scd2Stream(ds).toDF()) { (df, _) =>
+      df.as[(Long, Seq[(Long, Long, Long, String, Long)])]
+        .collect().foreach { case (k, vs) => hist(k) = vs; snapshots += vs }
+    }
+    assert(snapshots.exists(_ ==
+      Seq((1L, t1, t3, "A", 0L), (2L, t3, -1L, "B", 1L))),
+      s"pre-late-arrival chain must be A(t1..t3), B(t3..): $snapshots")
+    assert(hist(1L) == Seq((1L, t1, t2, "A", 0L), (2L, t2, -1L, "B", 1L)),
+      s"late B'(t2) must pull the B version back to t2: ${hist(1L)}")
+  }
+
+  test("streaming SCD2 merge == batch b15 on the parquet fixture (shuffled CDC feed)") {
+    // b15 run as CDC: the snapshot and every order change replayed as a
+    // SHUFFLED stream (arrival order deliberately scrambled across
+    // batches), keyed state re-deriving each customer's version chain
+    // on update. The final snapshot must equal the batch merge exactly
+    // — same suppression, same intervals, same open versions.
+    import graft.streaming.{ChangeArrival, Scd2Stream}
+    val epochUs = 631152000000000L // 1990-01-01 00:00:00 UTC
+    val snap = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), lit(epochUs).as("us"), lit(-1L).as("seq"),
+        lit("NONE").as("attr"))
+    val changes = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderkey").as("seq"), col("o_orderpriority").as("attr"))
+    val feed0 = snap.unionAll(changes)
+      .as[(Long, Long, Long, String)].collect().toSeq
+      .map(c => ChangeArrival(c._1, c._2, c._3, c._4))
+    val feed = new scala.util.Random(15).shuffle(feed0)
+    val latest = TrieMap.empty[Long, Seq[(Long, Long, Long, String, Long)]]
+    Replay.runForeach(spark, feed, 5, OutputMode.Update())(
+      ds => Scd2Stream(ds).toDF()) { (df, _) =>
+      df.as[(Long, Seq[(Long, Long, Long, String, Long)])]
+        .collect().foreach { case (k, vs) => latest(k) = vs }
+    }
+    val got = latest.toSeq
+      .flatMap { case (k, vs) => vs.map(v => (k, v._1, v._2, v._3, v._4, v._5)) }
+      .toDF("c_custkey", "ver", "from_us", "to_us", "attr", "is_current")
+      .select(col("c_custkey"), col("ver"),
+        timestamp_micros(col("from_us")).cast("timestamp_ntz").as("valid_from"),
+        when(col("to_us") === -1L, lit(null))
+          .otherwise(timestamp_micros(col("to_us"))).cast("timestamp_ntz").as("valid_to"),
+        col("attr"), col("is_current"))
+    val want = Registry.byId("b15_scd2_merge").build(spark, dir)
+    assertSameRows(got, want)
+    assert(want.count() > 0)
   }
 
   test("graceful shutdown: stop() drains without error") {
