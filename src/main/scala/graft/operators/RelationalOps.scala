@@ -911,7 +911,64 @@ object RelationalOps {
                  |   attr,
                  |   CAST(CASE WHEN lead(chg_ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
                  | FROM flt WINDOW w AS (PARTITION BY k ORDER BY chg_ts, chg_seq)
-                 | ORDER BY c_custkey, ver""")))
+                 | ORDER BY c_custkey, ver"""))),
+
+    // CDC upsert compaction — b15's CURRENT-STATE sibling, the MERGE
+    // INTO read path: the same snapshot + change stream plus DELETE
+    // tombstones (a content-addressed ~5% of keys, the i16 rule — never
+    // a driver-side list) compact to one last-writer-wins row per
+    // surviving key. One shuffle on the key, one descending row_number,
+    // one filter — how a CDC log materializes to a serving table at any
+    // scale (the log is append-only; this op IS the compaction job).
+    // Tombstones stamp max-ts+1 so a delete always wins its key;
+    // row_number (not max-struct) keeps the (ts, seq) total order
+    // identical to b15's. LawSpec pins the sibling law: on the same
+    // change set minus deletes, b16 ≡ b15's is_current slice.
+    Q("b16_cdc_upsert",
+      (s, dir) => {
+        val snap = t(s, dir, "customer").select(
+          col("c_custkey").as("k"),
+          to_timestamp(lit("1990-01-01 00:00:00")).as("chg_ts"),
+          lit(-1L).as("chg_seq"),
+          lit("NONE").as("attr"))
+        val changes = t(s, dir, "orders").select(
+          col("o_custkey").as("k"),
+          col("o_orderdate").as("chg_ts"),
+          col("o_orderkey").as("chg_seq"),
+          col("o_orderpriority").as("attr"))
+        val tombstones = t(s, dir, "customer")
+          .filter(conv(substring(md5(concat(lit("del:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100 < 5)
+          .select(col("c_custkey").as("k"),
+            to_timestamp(lit("2030-01-01 00:00:00")).as("chg_ts"),
+            lit(-2L).as("chg_seq"),
+            lit("DELETE").as("attr"))
+        val ord = Window.partitionBy(col("k"))
+          .orderBy(col("chg_ts").desc, col("chg_seq").desc)
+        snap.unionAll(changes).unionAll(tombstones)
+          .withColumn("rn", row_number().over(ord))
+          .filter(col("rn") === 1 && col("attr") =!= "DELETE")
+          .select(col("k").as("c_custkey"),
+            col("chg_ts").cast("timestamp_ntz").as("updated_at"),
+            col("attr"))
+          .orderBy("c_custkey")
+      },
+      Some(sql("""WITH uni AS (
+                 |   SELECT c_custkey AS k, TIMESTAMP '1990-01-01 00:00:00' AS chg_ts,
+                 |          CAST(-1 AS BIGINT) AS chg_seq, 'NONE' AS attr FROM customer
+                 |   UNION ALL
+                 |   SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority FROM orders
+                 |   UNION ALL
+                 |   SELECT c_custkey, TIMESTAMP '2030-01-01 00:00:00', CAST(-2 AS BIGINT), 'DELETE'
+                 |   FROM customer
+                 |   WHERE ('0x' || substr(md5('del:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 5)
+                 | SELECT k AS c_custkey, chg_ts AS updated_at, attr FROM (
+                 |   SELECT k, chg_ts, attr,
+                 |     row_number() OVER (PARTITION BY k ORDER BY chg_ts DESC, chg_seq DESC) AS rn
+                 |   FROM uni)
+                 | WHERE rn = 1 AND attr <> 'DELETE'
+                 | ORDER BY c_custkey""")))
   )
 
   private val scalars: Seq[Q] = Seq(

@@ -81,6 +81,31 @@ class LawSpec extends SparkTestBase {
     zones.unpersist(); sorted.unpersist()
   }
 
+  test("b16 compaction agrees with b15's current slice, minus the tombstoned keys") {
+    // The sibling law: history (b15) and current-state (b16) views of
+    // the SAME change log must agree on every surviving key's final
+    // attribute; b16 additionally drops exactly the content-addressed
+    // tombstone keys. (updated_at differs by design: b15's current
+    // valid_from is the start of the final attr RUN — suppression —
+    // while b16 stamps the last write; the attr value is what must
+    // match.)
+    val delRule = conv(substring(md5(concat(lit("del:"),
+      col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long") % 100 < 5
+    val b16 = Registry.byId("b16_cdc_upsert").build(spark, dir)
+      .select(col("c_custkey"), col("attr")).cache()
+    val want = Registry.byId("b15_scd2_merge").build(spark, dir)
+      .filter(col("is_current") === 1)
+      .filter(!delRule)
+      .select(col("c_custkey"), col("attr"))
+    assertSameRows(b16, want)
+    // tombstones fire: ~5% of keys are gone
+    val all = Tables.load(spark, dir, "customer").count()
+    val kept = b16.count()
+    assert(kept < all && kept > all * 8 / 10,
+      s"tombstones must drop ~5% of $all keys, kept $kept")
+    b16.unpersist()
+  }
+
   test("c9's scale contract: HLL sketch merge is lossless (merged halves == whole)") {
     // The reason c9's sketch is the 100 TB answer: per-partition sketches
     // union into the global sketch with NO accuracy loss — the register

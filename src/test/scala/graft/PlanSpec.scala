@@ -550,6 +550,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian in the merge plan:\n$p")
   }
 
+  test("b16: CDC compaction runs on ONE shuffle — three-way union rides the key partitioning") {
+    val p = plan(Registry.byId("b16_cdc_upsert").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected ONE hash Exchange, got $hashShuffles:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the compaction plan:\n$p")
+  }
+
   test("e3: zone-map build is one hash aggregate — no global sort, no window") {
     // The Morton key and zone id are row-local arithmetic; building the
     // zone map needs ONE partial+final aggregate on zone_id. A plan that
