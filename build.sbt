@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the all-registry Bench/Verify runs (126+ queries,
+  // local[32], sf0.1) thrash GC in an 8g heap once a few dedup
+  // pipelines' shuffle+broadcast residue accumulates; the box has
+  // 128 GiB and a real executor would get 16-32g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

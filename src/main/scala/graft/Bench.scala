@@ -47,7 +47,21 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       if (!ok) { errors += name; name -> -1.0 }
-      else name -> (System.nanoTime() - t0) / 1e9
+      else {
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Query isolation (r10 driver-run diagnosis): eager
+        // localCheckpoint blocks from the dedup/kmeans pipelines stay
+        // pinned in the block manager until the driver GC happens to
+        // collect their DataFrames, so a long all-registry run
+        // accumulates storage pressure and late queries (the trivial
+        // j*) degrade 10-100x under eviction+GC thrash. Each registry
+        // query is an independent job; drop its persisted blocks as
+        // soon as it is drained, exactly as separate job JVMs would.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        name -> dt
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
