@@ -46,22 +46,24 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      if (!ok) { errors += name; name -> -1.0 }
-      else {
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Query isolation (r10 driver-run diagnosis): eager
-        // localCheckpoint blocks from the dedup/kmeans pipelines stay
-        // pinned in the block manager until the driver GC happens to
-        // collect their DataFrames, so a long all-registry run
-        // accumulates storage pressure and late queries (the trivial
-        // j*) degrade 10-100x under eviction+GC thrash. Each registry
-        // query is an independent job; drop its persisted blocks as
-        // soon as it is drained, exactly as separate job JVMs would.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
-        name -> dt
-      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Query isolation (r10 driver-run diagnosis): eager
+      // localCheckpoint blocks from the dedup/kmeans pipelines stay
+      // pinned in the block manager until the driver GC happens to
+      // collect their DataFrames, so a long all-registry run
+      // accumulates storage pressure and late queries (the trivial
+      // j*) degrade 10-100x under eviction+GC thrash. Each registry
+      // query is an independent job; drop its persisted blocks as
+      // soon as it is drained, exactly as separate job JVMs would.
+      // Runs UNCONDITIONALLY — a query that throws mid-pipeline after
+      // eagerly checkpointing would otherwise leak its pinned blocks
+      // into every later measurement — and blocking, so async eviction
+      // cannot overlap the next query's timed region (dt is already
+      // captured; the cleanup costs nothing in measured time).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      if (!ok) { errors += name; name -> -1.0 } else name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

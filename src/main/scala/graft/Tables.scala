@@ -30,16 +30,41 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read as a timestamp (PARQUET_TYPE_ILLEGAL). Read the raw int64
-      // nanos and truncate to microseconds — DuckDB reads the same file
-      // at µs precision, so both engines see identical values.
+      // events.ts is parquet TIMESTAMP(NANOS). How Spark reads it differs
+      // across 4.x builds: some refuse a native read (PARQUET_TYPE_ILLEGAL)
+      // and need the legacy nanosAsLong conf to expose the raw int64;
+      // current 4.1.2 reads it natively as TIMESTAMP_NTZ truncated to µs
+      // (and silently ignores the legacy conf). GenScale-written copies
+      // store plain int64. Normalize ADAPTIVELY on the type actually read
+      // rather than assuming either behavior — both paths land on the same
+      // µs values DuckDB sees, as TimestampType.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize a raw events read to the canonical envelope schema with
+    * `ts: TimestampType` at µs precision, whatever the reader produced:
+    *   - int64 raw nanos (legacy conf applied, or GenScale data) →
+    *     `timestamp_micros(ts div 1000)` (truncation, = DuckDB's read);
+    *   - TIMESTAMP_NTZ (native nanos read, already µs-truncated) → cast to
+    *     TimestampType. The engine pins `spark.sql.session.timeZone=UTC`
+    *     everywhere (Bench/Verify/tests), under which the cast is a value
+    *     identity — the stored wall-clock micros ARE the instant micros
+    *     the int64 path produces;
+    *   - TimestampType → already canonical.
+    */
+  private def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val canon = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+    canon.select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   /** The events envelope as an explicit schema, for non-parquet sources.
     * Explicit on purpose: schema INFERENCE is a scale antipattern — it
@@ -137,20 +162,35 @@ object Tables {
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
 
   /** Events at-or-after `startMicros`, with the predicate applied to the
-    * RAW int64 nanos column so it pushes down into the parquet scan
-    * (row-group/page skipping) — the engine form of the reference's
+    * NATIVE column the reader produced so it pushes down into the parquet
+    * scan (row-group/page skipping) — the engine form of the reference's
     * server-side `AT_TIMESTAMP` start offset (reference `main.go:300-305`).
-    * A filter on the converted timestamp could never reach the scan
-    * because `timestamp_micros(ts div 1000)` is a derived expression.
-    * Exact equivalence: `truncate_µs(ns) >= T  ⇔  ns >= T·1000`.
+    *   - int64 raw-nanos read: filter the raw long; a filter on the
+    *     converted timestamp could never reach the scan because
+    *     `timestamp_micros(ts div 1000)` is a derived expression. Exact
+    *     equivalence: `truncate_µs(ns) >= T  ⇔  ns >= T·1000`.
+    *   - TIMESTAMP_NTZ native read: filter with an NTZ literal at the same
+    *     micros (wall-clock == UTC instant, see normalizeEventsTs) — a bare
+    *     attribute predicate, pushable as-is. The reader already truncated
+    *     ns→µs, so `ts_µs >= T` is the same row set as the raw-ns form.
     */
   def eventsSince(spark: SparkSession, dir: String, startMicros: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .filter(org.apache.spark.sql.functions.col("ts") >= startMicros * 1000L)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val filtered = raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= startMicros * 1000L)
+      case TimestampNTZType =>
+        raw.filter(col("ts") >= lit(java.time.LocalDateTime.ofEpochSecond(
+          java.lang.Math.floorDiv(startMicros, 1000000L),
+          (java.lang.Math.floorMod(startMicros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)))
+      case _ =>
+        raw.filter(col("ts") >= timestamp_micros(lit(startMicros)))
+    }
+    normalizeEventsTs(filtered)
   }
 
   def events(spark: SparkSession, dir: String): Dataset[Event] = {
