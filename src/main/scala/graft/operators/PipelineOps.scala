@@ -3210,47 +3210,19 @@ object PipelineOps {
     // docs whose running token total lands in [k·BUDGET, (k+1)·BUDGET).
     // The running total is the textbook scale trap: ONE window over the
     // whole corpus is a single-partition sort — the exact shape the r3
-    // i2 rework removed. Instead, a two-level prefix sum:
-    //   1. bucket docs into B contiguous doc_id ranges (monotone in
-    //      doc_id, so (bucket, doc_id) order ≡ global doc_id order);
-    //   2. per-bucket running sums under a PARTITIONED window (B-way
-    //      parallel, each partition 1/B of the corpus);
-    //   3. per-bucket totals (a B-row aggregate) get their exclusive
-    //      prefix via a window that is unpartitioned but runs over ≤B
-    //      rows POST-aggregation — bounded by the constant B, not the
-    //      corpus (PlanSpec pins this: every unpartitioned window in the
-    //      plan sits above an aggregation);
-    //   4. broadcast the B offsets back and add.
-    // Integer arithmetic end-to-end, so the decomposition is EXACTLY the
-    // global running sum, and the DuckDB oracle can use the naive global
-    // window form. At 100 TB: B scales with the cluster (B ≈ cores), the
-    // corpus is touched by exactly one extra narrow aggregate, and no
-    // stage sees more than 1/B of the data in one task.
+    // i2 rework removed. Instead, the two-level prefix sum factored as
+    // `exclusiveRunningTokens` (shared with i48 sequence packing — see
+    // its Scaladoc for the step-by-step scale argument). Integer
+    // arithmetic end-to-end, so the decomposition is EXACTLY the global
+    // running sum, and the DuckDB oracle can use the naive global
+    // window form.
     Q("i22_token_shards",
       (s, dir) => {
-        val B = 32
         val budget = 2000L
         val docs = t(s, dir, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("tok"))
-        val maxId = docs.agg(max(col("doc_id")).as("max_id"))
-        // Integer `div` with the width computed FIRST: `doc_id * B` would
-        // overflow Long past doc_id ≈ 2^58 (hash-derived 64-bit ids), and
-        // double division would wobble past 2^53. Width ≥ 1 and the
-        // bucket stays in [0, B), contiguous and monotone in doc_id.
-        val bucketed = docs.crossJoin(broadcast(maxId))
-          .withColumn("bucket", expr(s"doc_id div ((max_id div $B) + 1)"))
-        val inBucket = bucketed.withColumn("cum_in",
-          sum(col("tok")).over(
-            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
-        val offsets = bucketed.groupBy(col("bucket"))
-          .agg(sum(col("tok")).as("btok"))
-          .withColumn("offset", coalesce(
-            sum(col("btok")).over(Window.orderBy(col("bucket"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("bucket"), col("offset"))
-        inBucket.join(broadcast(offsets), "bucket")
-          .withColumn("cum_before", col("offset") + col("cum_in") - col("tok"))
+        exclusiveRunningTokens(docs, 32)
           .withColumn("shard_id", expr(s"cum_before div $budget"))
           .groupBy(col("shard_id"))
           .agg(count(lit(1)).as("n_docs"),
@@ -3268,8 +3240,198 @@ object PipelineOps {
                  | SELECT cb // 2000 AS shard_id, count(*)::BIGINT AS n_docs,
                  |   SUM(tok)::BIGINT AS tok_total,
                  |   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-                 | FROM c GROUP BY 1 ORDER BY 1""")))
+                 | FROM c GROUP BY 1 ORDER BY 1"""))),
+
+    // Sequence packing — the LAST transform a pretraining corpus goes
+    // through before the trainer reads it: concatenate the corpus in
+    // doc_id order and chunk the token stream into fixed context-length
+    // sequences (L = 512). Each doc occupies the half-open token span
+    // [cb, cb + tok) of the global stream, so its placement is pure
+    // integer arithmetic on the exclusive running total: first_seq =
+    // cb div L, offset within it cb mod L, last_seq = (cb+tok-1) div L,
+    // and n_seqs the straddle count (boundary docs split across
+    // sequences — concat-and-chunk, not first-fit, exactly because
+    // first-fit is order-dependent and unparallelizable). The running
+    // total reuses i22's two-level prefix sum (`exclusiveRunningTokens`
+    // — see that entry for the scale argument: no unpartitioned corpus
+    // window anywhere, the only global window is over B=32 bucket
+    // totals post-aggregation). The oracle computes the SAME placement
+    // from DuckDB's naive global window, so the decomposition is pinned
+    // integer-exact end-to-end; PipelineSpec additionally pins the
+    // packing invariants (spans tile [0, total_tokens) gaplessly).
+    Q("i48_pack_sequences",
+      (s, dir) => {
+        val L = 512L
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+        exclusiveRunningTokens(docs, 32)
+          .select(col("doc_id"), col("tok"),
+            expr(s"cum_before div $L").as("first_seq"),
+            (col("cum_before") % L).as("seq_offset"),
+            expr(s"(cum_before + tok - 1) div $L").as("last_seq"))
+          .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH tk AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok
+                 |   FROM documents),
+                 | c AS (SELECT doc_id, tok,
+                 |     COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                 |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
+                 |   FROM tk)
+                 | SELECT doc_id, tok, (cb // 512)::BIGINT AS first_seq,
+                 |   (cb % 512)::BIGINT AS seq_offset,
+                 |   ((cb + tok - 1) // 512)::BIGINT AS last_seq,
+                 |   (((cb + tok - 1) // 512) - (cb // 512) + 1)::BIGINT AS n_seqs
+                 | FROM c ORDER BY doc_id"""))),
+
+    // Deterministic training-order shuffle + sharding — the step between
+    // curation and delivery: training wants the corpus in a reproducible
+    // pseudorandom order, sharded so every reader streams its shard
+    // sequentially. Order key = salted md5 over doc_id (the i16/i21
+    // content-addressed contract: reproducible across runs, engines, and
+    // partitionings; independent of every other salt in the repo), shard
+    // = key mod 16, position = rank within the shard by (key, doc_id).
+    // The scale shape is the point: a GLOBAL shuffled row_number would be
+    // a single-partition corpus sort (the r3 i2 killer); sharding first
+    // makes the only window PARTITIONED by shard_id — 1/16 of the corpus
+    // per partition, embarrassingly parallel, and cross-shard order is
+    // irrelevant because each shard is one delivery file. At 100 TB the
+    // shard count scales with the cluster and nothing else changes.
+    Q("i49_global_shuffle",
+      (s, dir) => {
+        val h = conv(substring(md5(concat(lit("shuffle42:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        t(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"))
+          .withColumn("shard_id", col("h") % 16)
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard_id"))
+              .orderBy(col("h"), col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("shard_id"), col("pos"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH h AS (SELECT doc_id,
+                 |     ('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                 |   FROM documents)
+                 | SELECT doc_id, h % 16 AS shard_id,
+                 |   row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)::BIGINT AS pos
+                 | FROM h ORDER BY doc_id"""))),
+
+    // Vocabulary induction + coverage screen — the tokenizer-fitting
+    // step: the top-V corpus tokens by frequency (ties broken
+    // token-asc so the vocab is a deterministic SET, not a sample) stand
+    // in for a trained tokenizer vocabulary, and every doc is scored by
+    // how much of it that vocab covers (OOV rate ‰, integer floor-div —
+    // the screen that catches wrong-language/garbage docs a vocab would
+    // explode into bytes). Scale: one explode + hash-aggregate for the
+    // frequency table (the shuffle carries (token, count), never text);
+    // top-V is a TakeOrdered over POST-aggregation rows (|vocab|, not
+    // |corpus|); the V-row vocab then BROADCASTS back onto the exploded
+    // token stream (PlanSpec pins the broadcast — the corpus side never
+    // shuffles for the join), and the per-doc OOV count partial-
+    // aggregates map-side on doc_id. The screen phase is stateless given
+    // the vocab, so it streams unchanged (StreamingSpec twin).
+    Q("i50_vocab_coverage",
+      (s, dir) => {
+        // V = 16 against the fixture's 31-token vocabulary (~half the
+        // token mass lands OOV, so the screen is provably non-vacuous
+        // at every SF); a production corpus would use 32k+ — the
+        // parameter is one literal.
+        val V = 16
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tk"))
+        val vocab = toks.groupBy(col("tk")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tk").asc).limit(V)
+          .select(col("tk"), lit(1L).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tk"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_permille", expr("(n_oov * 1000) div n_tok"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                 |   FROM documents),
+                 | vocab AS (SELECT tk FROM tok GROUP BY tk
+                 |   ORDER BY count(*) DESC, tk ASC LIMIT 16)
+                 | SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+                 |   SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                 |   ((SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)::BIGINT * 1000) // count(*))::BIGINT AS oov_permille
+                 | FROM tok t LEFT JOIN vocab v ON t.tk = v.tk
+                 | GROUP BY t.doc_id ORDER BY t.doc_id""")))
   )
+
+  /** Exclusive global running token total in doc_id order over a
+    * (doc_id, tok) frame, as a two-level prefix sum — shared by i22
+    * (token-budget sharding) and i48 (sequence packing); the naive form
+    * (ONE window over the whole corpus) is a single-partition sort, the
+    * textbook scale trap the i22 registry comment walks through:
+    *   1. bucket docs into B contiguous doc_id ranges (monotone in
+    *      doc_id, so (bucket, doc_id) order ≡ global doc_id order) —
+    *      integer `div` with the width computed FIRST: `doc_id * B`
+    *      would overflow Long past doc_id ≈ 2^58 (hash-derived 64-bit
+    *      ids), and double division would wobble past 2^53; width ≥ 1
+    *      and the bucket stays in [0, B), contiguous and monotone;
+    *   2. per-bucket running sums under a PARTITIONED window (B-way
+    *      parallel, each partition 1/B of the corpus);
+    *   3. per-bucket totals (a B-row aggregate) get their exclusive
+    *      prefix via a window that is unpartitioned but runs over ≤B
+    *      rows POST-aggregation — bounded by the constant B, not the
+    *      corpus (PlanSpec pins this shape);
+    *   4. broadcast the B offsets back and add.
+    * Integer arithmetic end-to-end, so the decomposition is EXACTLY the
+    * global running sum and DuckDB oracles can use the naive window form.
+    * At 100 TB: B scales with the cluster (B ≈ cores), the corpus is
+    * touched by exactly one extra narrow aggregate, and no stage sees
+    * more than 1/B of the data in one task.
+    */
+  /** The i50 vocabulary as ONE broadcastable row: the top-`v` corpus
+    * tokens by (freq desc, token asc — a deterministic SET), packed into
+    * a sorted array. |vocab| rows reach the driver-side of nothing: the
+    * array is built by an aggregate over the POST-aggregation top-v
+    * frame and broadcast as a 1-row dimension (the evalShingleSet /
+    * centroid-array pattern).
+    */
+  def vocabRow(docs: DataFrame, v: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tk").asc).limit(v)
+      .agg(sort_array(collect_list(col("tk"))).as("vocab"))
+
+  /** The i50 coverage screen in IN-ROW form over a (doc_id, text) frame:
+    * per-doc token and OOV counts via an HOF filter against the broadcast
+    * vocab array — no explode, no shuffle, no state, so the SAME
+    * expression maps over streaming micro-batches unchanged (the i19
+    * in-row rule). PipelineSpec pins in-row ≡ the batch
+    * explode/broadcast-join/groupBy registry form; StreamingSpec replays
+    * a shuffled feed through it.
+    */
+  def oovScreenInRow(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(filter(split(col("text"), " "),
+          t => !array_contains(col("vocab"), t))).cast("long").as("n_oov"))
+      .withColumn("oov_permille", expr("(n_oov * 1000) div n_tok"))
+
+  def exclusiveRunningTokens(docs: DataFrame, B: Int): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val bucketed = docs.crossJoin(broadcast(maxId))
+      .withColumn("bucket", expr(s"doc_id div ((max_id div $B) + 1)"))
+    val inBucket = bucketed.withColumn("cum_in",
+      sum(col("tok")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("tok")).as("btok"))
+      .withColumn("offset", coalesce(
+        sum(col("btok")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    inBucket.join(broadcast(offsets), "bucket")
+      .withColumn("cum_before", col("offset") + col("cum_in") - col("tok"))
+  }
 
   /** Typed metadata record produced by the stubbed media decoder. */
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, fmt: String)

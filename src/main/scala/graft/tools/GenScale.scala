@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *     MEANT to show its bucket-size dependence here — that is the
   *     measurement the fixture-bound k=8 discussion in BASELINE.md
   *     needs;
-  *   - events keep their ns-int64 timestamps raw (read with
-  *     nanosAsLong, written back as int64 — Tables.load handles both),
-  *     event/user ids shift.
+  *   - events keep their timestamps untouched in whatever form the
+  *     installed Spark reads them (int64 raw nanos under the legacy
+  *     conf, TIMESTAMP_NTZ natively on 4.1.2 — Tables.load normalizes
+  *     both adaptively), event/user ids shift.
   */
 object GenScale {
   def main(args: Array[String]): Unit = {

@@ -682,6 +682,71 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("i48 packing == the naive global-window placement and tiles the token stream") {
+    import org.apache.spark.sql.expressions.Window
+    // The naive form (fine at test scale, a single-partition sort at real
+    // scale) is the semantic spec the decomposed prefix sum must match.
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    val naive = docs
+      .withColumn("cb", coalesce(sum(col("tok")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("tok"),
+        expr("cb div 512").as("first_seq"), (col("cb") % 512).as("seq_offset"),
+        expr("(cb + tok - 1) div 512").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+    val got = Registry.byId("i48_pack_sequences").build(spark, dir)
+    assertSameRows(got, naive)
+    // Tiling invariants: in doc_id order each doc starts exactly where
+    // the previous one ended (the concatenated stream has no gaps and no
+    // overlaps), and at least one doc straddles a sequence boundary so
+    // the straddle arithmetic is provably exercised.
+    val rows = got.orderBy("doc_id").collect()
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) * 512 + r.getLong(3) == expect,
+        s"doc ${r.getLong(0)} must start at token $expect")
+      expect += r.getLong(1)
+    }
+    assert(rows.exists(_.getLong(5) > 1),
+      "no doc straddles a boundary — fixture too small to exercise packing")
+  }
+
+  test("i49 shuffle is a reproducible permutation with dense per-shard positions") {
+    val got = Registry.byId("i49_global_shuffle").build(spark, dir)
+      .localCheckpoint(true)
+    val n = Tables.load(spark, dir, "documents").count()
+    assert(got.count() == n && got.select("doc_id").distinct().count() == n,
+      "every doc appears exactly once")
+    // Each shard's positions must be exactly 1..|shard| — dense ranks,
+    // no holes (a reader streams its shard file sequentially by pos).
+    val bad = got.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+        countDistinct("pos").as("nd"))
+      .filter(!(col("mn") === 1 && col("mx") === col("n") && col("nd") === col("n")))
+    assert(bad.count() == 0, "per-shard positions must be dense 1..n")
+    assert(got.select("shard_id").distinct().count() > 1, "fixture must span shards")
+    // Content-addressed: a rebuild is bit-identical (no RNG, no
+    // partitioning dependence).
+    assertSameRows(got, Registry.byId("i49_global_shuffle").build(spark, dir))
+  }
+
+  test("i50 in-row broadcast-vocab screen == batch explode/join form") {
+    val docs = Tables.load(spark, dir, "documents")
+    val inRow = PipelineOps.oovScreenInRow(
+      docs.select("doc_id", "text"), PipelineOps.vocabRow(docs, 16))
+    val want = Registry.byId("i50_vocab_coverage").build(spark, dir)
+    assertSameRows(inRow, want)
+    // Non-vacuous in both directions at the TOKEN level: the vocab
+    // covers a nonzero share of the token mass (it is a real top-V, not
+    // disjoint from the corpus) and misses a nonzero share (the screen
+    // actually fires).
+    val Array(tok, oov) = want.agg(sum("n_tok"), sum("n_oov")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(oov > 0, "screen must be non-vacuous at sf0.001")
+    assert(oov < tok, "vocab must cover a nonzero share of the token mass")
+  }
+
   test("i23 Lloyd step: quantized means track the true means within the grid") {
     val emb = Tables.load(spark, dir, "embeddings")
     val got = Registry.byId("i23_kmeans_step").build(spark, dir).collect()

@@ -772,6 +772,24 @@ class StreamingSpec extends SparkTestBase {
     assert(want.count() > 0, "screen must be non-vacuous at sf0.001")
   }
 
+  test("streaming vocab-coverage screen == batch i50 (stateless broadcast vocab)") {
+    // The coverage screen at INGEST time: the top-V vocab sits
+    // static in one broadcast row and each arriving doc is scored
+    // IN-ROW (HOF filter against the vocab array) — no explode, no
+    // shuffle, no state store, so the same expression maps over each
+    // micro-batch and a shuffled feed reproduces batch i50 exactly.
+    // Two-route check: in-row form == the batch explode/broadcast-join/
+    // groupBy registry form (also pinned batch-side in PipelineSpec).
+    val docs = Tables.load(spark, dir, "documents")
+    val vocab = PipelineOps.vocabRow(docs, 16).localCheckpoint(true)
+    val feed = new scala.util.Random(41).shuffle(
+      docs.select("doc_id", "text").as[(Long, String)].collect().toSeq)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.oovScreenInRow(ds.toDF("doc_id", "text"), vocab))
+    val want = Registry.byId("i50_vocab_coverage").build(spark, dir)
+    assertSameRows(got, want)
+  }
+
   test("streaming PII scrub == batch j7 (stateless, arrival-order free)") {
     // Redaction is a pure per-row projection: the SAME expression maps
     // over each micro-batch with no state store, and a shuffled feed
