@@ -3285,6 +3285,51 @@ object PipelineOps {
                  |   (((cb + tok - 1) // 512) - (cb // 512) + 1)::BIGINT AS n_seqs
                  | FROM c ORDER BY doc_id"""))),
 
+    // Packing MANIFEST — i48 transposed to the artifact the trainer
+    // actually indexes: one row per OUTPUT SEQUENCE (which docs feed it,
+    // how full it is) instead of one row per doc. Each doc explodes to
+    // the sequences its span [cb, cb+tok) straddles — a generator
+    // bounded by tok/L + 1, so total manifest input is
+    // total_tokens/L + n_docs rows, LINEAR in the corpus — and per
+    // sequence the fill is the sum of span∩[seq·L, (seq+1)·L) overlaps,
+    // pure integer min/max arithmetic. The invariant that makes this a
+    // packing (every sequence except the final partial one holds
+    // exactly L tokens, gaplessly) is pinned in PipelineSpec; the
+    // oracle recomputes the same explode from DuckDB's naive global
+    // window, pinning the prefix-sum decomposition a second way.
+    Q("i51_pack_manifest",
+      (s, dir) => {
+        val L = 512L
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+        exclusiveRunningTokens(docs, 32)
+          .select(col("doc_id"), col("tok"), col("cum_before"),
+            explode(sequence(expr(s"cum_before div $L"),
+              expr(s"(cum_before + tok - 1) div $L"))).as("seq_id"))
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            sum(least(col("cum_before") + col("tok"), (col("seq_id") + 1) * L) -
+              greatest(col("cum_before"), col("seq_id") * L)).as("fill"))
+          .orderBy("seq_id")
+      },
+      Some(sql("""WITH tk AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok
+                 |   FROM documents),
+                 | c AS (SELECT doc_id, tok,
+                 |     COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                 |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
+                 |   FROM tk),
+                 | e AS (SELECT doc_id, tok, cb,
+                 |     unnest(range(cb // 512, (cb + tok - 1) // 512 + 1)) AS seq_id
+                 |   FROM c)
+                 | SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs,
+                 |   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+                 |   SUM(LEAST(cb + tok, (seq_id + 1) * 512) -
+                 |       GREATEST(cb, seq_id * 512))::BIGINT AS fill
+                 | FROM e GROUP BY seq_id ORDER BY seq_id"""))),
+
     // Deterministic training-order shuffle + sharding — the step between
     // curation and delivery: training wants the corpus in a reproducible
     // pseudorandom order, sharded so every reader streams its shard

@@ -712,6 +712,30 @@ class PipelineSpec extends SparkTestBase {
       "no doc straddles a boundary — fixture too small to exercise packing")
   }
 
+  test("i51 manifest: every non-final sequence holds exactly 512 tokens, ids gapless") {
+    val got = Registry.byId("i51_pack_manifest").build(spark, dir)
+      .orderBy("seq_id").collect()
+    // Sequence ids are contiguous from 0 (the packed corpus has no
+    // holes), every sequence but the last is exactly full (L = 512),
+    // the last holds the remainder, and fills total the token count.
+    assert(got.map(_.getLong(0)).toSeq == (0L until got.length).toSeq,
+      "sequence ids must be contiguous from 0")
+    got.init.foreach(r => assert(r.getLong(4) == 512L,
+      s"non-final sequence ${r.getLong(0)} must be full, got ${r.getLong(4)}"))
+    val totalTok = Tables.load(spark, dir, "documents")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(got.map(_.getLong(4)).sum == totalTok,
+      "sequence fills must conserve the token stream")
+    assert(got.last.getLong(4) <= 512L && got.last.getLong(4) > 0L)
+    // Consistency with the per-doc view: straddle rows in i48 equal the
+    // manifest's multi-doc boundary structure — every doc appears in
+    // (last_seq - first_seq + 1) sequences, so Σ n_docs = Σ n_seqs.
+    val nSeqsSum = Registry.byId("i48_pack_sequences").build(spark, dir)
+      .agg(sum("n_seqs")).head.getLong(0)
+    assert(got.map(_.getLong(1)).sum == nSeqsSum,
+      "manifest membership must equal the per-doc straddle view")
+  }
+
   test("i49 shuffle is a reproducible permutation with dense per-shard positions") {
     val got = Registry.byId("i49_global_shuffle").build(spark, dir)
       .localCheckpoint(true)
