@@ -3265,12 +3265,7 @@ object PipelineOps {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("tok"))
-        exclusiveRunningTokens(docs, 32)
-          .select(col("doc_id"), col("tok"),
-            expr(s"cum_before div $L").as("first_seq"),
-            (col("cum_before") % L).as("seq_offset"),
-            expr(s"(cum_before + tok - 1) div $L").as("last_seq"))
-          .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+        seqPlacement(exclusiveRunningTokens(docs, 32), L)
           .orderBy("doc_id")
       },
       Some(sql("""WITH tk AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok
@@ -3279,6 +3274,44 @@ object PipelineOps {
                  |     COALESCE(SUM(tok) OVER (ORDER BY doc_id
                  |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
                  |   FROM tk)
+                 | SELECT doc_id, tok, (cb // 512)::BIGINT AS first_seq,
+                 |   (cb % 512)::BIGINT AS seq_offset,
+                 |   ((cb + tok - 1) // 512)::BIGINT AS last_seq,
+                 |   (((cb + tok - 1) // 512) - (cb // 512) + 1)::BIGINT AS n_seqs
+                 | FROM c ORDER BY doc_id"""))),
+
+    // Incremental packing INGEST — the lifecycle closer for the packing
+    // family (the i25/i36/i41 symmetry: find→manifest→incremental):
+    // packing is PREFIX-ADDITIVE — a new crawl's docs append at the tail
+    // of the already-packed token stream, so their placement depends on
+    // the existing corpus through ONE scalar, its persisted total token
+    // count. The corpus side is an aggregate (in production, a read of
+    // the pack-state table — registry isolation recomputes it); the
+    // batch side runs the SAME two-level prefix sum over only its own
+    // docs, offset by that broadcast scalar. A 100 TB corpus ingesting a
+    // daily crawl touches corpus rows zero times beyond the persisted
+    // scalar. PipelineSpec pins the additivity law (ingest placement ≡
+    // global i48 restricted to the batch — bit-exact, not approximate);
+    // StreamingSpec replays an in-ORDER feed (packing is order-
+    // dependent, the h3 rule) with foreachBatch offset accumulation.
+    Q("i52_pack_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") < 400)
+          .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")),
+            lit(0L)).as("base_tok"))
+        packIncremental(
+          docs.filter(col("doc_id") >= 400).select("doc_id", "text"), base)
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH tk AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok
+                 |   FROM documents),
+                 | base AS (SELECT COALESCE(SUM(tok), 0)::BIGINT AS bt FROM tk
+                 |   WHERE doc_id < 400),
+                 | c AS (SELECT doc_id, tok,
+                 |     ((SELECT bt FROM base) + COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                 |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS cb
+                 |   FROM tk WHERE doc_id >= 400)
                  | SELECT doc_id, tok, (cb // 512)::BIGINT AS first_seq,
                  |   (cb % 512)::BIGINT AS seq_offset,
                  |   ((cb + tok - 1) // 512)::BIGINT AS last_seq,
@@ -3432,6 +3465,39 @@ object PipelineOps {
     * touched by exactly one extra narrow aggregate, and no stage sees
     * more than 1/B of the data in one task.
     */
+  /** The i48/i52 placement arithmetic over a frame carrying
+    * (doc_id, tok, cum_before): first/last sequence, in-sequence offset,
+    * straddle count — pure integer div/mod on the exclusive running
+    * total, shared so the global and incremental forms provably compute
+    * the same function of cum_before.
+    */
+  def seqPlacement(placed: DataFrame, L: Long): DataFrame =
+    placed.select(col("doc_id"), col("tok"),
+      expr(s"cum_before div $L").as("first_seq"),
+      (col("cum_before") % L).as("seq_offset"),
+      expr(s"(cum_before + tok - 1) div $L").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+
+  /** (doc_id, text) → (doc_id, tok): the packing family's token counts. */
+  def tokFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tok"))
+
+  /** The i52 ingest form: place a (doc_id, text) batch at the tail of an
+    * already-packed corpus whose persisted total token count arrives as
+    * the 1-row broadcast `base` frame (`base_tok`) — the batch runs its
+    * own two-level prefix sum offset by that scalar; corpus rows are
+    * never touched. Shared by the batch registry entry and the
+    * StreamingSpec foreachBatch twin (offset accumulation across
+    * micro-batches).
+    */
+  def packIncremental(batch: DataFrame, base: DataFrame): DataFrame =
+    seqPlacement(
+      exclusiveRunningTokens(tokFrame(batch), 32)
+        .crossJoin(broadcast(base))
+        .withColumn("cum_before", col("cum_before") + col("base_tok")),
+      512L)
+
   /** The i50 vocabulary as ONE broadcastable row: the top-`v` corpus
     * tokens by (freq desc, token asc — a deterministic SET), packed into
     * a sorted array. |vocab| rows reach the driver-side of nothing: the

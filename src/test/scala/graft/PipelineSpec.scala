@@ -736,6 +736,19 @@ class PipelineSpec extends SparkTestBase {
       "manifest membership must equal the per-doc straddle view")
   }
 
+  test("i52 incremental packing == global i48 restricted to the batch (prefix-additivity)") {
+    // Packing is prefix-additive: appending at the tail given only the
+    // persisted corpus token total must reproduce the global placement
+    // BIT-EXACTLY on the batch rows — the law that makes the ingest
+    // form sound (and the analogue of i25/i41's incremental ≡
+    // global-restricted pins).
+    val got = Registry.byId("i52_pack_incremental").build(spark, dir)
+    val want = Registry.byId("i48_pack_sequences").build(spark, dir)
+      .filter(col("doc_id") >= 400)
+    assertSameRows(got, want)
+    assert(got.count() > 0, "the >= 400 batch must be non-empty at sf0.001")
+  }
+
   test("i49 shuffle is a reproducible permutation with dense per-shard positions") {
     val got = Registry.byId("i49_global_shuffle").build(spark, dir)
       .localCheckpoint(true)

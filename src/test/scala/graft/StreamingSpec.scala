@@ -772,6 +772,40 @@ class StreamingSpec extends SparkTestBase {
     assert(want.count() > 0, "screen must be non-vacuous at sf0.001")
   }
 
+  test("streaming incremental packing == batch i52 (ordered feed, offset accumulation)") {
+    // The pack-state ingest loop: micro-batches of new docs arrive in
+    // doc_id order (packing is ORDER-DEPENDENT — the h3 in-order rule,
+    // not the shuffled-feed rule) and each batch places against the
+    // accumulated token offset, which then advances by the batch's own
+    // total — exactly the persisted pack-state read-modify-write of a
+    // production ingest, driven here through foreachBatch.
+    val docs = Tables.load(spark, dir, "documents")
+    val baseTok = docs.filter(col("doc_id") < 400)
+      .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)))
+      .head.getLong(0)
+    val feed = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    var offset = baseTok
+    val placed = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    Replay.runForeach(spark, feed, 4, OutputMode.Append())(ds =>
+      ds.toDF("doc_id", "text")) { (df, _) =>
+      val batch = df.sort("doc_id").localCheckpoint(true)
+      if (!batch.isEmpty) {
+        val base = batch.sparkSession.range(1)
+          .select(lit(offset).as("base_tok"))
+        placed ++= PipelineOps.packIncremental(
+          batch.select("doc_id", "text"), base).collect()
+        offset += PipelineOps.tokFrame(batch)
+          .agg(coalesce(sum(col("tok")), lit(0L))).head.getLong(0)
+      }
+    }
+    val got = spark.createDataFrame(
+      spark.sparkContext.parallelize(placed.toSeq),
+      Registry.byId("i52_pack_incremental").build(spark, dir).schema)
+    assertSameRows(got, Registry.byId("i52_pack_incremental").build(spark, dir))
+  }
+
   test("streaming vocab-coverage screen == batch i50 (stateless broadcast vocab)") {
     // The coverage screen at INGEST time: the top-V vocab sits
     // static in one broadcast row and each arriving doc is scored
