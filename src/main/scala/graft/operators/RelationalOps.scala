@@ -851,6 +851,60 @@ object RelationalOps {
                  | GROUP BY o_orderpriority
                  | ORDER BY o_orderpriority"""))),
 
+    // The TPC-H Q21 shape — the HARDEST decorrelation in the benchmark
+    // and the one subquery form the b11–b14 matrix lacked: an EXISTS and
+    // a NOT EXISTS over the SAME fact table, both correlated to the
+    // outer fact row (same orderkey, different supplier), the NOT EXISTS
+    // additionally correlated to a SECOND outer table's column
+    // (o_orderdate — the fixture carries no receipt/commit dates, so
+    // lateness is shipdate > orderdate + 60d, preserving Q21's "only
+    // this supplier was late on a shared 'F' order" semantics). Catalyst
+    // decorrelates both into orderkey-keyed semi/anti joins over the
+    // 4-table join tree (PlanSpec pins LeftSemi + LeftAnti carrying the
+    // non-equi conjuncts, no CartesianProduct); the two-sided
+    // numwait-desc/s_name-asc order makes the top-100 deterministic.
+    Q("b17_sql_q21",
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+        t(s, dir, "nation").createOrReplaceTempView("v_nation")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT s_name, count(*) AS numwait
+                |FROM v_supplier s
+                |JOIN v_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+                |JOIN v_orders o ON o.o_orderkey = l1.l_orderkey
+                |JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+                |WHERE o.o_orderstatus = 'F'
+                |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                |  AND EXISTS (SELECT 1 FROM v_lineitem l2
+                |              WHERE l2.l_orderkey = l1.l_orderkey
+                |                AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+                |                  WHERE l3.l_orderkey = l1.l_orderkey
+                |                    AND l3.l_suppkey <> l1.l_suppkey
+                |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                |GROUP BY s_name
+                |ORDER BY numwait DESC, s_name
+                |LIMIT 100""".stripMargin)
+      },
+      Some(sql("""SELECT s_name, count(*) AS numwait
+                 | FROM supplier s
+                 | JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+                 | JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 | JOIN nation n ON s.s_nationkey = n.n_nationkey
+                 | WHERE o.o_orderstatus = 'F'
+                 |   AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                 |   AND EXISTS (SELECT 1 FROM lineitem l2
+                 |               WHERE l2.l_orderkey = l1.l_orderkey
+                 |                 AND l2.l_suppkey <> l1.l_suppkey)
+                 |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                 |                   WHERE l3.l_orderkey = l1.l_orderkey
+                 |                     AND l3.l_suppkey <> l1.l_suppkey
+                 |                     AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                 | GROUP BY s_name
+                 | ORDER BY numwait DESC, s_name
+                 | LIMIT 100"""))),
+
     // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
     // an initial snapshot (every customer starts at attr 'NONE') merged
     // with a change stream (each order stamps its priority as the

@@ -138,6 +138,23 @@ class PlanSpec extends SparkTestBase {
       s"Q22 shape failed to decorrelate:\n$p22")
   }
 
+  test("b17: Q21's same-table EXISTS + NOT EXISTS decorrelate to one semi and one anti join") {
+    // The hardest TPC-H decorrelation: both subqueries probe the SAME
+    // fact table correlated on the outer fact row, the NOT EXISTS also
+    // on a second outer table's column. Each must become ONE
+    // orderkey-keyed join (semi for EXISTS, anti for NOT EXISTS with
+    // the date inequality riding the condition) — never a re-probe per
+    // row, never a nested loop.
+    val p21 = plan(Registry.byId("b17_sql_q21").build(spark, dir))
+    assert(p21.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p21")
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"),
+      s"Q21 shape failed to decorrelate:\n$p21")
+    assert(p21.contains("TakeOrderedAndProject"),
+      s"deterministic top-100 must plan as TakeOrderedAndProject:\n$p21")
+  }
+
   test("i30: no array-keyed sort-merge join; group verify sides broadcast; no rank window over pairs") {
     // The three structural decisions that keep the fuzzy join scale-safe:
     // probe rows get their group id from a window over the rks shuffle
