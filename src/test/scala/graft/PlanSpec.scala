@@ -138,6 +138,20 @@ class PlanSpec extends SparkTestBase {
       s"Q22 shape failed to decorrelate:\n$p22")
   }
 
+  test("i50: the vocab joins back as a broadcast; top-V plans as TakeOrderedAndProject") {
+    // The corpus-side token stream must NEVER shuffle for the vocab
+    // join — the V-row vocab is the broadcast side — and the top-V
+    // selection must be a TakeOrderedAndProject over the aggregated
+    // frequency table, not a global sort of it.
+    val p = plan(Registry.byId("i50_vocab_coverage").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast onto the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the vocab join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V must plan as TakeOrderedAndProject:\n$p")
+  }
+
   test("b17: Q21's same-table EXISTS + NOT EXISTS decorrelate to one semi and one anti join") {
     // The hardest TPC-H decorrelation: both subqueries probe the SAME
     // fact table correlated on the outer fact row, the NOT EXISTS also
