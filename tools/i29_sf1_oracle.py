@@ -1,0 +1,73 @@
+"""Independent i29 oracle at sf1: exact semantics of PipelineOps.semDedup
+(assign to stub codebook by round6(dot) argmax with min-cid tiebreak;
+within-cluster edges round3(dot) >= 0.4; connected components; drop
+non-min members), implemented with numpy + union-find instead of the
+DuckDB recursive CTE (which disk-explodes on the 10x clone's cliques).
+Rounding-boundary margins are audited so summation-order differences
+cannot flip any decision.
+"""
+import numpy as np, pyarrow.parquet as pq, glob, sys
+
+emb_files = sorted(glob.glob('/root/repo/data/sf1/embeddings.parquet/*.parquet'))
+t = pq.read_table(emb_files)
+vec_id = np.asarray(t['vec_id'])
+emb = np.stack([np.asarray(x, dtype=np.float64) for x in t['embedding'].to_pylist()])
+order = np.argsort(vec_id)
+vec_id, emb = vec_id[order], emb[order]
+n, dim = emb.shape
+print('vectors', n, 'dim', dim)
+
+# stub codebook: vec_id < 8
+cmask = vec_id < 8
+cents = emb[cmask]; cids = vec_id[cmask]
+d = emb @ cents.T                       # n x 8 dots, float64
+rd = np.round(d, 6)                     # boundary audit below makes mode irrelevant
+# margin audit: distance to the nearest 1e-6 rounding boundary (x.xxxxx5)
+fr = np.abs(((d * 1e6) % 1.0) - 0.5)
+print('min assign-boundary margin (ulp@1e-6):', fr.min())
+best = rd.max(axis=1)
+# min-cid tiebreak: first argmax along cid-ascending order
+cid = cids[np.argmax(rd == best[:, None], axis=1)]
+top2 = np.sort(rd, axis=1)[:, -2]
+print('rounded argmax ties:', int((top2 == best).sum()))
+
+# within-cluster edges: round3(dot) >= 0.4  <=>  dot >= 0.3995 (HALF_UP)
+parent = np.arange(n)
+def find(i):
+    while parent[i] != i:
+        parent[i] = parent[parent[i]]
+        i = parent[i]
+    return i
+min_margin = 1.0
+edge_count = 0
+for c in np.unique(cid):
+    idx = np.where(cid == c)[0]
+    D = emb[idx] @ emb[idx].T
+    iu, ju = np.triu_indices(len(idx), k=1)
+    s = D[iu, ju]
+    min_margin = min(min_margin, np.abs(s - 0.3995).min())
+    hit = s >= 0.3995
+    edge_count += int(hit.sum())
+    for a, b in zip(idx[iu[hit]], idx[ju[hit]]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the min-label invariant recoverable
+            if ra < rb: parent[rb] = ra
+            else: parent[ra] = rb
+print('edges:', edge_count, 'min edge-threshold margin:', min_margin)
+roots = np.array([find(i) for i in range(n)])
+# component label = min vec_id in component (vec_id sorted asc => index root IS min index)
+comp_min = np.zeros(n, dtype=np.int64)
+for i in range(n):
+    comp_min[i] = vec_id[roots[i]]
+survivors = vec_id[comp_min == vec_id] if False else vec_id[(comp_min == vec_id)]
+surv_mask = comp_min == vec_id
+got_set = set(zip(vec_id[surv_mask].tolist(), cid[surv_mask].tolist()))
+print('numpy survivors:', len(got_set))
+
+sp = pq.read_table(glob.glob('/tmp/vr12_sf1/i29_semdedup/*.parquet'))
+sdf = set(zip(np.asarray(sp['vec_id']).tolist(), np.asarray(sp['cid']).tolist()))
+print('spark survivors:', len(sdf))
+missing = sdf - got_set; extra = got_set - sdf
+print('missing from numpy:', list(missing)[:5], 'extra in numpy:', list(extra)[:5])
+print('MATCH' if not missing and not extra else 'MISMATCH')
