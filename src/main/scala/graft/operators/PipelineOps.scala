@@ -3396,6 +3396,64 @@ object PipelineOps {
                  |   row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)::BIGINT AS pos
                  | FROM h ORDER BY doc_id"""))),
 
+    // Curriculum schedule — the training-order policy ON TOP of the
+    // delivery ops (i49 shuffles uniformly; curriculum learning streams
+    // phases of increasing quality): docs bin into 4 phases by the
+    // corpus quality-score DISTRIBUTION (quartiles of j2's qualityExpr —
+    // the SAME expression, so the score is provably the graded one).
+    // The scale trap is the global rank a naive ntile would take; the
+    // 3dp-rounded score has a ≤1001-value domain, so the quartile
+    // thresholds come from a SCORE-LEVEL histogram instead: one
+    // hash-aggregate (the shuffle carries (score, count)), a running
+    // sum over ≤1001 POST-aggregation rows (the hygiene-compliant
+    // window), phase = ceil(4·cum/N) in INTEGER arithmetic
+    // ((4c + N − 1) div N — no double division, no boundary ulp), and
+    // the ≤1001-row phase map broadcasts back. Equal scores share a
+    // phase by construction. Within a phase the order is the i49
+    // content-addressed shuffle (salted md5, independent salt), via a
+    // phase-PARTITIONED window. PipelineSpec pins the curriculum laws:
+    // quality-monotone phases, dense positions, conservation.
+    Q("i53_curriculum_phase",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = docTokStats(docs)
+          .select(col("doc_id"), qualityExpr.as("quality"))
+        val cum = q.groupBy(col("quality")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(Window.orderBy(col("quality"))))
+        val n = q.agg(count(lit(1)).as("n"))
+        val ph = cum.crossJoin(broadcast(n))
+          .select(col("quality"), expr("(4 * cum + n - 1) div n").as("phase"))
+        val h = conv(substring(md5(concat(lit("curriculum:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        q.join(broadcast(ph), Seq("quality"))
+          .withColumn("h", h)
+          .withColumn("pos_in_phase", row_number().over(
+            Window.partitionBy(col("phase"))
+              .orderBy(col("h"), col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("quality"), col("phase"), col("pos_in_phase"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH st AS (SELECT doc_id,
+                 |     len(string_split(text,' '))::BIGINT AS n_tok,
+                 |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |   FROM documents),
+                 | q AS (SELECT doc_id,
+                 |     round(least(n_tok/100.0, 1.0)*0.4 + (n_uniq/n_tok)*0.3 + (1.0 - n_stop/n_tok)*0.3, 3) AS quality
+                 |   FROM st),
+                 | cum AS (SELECT quality, SUM(count(*)) OVER (ORDER BY quality)::BIGINT AS cum
+                 |   FROM q GROUP BY quality),
+                 | n AS (SELECT count(*)::BIGINT AS n FROM q),
+                 | ph AS (SELECT quality,
+                 |     ((4 * cum + (SELECT n FROM n) - 1) // (SELECT n FROM n))::BIGINT AS phase
+                 |   FROM cum),
+                 | j AS (SELECT q.doc_id, q.quality, ph.phase,
+                 |     ('0x' || substr(md5('curriculum:' || CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                 |   FROM q JOIN ph USING (quality))
+                 | SELECT doc_id, quality, phase,
+                 |   row_number() OVER (PARTITION BY phase ORDER BY h, doc_id)::BIGINT AS pos_in_phase
+                 | FROM j ORDER BY doc_id"""))),
+
     // Vocabulary induction + coverage screen — the tokenizer-fitting
     // step: the top-V corpus tokens by frequency (ties broken
     // token-asc so the vocab is a deterministic SET, not a sample) stand

@@ -768,6 +768,33 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(got, Registry.byId("i49_global_shuffle").build(spark, dir))
   }
 
+  test("i53 curriculum: quality-monotone phases, dense positions, conservation") {
+    val got = Registry.byId("i53_curriculum_phase").build(spark, dir)
+      .localCheckpoint(true)
+    val n = Tables.load(spark, dir, "documents").count()
+    assert(got.count() == n && got.select("doc_id").distinct().count() == n,
+      "every doc gets exactly one curriculum slot")
+    // Phases are quality-monotone: the best score in phase p never
+    // exceeds the worst score in phase p+1 (equal scores share a phase
+    // by construction, so the boundaries are strict).
+    val ranges = got.groupBy("phase")
+      .agg(min("quality").as("lo"), max("quality").as("hi"))
+      .orderBy("phase").collect()
+    assert(ranges.map(_.getLong(0)).toSeq.forall(p => p >= 1 && p <= 4))
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(2) < b.getDouble(1),
+        s"phase ${a.getLong(0)} must be strictly below phase ${b.getLong(0)}")
+      case _ => ()
+    }
+    assert(ranges.length > 1, "fixture must span phases")
+    // Positions are dense 1..|phase| within each phase.
+    val bad = got.groupBy("phase")
+      .agg(count(lit(1)).as("n"), min("pos_in_phase").as("mn"),
+        max("pos_in_phase").as("mx"), countDistinct("pos_in_phase").as("nd"))
+      .filter(!(col("mn") === 1 && col("mx") === col("n") && col("nd") === col("n")))
+    assert(bad.count() == 0, "per-phase positions must be dense 1..n")
+  }
+
   test("i50 in-row broadcast-vocab screen == batch explode/join form") {
     val docs = Tables.load(spark, dir, "documents")
     val inRow = PipelineOps.oovScreenInRow(
