@@ -354,27 +354,73 @@ object RelationalOps {
                  | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))),
 
     // Sketch-backed median next to its exact twin — same contract as c9
-    // for quantiles: exact percentile (one sort-based agg) is the
-    // expensive form at scale, percentile_approx is a fixed-size
-    // mergeable KLL-style sketch with a RANK-error guarantee
+    // for quantiles: percentile_approx is the production path, a
+    // fixed-size mergeable KLL-style sketch with a RANK-error guarantee
     // (≤ n/accuracy). The engine asserts the guarantee with ~45× slack —
     // the estimate must land inside the exact [p45, p55] value window
     // (±5% rank ≫ n/10000 rank error at every SF) — and the oracle pins
     // the exact median by value and est_ok ≡ 1. Deterministic: the
     // sketch is randomness-free, so est_ok never flakes.
+    //
+    // The exact twin deliberately avoids Spark's `percentile` aggregate:
+    // that buffers a value→count map of EVERY distinct value of a group
+    // in one final aggregation buffer on one task — at 100 TB a single
+    // l_returnflag group funnels the whole column through one executor.
+    // Instead the exact ranks come from the grouped DISTRIBUTION
+    // (groupBy(group, value).count() — fully partial-aggregated, one
+    // ordinary shuffle) followed by a rank window over the distinct
+    // values only (the i53 histogram shape). Work per task is bounded by
+    // #distinct values per group, never by #rows, and nothing holds an
+    // all-values buffer (PlanSpec pins the absence of the exact
+    // `percentile` aggregate). Interpolation is the standard
+    // lo + frac·(hi − lo) at rank p·(n−1), identical to quantile_cont.
     Q("c10_sketch_quantile",
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"))
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        // Sketch + row count: one mergeable aggregation over the rows.
+        val est = li.groupBy(col("l_returnflag"))
           .agg(
-            round(percentile(col("l_extendedprice"), lit(0.5)), 3).as("p50_exact"),
-            percentile(col("l_extendedprice"), lit(0.45)).as("lo"),
-            percentile(col("l_extendedprice"), lit(0.55)).as("hi"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("est"),
             count(lit(1)).as("n_rows"))
-          .select(col("l_returnflag"), col("p50_exact"), col("n_rows"),
+        // Exact p45/p50/p55 over the grouped distribution. `cum` = rows
+        // with value ≤ v (per group); row index range of value v is
+        // [cum−cnt, cum−1] zero-based, so the value at integer rank r is
+        // the row with cum−cnt ≤ r < cum.
+        val dist = li
+          .groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"))
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        val ranked = dist
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+        // Continuous rank k = p·(n−1); constant within a group.
+        def k(p: Double) = lit(p) * (col("n") - lit(1L)).cast("double")
+        // Value at integer rank r (floor/ceil of k): exactly one
+        // distribution row satisfies cum−cnt ≤ r < cum, so min() picks it.
+        def at(r: org.apache.spark.sql.Column) =
+          min(when(col("cum") - col("cnt") <= r && col("cum") > r,
+            col("l_extendedprice")))
+        def interp(p: Double, name: String): Seq[org.apache.spark.sql.Column] = Seq(
+          at(floor(k(p))).as(s"${name}_lo"),
+          at(ceil(k(p))).as(s"${name}_hi"),
+          first(k(p) - floor(k(p)).cast("double")).as(s"${name}_f"))
+        val exactAggs = interp(0.45, "p45") ++ interp(0.5, "p50") ++ interp(0.55, "p55")
+        def lin(name: String) =
+          col(s"${name}_lo") + col(s"${name}_f") * (col(s"${name}_hi") - col(s"${name}_lo"))
+        val exact = ranked.groupBy(col("l_returnflag"))
+          .agg(exactAggs.head, exactAggs.tail: _*)
+          .select(col("l_returnflag"),
+            lin("p45").as("lo"), lin("p50").as("p50x"), lin("p55").as("hi"))
+        // 3-row × 3-row join: broadcast, no shuffle of consequence.
+        est.join(broadcast(exact), Seq("l_returnflag"))
+          .select(col("l_returnflag"), round(col("p50x"), 3).as("p50_exact"),
+            col("n_rows"),
             (col("est") >= col("lo") && col("est") <= col("hi")).cast("long").as("est_ok"))
-          .orderBy("l_returnflag"),
+          .orderBy("l_returnflag")
+      },
       Some(sql("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
                  | count(*) AS n_rows, CAST(1 AS BIGINT) AS est_ok
                  | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))

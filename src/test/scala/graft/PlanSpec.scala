@@ -367,6 +367,24 @@ class PlanSpec extends SparkTestBase {
       s"percentiles must partial-aggregate before the shuffle:\n$p")
   }
 
+  test("c10: exact quantile twin holds no all-values percentile buffer") {
+    val p = plan(Registry.byId("c10_sketch_quantile").build(spark, dir))
+    // The VERDICT-r12 scale hazard: Spark's exact `percentile` funnels
+    // every distinct value of a group into one final aggregation buffer.
+    // The rewritten twin must compute exact ranks from the grouped
+    // distribution instead — no exact percentile aggregate anywhere in
+    // the executed plan (the sketch `percentile_approx` IS expected).
+    assert(!p.contains("percentile("),
+      s"exact percentile aggregate must not appear:\n$p")
+    assert(p.contains("percentile_approx"),
+      s"the production sketch path must remain:\n$p")
+    // The distribution aggregation partial-aggregates map-side before
+    // its one shuffle — the property that bounds task memory by
+    // #distinct values, not #rows.
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"distribution count must partial-aggregate:\n$p")
+  }
+
   test("i23: Lloyd step shuffles only k·dim partial sums, never the corpus") {
     val p = plan(Registry.byId("i23_kmeans_step").build(spark, dir))
     assert(!p.contains("SortMergeJoin"),
