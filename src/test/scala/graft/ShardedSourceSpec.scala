@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.StreamingOps
+import graft.sources.ShardedEvents
+
+/** The DSv2 `sharded-events` micro-batch source — the reference's native
+  * identity (sharded resumable tail, reference `main.go:148-172,295-396`)
+  * as a first-class pluggable source. Proves, per VERDICT r12 #1:
+  * (a) per-shard order is preserved across micro-batches,
+  * (b) a killed query restarted on the same checkpoint resumes from the
+  *     checkpointed per-shard sequence numbers with no loss and no dup,
+  * (c) AT_TIMESTAMP initial positioning matches the batch `eventsSince`,
+  * (d) the h1/h4 streaming twins run green on the new source.
+  */
+class ShardedSourceSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val batchDF: DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** One dumped 4-shard stream shared by the read-only tests. */
+  private lazy val root: String = {
+    val r = tmp("graft-shards")
+    ShardedEvents.dump(batchDF, r, 4)
+    r
+  }
+
+  private def payload(df: DataFrame): DataFrame =
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Drain a stream to completion (AvailableNow), collecting every
+    * micro-batch's rows in arrival order via foreachBatch.
+    */
+  private def drain(stream: DataFrame, checkpoint: String,
+      sink: ArrayBuffer[(Long, String, Long, Long)]): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select("shard_id", "seq", "event_id").collect().foreach { r =>
+          sink.synchronized {
+            sink += ((batchId, r.getString(0), r.getLong(1), r.getLong(2)))
+          }
+        }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000L), "stream did not drain in time")
+  }
+
+  test("dump round-trip: streamed payload == batch events table") {
+    val got = ArrayBuffer.empty[(Long, String, Long, Long)]
+    drain(ShardedEvents.readStream(spark, root), tmp("ckpt"), got)
+    assert(got.size == batchDF.count())
+    // Full-fidelity check on all columns through the memory sink.
+    val q = ShardedEvents.readStream(spark, root).writeStream
+      .format("memory").queryName("shard_rt")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L))
+    assertSameRows(payload(spark.table("shard_rt")), payload(batchDF))
+  }
+
+  test("per-shard order preserved across bounded micro-batches") {
+    val got = ArrayBuffer.empty[(Long, String, Long, Long)]
+    // 100 records per shard per pull (the reference's Limit-bounded
+    // GetRecords loop, main.go:218): the largest sf0.001 shard holds
+    // ~377 records → at least 4 bounded pulls.
+    drain(ShardedEvents.readStream(spark, root,
+      maxRecordsPerTrigger = Some(100L)), tmp("ckpt"), got)
+    val batches = got.map(_._1).distinct
+    assert(batches.size > 3, s"expected several bounded pulls, got $batches")
+    // The cap is per shard per pull, like the reference's GetRecords Limit.
+    got.groupBy(r => (r._1, r._2)).foreach { case ((b, shard), rows) =>
+      assert(rows.size <= 100, s"batch $b shard $shard exceeded the pull limit")
+    }
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val seqs = rows.map(_._3) // arrival order: batch order, then
+      // within-batch collect order (one sequential reader per shard)
+      assert(seqs == seqs.sorted,
+        s"shard $shard delivered out of order: ${seqs.take(10)}...")
+      assert(seqs == (0L until seqs.size.toLong),
+        s"shard $shard must deliver the exact 0..n-1 sequence")
+    }
+  }
+
+  test("AT_TIMESTAMP initial position == batch eventsSince") {
+    // Median event time: half the stream is behind the start offset.
+    val startUs = batchDF
+      .select(expr("percentile_approx(unix_micros(ts), 0.5, 100)"))
+      .head().getLong(0)
+    val got = ArrayBuffer.empty[(Long, String, Long, Long)]
+    drain(ShardedEvents.readStream(spark, root,
+      startTimestampUs = Some(startUs)), tmp("ckpt"), got)
+    val want = Tables.eventsSince(spark, dir, startUs)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val gotIds = got.map(_._4).toSet
+    assert(gotIds == want,
+      s"AT_TIMESTAMP row set mismatch: got ${gotIds.size}, want ${want.size}")
+    assert(want.size < batchDF.count(), "start offset must actually skip rows")
+  }
+
+  test("kill + restart resumes from checkpointed sequence numbers, no loss/dup") {
+    // Deterministic two-phase tail: phase 1 dumps only the first half of
+    // event time; the full dump then EXTENDS each shard's file with the
+    // same prefix (same shard routing, same (ts, event_id) order), which
+    // is exactly an append-only stream observed at two instants.
+    val root2 = tmp("graft-shards2")
+    val ckpt = tmp("ckpt")
+    val cutUs = batchDF
+      .select(expr("percentile_approx(unix_micros(ts), 0.5, 100)"))
+      .head().getLong(0)
+    val phase1 = batchDF.filter(unix_micros(col("ts")) < cutUs)
+    ShardedEvents.dump(phase1, root2, 4)
+    val run1 = ArrayBuffer.empty[(Long, String, Long, Long)]
+    drain(ShardedEvents.readStream(spark, root2), ckpt, run1)
+    assert(run1.size.toLong == phase1.count())
+
+    // The stream grows; a NEW query on the SAME checkpoint must resume
+    // from the per-shard positions in the offset log (AT_SEQUENCE_NUMBER,
+    // main.go:300-327), not from the trim horizon and not from
+    // AT_TIMESTAMP.
+    ShardedEvents.dump(batchDF, root2, 4)
+    val run2 = ArrayBuffer.empty[(Long, String, Long, Long)]
+    drain(ShardedEvents.readStream(spark, root2), ckpt, run2)
+
+    val ids1 = run1.map(_._4)
+    val ids2 = run2.map(_._4)
+    assert(ids1.toSet.intersect(ids2.toSet).isEmpty, "no record may be redelivered")
+    assert(ids1.size + ids2.size == batchDF.count(), "no record may be lost")
+    val all = batchDF.select("event_id").collect().map(_.getLong(0)).toSet
+    assert((ids1 ++ ids2).toSet == all)
+    // And per-shard order still holds across the restart boundary.
+    (run1 ++ run2).groupBy(_._2).foreach { case (shard, rows) =>
+      val seqs = rows.map(_._3)
+      assert(seqs == (0L until seqs.size.toLong),
+        s"shard $shard lost order across restart: ${seqs.take(10)}...")
+    }
+  }
+
+  test("h1 tumbling twin runs green on the sharded source") {
+    val q = StreamingOps.tumbling(payload(ShardedEvents.readStream(spark, root)))
+      .writeStream.format("memory").queryName("shard_h1")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L))
+    assertSameRows(spark.table("shard_h1"), StreamingOps.tumbling(batchDF))
+  }
+
+  test("h4 dedup twin runs green on the sharded source") {
+    val q = payload(ShardedEvents.readStream(spark, root))
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName("shard_h4")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L))
+    assertSameRows(spark.table("shard_h4"),
+      batchDF.select("user_id", "event_type").distinct())
+  }
+
+  test("shard enumeration paginates past the page size (ListShards NextToken)") {
+    // Route into 12 shards: hash routing leaves some empty (few distinct
+    // partition keys at sf0.001 — empty shards write no directory), but
+    // the materialized count still exceeds the 5-wide listing page, so
+    // discovery must take the NextToken loop through several pages.
+    val root12 = tmp("graft-shards12")
+    ShardedEvents.dump(batchDF, root12, 12)
+    val dirs = new java.io.File(root12).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id=")).map(_.getName).toSet
+    assert(dirs.size > 5, s"fixture must span multiple listing pages, got $dirs")
+    val got = ArrayBuffer.empty[(Long, String, Long, Long)]
+    drain(ShardedEvents.readStream(spark, root12), tmp("ckpt"), got)
+    assert(got.map(_._2).distinct.size == dirs.size, "every page of shards must be read")
+    assert(got.size == batchDF.count())
+  }
+}
