@@ -65,23 +65,33 @@ object Bench {
       spark.catalog.clearCache()
       if (!ok) { errors += name; name -> -1.0 } else name -> dt
     }
+    // Stdout line: per-query seconds rounded to ms so the one-line JSON
+    // stays within the harness's stdout-tail capture even at 133+ queries
+    // (VERDICT r12 #8: the r12 line was tail-truncated and parsed null —
+    // full-precision doubles cost ~40 bytes/entry, rounded ~26). The
+    // file artifact below keeps full precision.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsShort = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
-    // Self-contained artifact: the stdout line gets tail-truncated by the
-    // harness past ~100 per-query entries, so the FULL line is also
-    // written to a file. The default name carries the sf directory's
-    // basename so back-to-back runs at different SFs (sf0.1 then sf1)
-    // land in distinct files instead of overwriting each other;
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // Self-contained artifact: the FULL-precision line is also written to
+    // a file. The default name carries the sf directory's basename so
+    // back-to-back runs at different SFs (sf0.1 then sf1) land in
+    // distinct files instead of overwriting each other;
     // $SPARK_GRAFT_OUT still overrides.
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", s"BENCH_FULL_$sfTag.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

@@ -3499,30 +3499,6 @@ object PipelineOps {
                  | GROUP BY t.doc_id ORDER BY t.doc_id""")))
   )
 
-  /** Exclusive global running token total in doc_id order over a
-    * (doc_id, tok) frame, as a two-level prefix sum — shared by i22
-    * (token-budget sharding) and i48 (sequence packing); the naive form
-    * (ONE window over the whole corpus) is a single-partition sort, the
-    * textbook scale trap the i22 registry comment walks through:
-    *   1. bucket docs into B contiguous doc_id ranges (monotone in
-    *      doc_id, so (bucket, doc_id) order ≡ global doc_id order) —
-    *      integer `div` with the width computed FIRST: `doc_id * B`
-    *      would overflow Long past doc_id ≈ 2^58 (hash-derived 64-bit
-    *      ids), and double division would wobble past 2^53; width ≥ 1
-    *      and the bucket stays in [0, B), contiguous and monotone;
-    *   2. per-bucket running sums under a PARTITIONED window (B-way
-    *      parallel, each partition 1/B of the corpus);
-    *   3. per-bucket totals (a B-row aggregate) get their exclusive
-    *      prefix via a window that is unpartitioned but runs over ≤B
-    *      rows POST-aggregation — bounded by the constant B, not the
-    *      corpus (PlanSpec pins this shape);
-    *   4. broadcast the B offsets back and add.
-    * Integer arithmetic end-to-end, so the decomposition is EXACTLY the
-    * global running sum and DuckDB oracles can use the naive window form.
-    * At 100 TB: B scales with the cluster (B ≈ cores), the corpus is
-    * touched by exactly one extra narrow aggregate, and no stage sees
-    * more than 1/B of the data in one task.
-    */
   /** The i48/i52 placement arithmetic over a frame carrying
     * (doc_id, tok, cum_before): first/last sequence, in-sequence offset,
     * straddle count — pure integer div/mod on the exclusive running
@@ -3585,6 +3561,30 @@ object PipelineOps {
           t => !array_contains(col("vocab"), t))).cast("long").as("n_oov"))
       .withColumn("oov_permille", expr("(n_oov * 1000) div n_tok"))
 
+  /** Exclusive global running token total in doc_id order over a
+    * (doc_id, tok) frame, as a two-level prefix sum — shared by i22
+    * (token-budget sharding) and i48 (sequence packing); the naive form
+    * (ONE window over the whole corpus) is a single-partition sort, the
+    * textbook scale trap the i22 registry comment walks through:
+    *   1. bucket docs into B contiguous doc_id ranges (monotone in
+    *      doc_id, so (bucket, doc_id) order ≡ global doc_id order) —
+    *      integer `div` with the width computed FIRST: `doc_id * B`
+    *      would overflow Long past doc_id ≈ 2^58 (hash-derived 64-bit
+    *      ids), and double division would wobble past 2^53; width ≥ 1
+    *      and the bucket stays in [0, B), contiguous and monotone;
+    *   2. per-bucket running sums under a PARTITIONED window (B-way
+    *      parallel, each partition 1/B of the corpus);
+    *   3. per-bucket totals (a B-row aggregate) get their exclusive
+    *      prefix via a window that is unpartitioned but runs over ≤B
+    *      rows POST-aggregation — bounded by the constant B, not the
+    *      corpus (PlanSpec pins this shape);
+    *   4. broadcast the B offsets back and add.
+    * Integer arithmetic end-to-end, so the decomposition is EXACTLY the
+    * global running sum and DuckDB oracles can use the naive window form.
+    * At 100 TB: B scales with the cluster (B ≈ cores), the corpus is
+    * touched by exactly one extra narrow aggregate, and no stage sees
+    * more than 1/B of the data in one task.
+    */
   def exclusiveRunningTokens(docs: DataFrame, B: Int): DataFrame = {
     val maxId = docs.agg(max(col("doc_id")).as("max_id"))
     val bucketed = docs.crossJoin(broadcast(maxId))

@@ -367,6 +367,58 @@ class PlanSpec extends SparkTestBase {
       s"percentiles must partial-aggregate before the shuffle:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (OptimizeSkewedJoin)") {
+    // SkewSpec proves the EXPLICIT salted join ≡ plain; this pins the
+    // ADAPTIVE half of the skew story (VERDICT r12 #6): Spark's own
+    // OptimizeSkewedJoin must fire on a manufactured hot key, so the
+    // engine can rely on AQE for skew it did not predict. Thresholds are
+    // lowered because the fixture is KB-scale; the assert is on the
+    // executed adaptive plan, not on configs.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // Fact: 100 even keys plus one hot key carrying 20k wide rows —
+      // one shuffle partition dwarfs the median. The payload is
+      // md5-derived (incompressible — a constant pad lz4-compresses to
+      // nothing in the map-output sizes AQE reads, hiding the skew) and
+      // flows through the aggregate so pruning can't drop it.
+      def payload(c: org.apache.spark.sql.Column) =
+        concat(md5(c.cast("string")), md5((c + 1).cast("string")),
+          md5((c + 2).cast("string")), md5((c + 3).cast("string")))
+      val fact = spark.range(0, 2000)
+        .select((col("id") % 100).as("k"), payload(col("id")).as("payload"))
+        .union(spark.range(0, 20000)
+          .select(lit(777L).as("k"), payload(col("id") + 1000000).as("payload")))
+      val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("k", "name")
+        .union(Seq((777L, "hot")).toDF("k", "name"))
+      val joined = fact.join(dim, "k").groupBy(col("name"))
+        .agg(count(lit(1)).as("count"), sum(length(col("payload"))).as("bytes"))
+      joined.collect() // execute so AQE finalizes the plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"plan must be adaptive-final:\n$p")
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin must mark the SMJ (skew=true):\n$p")
+      // And the answer survives the split.
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got("hot") == 20000L && got("d0") == 20L)
+      val bytes = joined.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(bytes("hot") == 20000L * 128)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("c10: exact quantile twin holds no all-values percentile buffer") {
     val p = plan(Registry.byId("c10_sketch_quantile").build(spark, dir))
     // The VERDICT-r12 scale hazard: Spark's exact `percentile` funnels

@@ -61,4 +61,77 @@ class RegistryHygieneSpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- events-read regression guard (VERDICT r12 #7) -------------------
+  //
+  // The r11 breakage: a Spark upgrade silently flipped the ns-parquet
+  // events read from "refuse unless legacy nanosAsLong" (int64 raw nanos)
+  // to a native TIMESTAMP_NTZ read, and Tables.load's then-unconditional
+  // div-1000 rebuild threw DATATYPE_MISMATCH on ~23 events queries — at
+  // the full driver run, not at test time. These two cases would have
+  // caught it at compile-test time: every reader-type branch of
+  // Tables.load must normalize the SAME instants to the SAME µs values,
+  // on this build and on any future one that flips the read path again.
+
+  test("events normalization: all three reader-type branches agree on µs values") {
+    import org.apache.spark.sql.functions._
+    // Known ns instants with sub-µs remainders: truncation (= DuckDB's
+    // read), never rounding. 999 ns must drop; 1 µs boundary exact.
+    val ns = Seq(1704067200000000000L, 1704067200000000999L,
+      1704067200123456789L, 1704153599999999999L)
+    val wantUs = ns.map(_ / 1000L)
+    def mkDir(): java.io.File =
+      java.nio.file.Files.createTempDirectory("evguard").toFile
+    import spark.implicits._
+    val base = ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, n, i.toLong, "t", 1.0, s"""{"k": $i}""") }
+    // (a) GenScale layout: raw int64 nanos → LongType branch.
+    val dLong = mkDir()
+    base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dLong/events.parquet")
+    // (b) native-NTZ layout: what Spark 4.1.2 yields from ns parquet
+    //     (already µs-truncated) → TimestampNTZType branch.
+    val dNtz = mkDir()
+    base.toDF("event_id", "ns", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(expr("ns div 1000")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dNtz/events.parquet")
+    // (c) canonical TimestampType layout → passthrough branch.
+    val dTs = mkDir()
+    base.toDF("event_id", "ns", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(expr("ns div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dTs/events.parquet")
+    for (d <- Seq(dLong, dNtz, dTs)) {
+      val got = Tables.load(spark, d.toString, "events")
+      assert(got.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"$d: normalized ts must be TimestampType")
+      val us = got.orderBy("event_id")
+        .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+      assert(us == wantUs, s"$d: µs mismatch: $us != $wantUs")
+    }
+  }
+
+  test("driver ns-parquet: Tables.load equals an independent raw read of the same file") {
+    import org.apache.spark.sql.functions._
+    // Second opinion through a DIFFERENT reader path: request the ts
+    // column as BIGINT via an explicit schema (physical int64). Interpret
+    // adaptively — a value that large is raw nanos (future build), else
+    // the reader already truncated to µs (current build) — so the pin
+    // survives either environment flip and fails only if Tables.load and
+    // the raw read disagree on the instant.
+    val p = s"$dir/events.parquet"
+    val raw = spark.read.schema("event_id BIGINT, ts BIGINT").parquet(p)
+      .withColumn("us",
+        when(abs(col("ts")) > lit(100000000000000000L), expr("ts div 1000"))
+          .otherwise(col("ts")))
+      .select(col("event_id"), col("us"))
+    val loaded = Tables.load(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    assert(loaded.join(raw, "event_id")
+      .filter(loaded("us") =!= raw("us")).count() == 0,
+      "Tables.load µs values diverge from the raw int64 read of events.parquet")
+    assert(loaded.count() == raw.count())
+  }
 }

@@ -3,9 +3,16 @@
 output directory against DuckDB on the same scale-factor tables and
 compare per-query (rows, schema-width, values with columns sorted by name).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py [--cc-numpy] <sfDir> <verifyOutDir> [query ...]
+
+--cc-numpy: verify i29_semdedup with the numpy union-find oracle
+(tools/i29_sf1_oracle.py) instead of the DuckDB recursive CTE. REQUIRED
+at sf>=1 — the CTE materializes the transitive closure of the 10x
+clone's similarity cliques and disk-explodes (>79 GB observed); the
+numpy oracle is exact for the same semantics and audits its rounding
+margins. The sf0.01 driver gate keeps the pure-SQL path.
 """
-import json, os, sys, glob
+import json, os, subprocess, sys, glob
 
 import duckdb
 import pandas as pd
@@ -28,8 +35,12 @@ def cell(v):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    cc_numpy = "--cc-numpy" in argv
+    if cc_numpy:
+        argv.remove("--cc-numpy")
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     paths = {}
     for t in TABLES:
@@ -64,6 +75,19 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output written")
             n_fail += 1
+            continue
+        if cc_numpy and name == "i29_semdedup":
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__), "i29_sf1_oracle.py"),
+                 sf_dir, out_dir],
+                capture_output=True, text=True)
+            if r.returncode == 0:
+                print(f"PASS {name} (numpy union-find oracle)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: numpy oracle mismatch\n{r.stdout[-500:]}")
+                n_fail += 1
             continue
         try:
             exp = canon(con.execute(oracle[name]).df())

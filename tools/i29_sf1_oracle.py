@@ -1,14 +1,34 @@
-"""Independent i29 oracle at sf1: exact semantics of PipelineOps.semDedup
-(assign to stub codebook by round6(dot) argmax with min-cid tiebreak;
-within-cluster edges round3(dot) >= 0.4; connected components; drop
-non-min members), implemented with numpy + union-find instead of the
-DuckDB recursive CTE (which disk-explodes on the 10x clone's cliques).
+"""Independent i29 oracle for large SFs: exact semantics of
+PipelineOps.semDedup (assign to stub codebook by round6(dot) argmax with
+min-cid tiebreak; within-cluster edges round3(dot) >= 0.4; connected
+components; drop non-min members), implemented with numpy + union-find
+instead of the DuckDB recursive CTE (which disk-explodes on the 10x
+clone's cliques — >79 GB at sf1). This is the PERMANENT oracle for the
+CC family at SFs where the recursive CTE is infeasible (VERDICT r12 #4);
+the driver's sf0.01 gate still uses the SQL oracle.
 Rounding-boundary margins are audited so summation-order differences
 cannot flip any decision.
-"""
-import numpy as np, pyarrow.parquet as pq, glob, sys
 
-emb_files = sorted(glob.glob('/root/repo/data/sf1/embeddings.parquet/*.parquet'))
+Usage: python3 tools/i29_sf1_oracle.py <sfDataDir> <verifyOutDir>
+  e.g. python3 tools/i29_sf1_oracle.py data/sf1 /tmp/verify_sf1
+reads <sfDataDir>/embeddings.parquet[/*.parquet] and compares against
+<verifyOutDir>/i29_semdedup/*.parquet. Exits 0 on MATCH, 1 otherwise.
+"""
+import glob
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+if len(sys.argv) != 3:
+    print(__doc__)
+    sys.exit(2)
+data_dir, out_dir = sys.argv[1], sys.argv[2]
+
+emb_path = os.path.join(data_dir, 'embeddings.parquet')
+emb_files = sorted(glob.glob(os.path.join(emb_path, '*.parquet'))) \
+    if os.path.isdir(emb_path) else [emb_path]
 t = pq.read_table(emb_files)
 vec_id = np.asarray(t['vec_id'])
 emb = np.stack([np.asarray(x, dtype=np.float64) for x in t['embedding'].to_pylist()])
@@ -60,14 +80,15 @@ roots = np.array([find(i) for i in range(n)])
 comp_min = np.zeros(n, dtype=np.int64)
 for i in range(n):
     comp_min[i] = vec_id[roots[i]]
-survivors = vec_id[comp_min == vec_id] if False else vec_id[(comp_min == vec_id)]
 surv_mask = comp_min == vec_id
 got_set = set(zip(vec_id[surv_mask].tolist(), cid[surv_mask].tolist()))
 print('numpy survivors:', len(got_set))
 
-sp = pq.read_table(glob.glob('/tmp/vr12_sf1/i29_semdedup/*.parquet'))
+sp = pq.read_table(glob.glob(os.path.join(out_dir, 'i29_semdedup', '*.parquet')))
 sdf = set(zip(np.asarray(sp['vec_id']).tolist(), np.asarray(sp['cid']).tolist()))
 print('spark survivors:', len(sdf))
 missing = sdf - got_set; extra = got_set - sdf
 print('missing from numpy:', list(missing)[:5], 'extra in numpy:', list(extra)[:5])
-print('MATCH' if not missing and not extra else 'MISMATCH')
+ok = not missing and not extra
+print('MATCH' if ok else 'MISMATCH')
+sys.exit(0 if ok else 1)
