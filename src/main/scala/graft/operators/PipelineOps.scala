@@ -797,6 +797,33 @@ object PipelineOps {
     arrays_zip((1 to k).map(i => slice(toks, lit(i), len)): _*)
   }
 
+  /** Per-doc WINNOWED fingerprint set (Schleimer et al., SIGMOD'03):
+    * 3-token gram hashes (md5-derived so the values cross to the DuckDB
+    * oracle), then the minimum hash of every w=4-wide sliding window —
+    * plus the final (truncated) window of a doc shorter than w grams, so
+    * every doc fingerprints. Guarantees any shared token run of length
+    * ≥ w+k−1 = 6 produces a shared fingerprint while keeping ~2/(w+1) of
+    * the gram stream. One doc_id hash shuffle (the bounded 4-row window);
+    * output rows are (doc_id, fp) distinct pairs. Shared by the i56
+    * registry entry and PipelineSpec's crafted-run guarantee test.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), posexplode(gramZip(col("text"), 3)).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(concat_ws(" ",
+          col("z.0"), col("z.1"), col("z.2"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val w4 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-3, 0)
+    val wd = Window.partitionBy(col("doc_id"))
+    g.select(col("doc_id"), col("pos"),
+        min(col("h")).over(w4).as("wm"),
+        count(lit(1)).over(wd).as("ng"))
+      .filter(col("pos") >= 3 || col("pos") === col("ng") - 1)
+      .select(col("doc_id"), col("wm").as("fp")).distinct()
+  }
+
   /** Per-doc LSH band rows (doc_id, source, b, v) derived from the
     * token-set sketch (`rks`): mh_j = min over the stored hashes of the
     * seeded rehash xxhash64(j, rk), 8 bands × 1 row — i14's banding
@@ -3496,7 +3523,146 @@ object PipelineOps {
                  |   SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
                  |   ((SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)::BIGINT * 1000) // count(*))::BIGINT AS oov_permille
                  | FROM tok t LEFT JOIN vocab v ON t.tk = v.tk
-                 | GROUP BY t.doc_id ORDER BY t.doc_id""")))
+                 | GROUP BY t.doc_id ORDER BY t.doc_id"""))),
+
+    // RAG/context chunking — the delivery step that turns a curated doc
+    // into overlapping token windows (window W=32, stride S=24, 8-token
+    // overlap): chunk_id/tok_start locate each window, the md5 chunk
+    // fingerprint is the content address downstream retrieval indexes
+    // key on (same contract as the i16/i21 content-addressed family).
+    // Chunk rule: ceil((nt−W)/S)+1 windows, short docs yield exactly one
+    // — the last window is the first that reaches the doc's end, so
+    // every token lands in ≥1 chunk and no window starts past the text.
+    // Scale: a pure narrow projection + explode — zero shuffles except
+    // the output sort; per-doc chunk count is nt/S, so the row expansion
+    // is a constant factor (~W/S) of the token stream, never quadratic.
+    // At 100 TB this is map-only over the corpus scan, and the fp/offset
+    // columns (not chunk text) are what shuffles into the index build.
+    Q("i54_chunk_windows",
+      (s, dir) => {
+        val W = 32
+        val S = 24
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("nt", size(col("toks")).cast("long"))
+        d.withColumn("nc",
+            when(col("nt") <= W, lit(1L))
+              .otherwise(expr(s"(nt - $W + $S - 1) div $S") + 1L))
+          .select(col("doc_id"), col("toks"), col("nt"),
+            explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_id"))
+          .withColumn("tok_start", col("chunk_id") * S)
+          .withColumn("ctoks", slice(col("toks"),
+            (col("tok_start") + 1L).cast("int"),
+            least(lit(W.toLong), col("nt") - col("tok_start")).cast("int")))
+          .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+            size(col("ctoks")).cast("long").as("n_toks"),
+            md5(array_join(col("ctoks"), " ")).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(sql("""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks,
+                 |     len(string_split(text,' '))::BIGINT AS nt FROM documents),
+                 | c AS (SELECT doc_id, toks, nt,
+                 |     unnest(range(0, CASE WHEN nt <= 32 THEN 1
+                 |       ELSE (nt - 32 + 23) // 24 + 1 END)) AS chunk_id
+                 |   FROM d)
+                 | SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                 |   (chunk_id * 24)::BIGINT AS tok_start,
+                 |   least(32, nt - chunk_id * 24)::BIGINT AS n_toks,
+                 |   md5(array_to_string(list_slice(toks, chunk_id*24 + 1,
+                 |     chunk_id*24 + least(32, nt - chunk_id*24)), ' ')) AS chunk_fp
+                 | FROM c ORDER BY doc_id, chunk_id"""))),
+
+    // One BPE merge step — the tokenizer-TRAINING inner loop (the i50
+    // vocab induction fits a word-level vocab; BPE fits subwords): count
+    // every adjacent character pair across the corpus weighted by word
+    // frequency and emit the top-20 merge candidates (count desc, pair
+    // asc — the deterministic argmax a trainer would merge next, plus
+    // the runners-up so the output is a stable top-k rather than one
+    // row). Scale: the pair explode runs over the DISTINCT-WORD table
+    // (|vocab| rows after the word-count hash-aggregate), not the corpus
+    // token stream — the step that makes corpus-scale BPE training
+    // feasible: 100 TB of text collapses to a ~10⁶-row weighted
+    // vocabulary before any per-character work, and each further merge
+    // iteration reuses the same counted vocab. Shuffles: word count
+    // (map-side partial agg), pair sum over 2-char keys, TakeOrdered
+    // top-20.
+    Q("i55_bpe_merge_step",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        words.filter(length(col("w")) >= 2)
+          .select(col("n"), explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc).limit(20)
+      },
+      Some(sql("""WITH w AS (SELECT tk AS w, count(*)::BIGINT AS n
+                 |   FROM (SELECT unnest(string_split(text,' ')) AS tk FROM documents)
+                 |   GROUP BY tk),
+                 | p AS (SELECT n, unnest(list_transform(range(1, len(w)),
+                 |     i -> substr(w, i::INT, 2))) AS pair
+                 |   FROM w WHERE len(w) >= 2)
+                 | SELECT pair, sum(n)::BIGINT AS cnt FROM p
+                 | GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))),
+
+    // (winnowFingerprints — the per-doc winnowed fingerprint SET — is
+    // factored above the entry so PipelineSpec can pin the winnowing
+    // guarantee on crafted docs, where a shared run is known by
+    // construction.)
+    //
+    // Winnowing fingerprint overlap (the MOSS scheme, Schleimer et al.
+    // SIGMOD'03) — the contamination screen (i19) upgraded from raw
+    // 3-gram joins to WINNOWED fingerprints: each doc keeps only the
+    // minimum gram hash of every 4-gram-wide sliding window (plus the
+    // final window of a short doc, so every doc fingerprints), which
+    // guarantees any shared run of ≥ w+k−1=6 tokens still collides
+    // while storing ~2/(w+1) of the grams. Train docs (doc_id ≥ 50) are
+    // then scored by how many of their fingerprints appear anywhere in
+    // the eval set (doc_id < 50) — i13's containment shape over the
+    // winnowed sets. Scale: gram hashing is a narrow projection; the
+    // sliding min is a bounded 4-row window per doc (one doc_id hash
+    // shuffle); the fingerprint table is ~29% of the gram stream; the
+    // eval fingerprint SET stays small and BROADCASTS onto the train
+    // side, so the screen never shuffles the corpus against itself —
+    // at 100 TB the eval side is a benchmark suite (fixed size) and the
+    // train side streams through map-side.
+    Q("i56_winnow_overlap",
+      (s, dir) => {
+        val fp = winnowFingerprints(t(s, dir, "documents"))
+        val ev = fp.filter(col("doc_id") < 50).select(col("fp")).distinct()
+        val tr = fp.filter(col("doc_id") >= 50)
+        val sz = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+        val shd = tr.join(broadcast(ev), "fp")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        sz.join(shd, "doc_id")
+          .select(col("doc_id"), col("n_shared"),
+            round(col("n_shared") * lit(1.0) / col("n_fp"), 3).as("containment"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+                 | g AS (SELECT doc_id,
+                 |     unnest(range(0, greatest(len(toks)-2, 0))) AS pos,
+                 |     unnest(list_transform(range(1, greatest(len(toks)-1, 1)), i ->
+                 |       ('0x'||substr(md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]),1,8))::BIGINT)) AS h
+                 |   FROM t),
+                 | wmin AS (SELECT doc_id, pos,
+                 |     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm,
+                 |     count(*) OVER (PARTITION BY doc_id) AS ng
+                 |   FROM g),
+                 | fp AS (SELECT DISTINCT doc_id, wm AS fp FROM wmin
+                 |   WHERE pos >= 3 OR pos = ng - 1),
+                 | ev AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 50),
+                 | tr AS (SELECT doc_id, fp FROM fp WHERE doc_id >= 50),
+                 | sz AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM tr GROUP BY doc_id),
+                 | shd AS (SELECT tr.doc_id, count(*)::BIGINT AS n_shared
+                 |   FROM tr JOIN ev USING (fp) GROUP BY tr.doc_id)
+                 | SELECT sz.doc_id, n_shared,
+                 |   round(n_shared * 1.0 / n_fp, 3) AS containment
+                 | FROM sz JOIN shd ON sz.doc_id = shd.doc_id
+                 | ORDER BY sz.doc_id""")))
   )
 
   /** The i48/i52 placement arithmetic over a frame carrying

@@ -1092,4 +1092,69 @@ class PipelineSpec extends SparkTestBase {
     assert(got.filter(col("source") === "src0").count() == total0,
       "rate-100 source must be fully kept")
   }
+
+  test("i54 chunking laws: full coverage, fixed stride, W-bounded, overlap W-S") {
+    val got = Registry.byId("i54_chunk_windows").build(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+    val byDoc = got.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("nc"), max(col("chunk_id")).as("maxc"),
+      max(col("tok_start") + col("n_toks")).as("covered_end"),
+      max(col("n_toks")).as("max_len"))
+    val j = byDoc.join(docs, "doc_id")
+    // Every doc chunks; chunk_ids are dense 0..nc-1; the last chunk ends
+    // exactly at the doc's last token; no chunk exceeds W=32 tokens.
+    assert(j.count() == docs.count(), "every doc must produce >=1 chunk")
+    assert(j.filter(col("maxc") =!= col("nc") - 1).count() == 0)
+    assert(j.filter(col("covered_end") =!= col("nt")).count() == 0,
+      "chunks must cover the doc exactly to its last token")
+    assert(j.filter(col("max_len") > 32).count() == 0)
+    // Fixed stride: chunk i starts at 24*i, so consecutive full windows
+    // overlap by exactly W-S=8 tokens.
+    assert(got.filter(col("tok_start") =!= col("chunk_id") * 24).count() == 0)
+  }
+
+  test("i55 BPE step: crafted corpus yields the textbook merge argmax") {
+    // Classic BPE example: 'lo' appears in every word of ll/lo corpus.
+    val crafted = Seq(
+      (0L, "low low low lower lowest"),
+      (1L, "new newer newest low")).toDF("doc_id", "text")
+    val words = crafted.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // 'lo' and 'ow': in low(x4), lower, lowest -> 6 each; 'lo' wins the
+    // pair-asc tie-break — the merge a sequential BPE trainer picks.
+    assert(pairs.head == ("lo" -> 6L), s"argmax was ${pairs.head}")
+    assert(pairs.toMap.apply("ow") == 6L)
+    assert(pairs.toMap.apply("ne") == 3L) // new, newer, newest
+  }
+
+  test("i56 winnowing guarantee: a shared 6-token run always collides; short docs fingerprint") {
+    // Winnowing with k=3, w=4 guarantees any shared substring of
+    // >= w+k-1 = 6 tokens yields a shared fingerprint (Schleimer 2003).
+    val shared = "q7 q8 q9 qa qb qc" // 6 tokens, 4 grams, one full window
+    val crafted = Seq(
+      (0L, s"u1 u2 u3 $shared u4 u5"), // "eval" doc
+      (60L, s"v1 v2 $shared v3 v4 v5 v6"), // train doc with the run
+      (61L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // train doc, disjoint tokens
+      (62L, "s1 s2 s3 s4")).toDF("doc_id", "text") // 2 grams < window
+    val fp = PipelineOps.winnowFingerprints(crafted)
+    val evFp = fp.filter(col("doc_id") === 0L).select("fp")
+    val hit = fp.filter(col("doc_id") === 60L).join(evFp, "fp").count()
+    assert(hit >= 1, "shared 6-token run must produce a shared fingerprint")
+    val miss = fp.filter(col("doc_id") === 61L).join(evFp, "fp").count()
+    assert(miss == 0, "token-disjoint docs share no fingerprint")
+    // A doc shorter than the window still emits its global-min gram.
+    assert(fp.filter(col("doc_id") === 62L).count() == 1)
+    // Density: winnowed set is a strict subset of the gram set.
+    val grams = crafted.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t")).count()
+    assert(fp.count() < grams)
+  }
 }
