@@ -692,4 +692,38 @@ class PlanSpec extends SparkTestBase {
     assert(!o.contains("get_json_object"),
       s"no per-column re-extraction of props:\n$o")
   }
+
+  test("i54: chunking is map-only — no Exchange except the output sort") {
+    // The chunk explode must stay a narrow projection over the scan; the
+    // only Exchange in the plan is the final rangepartitioning for the
+    // deterministic output order (which a production delivery write
+    // would drop).
+    val p = plan(Registry.byId("i54_chunk_windows").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$p")
+    val ranges = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(ranges == 1, s"exactly the output sort's range Exchange:\n$p")
+  }
+
+  test("i55: pair explode runs over the aggregated word table, top-20 is TakeOrdered") {
+    val p = plan(Registry.byId("i55_bpe_merge_step").build(spark, dir))
+    // Global top-20 must be TakeOrderedAndProject (no full output sort).
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a TakeOrderedAndProject:\n$p")
+    // Two hash Exchanges only: word count (corpus -> vocab) and the
+    // pair-sum re-aggregation — the explode sits between them, after
+    // the corpus has collapsed to the distinct-word table.
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 2, s"expected 2 hash Exchanges, got $hashShuffles:\n$p")
+  }
+
+  test("i56: eval fingerprint set broadcasts; the train side never self-joins") {
+    val p = plan(Registry.byId("i56_winnow_overlap").build(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      s"the eval fingerprint set must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the containment probe must be a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-vs-corpus shuffle join in the screen:\n$p")
+  }
 }
