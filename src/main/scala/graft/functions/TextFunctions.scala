@@ -46,6 +46,26 @@ object TextFunctions {
       lit(0L),
       (acc, t) => (acc * 131L + tokenHash16(t)) % 2147483647L)
 
+  /** ASCII canonicalization (strip non-[a-z0-9 ] → collapse space runs →
+    * trim), as the native [[AsciiSanitize]] one-pass byte loop. The
+    * regex composition it replaced ([[sanitizeRegex]]) pays the JDK's
+    * ~60 ns/char char-class scan — 28 s/pass over the sf10 corpus vs
+    * sub-second for the byte loop (see the expression's Scaladoc for the
+    * full equivalence argument; TextVectorSpec pins bit-identity).
+    */
+  def sanitize(text: Column): Column =
+    call_function("graft_sanitize", text)
+
+  /** The regex formulation of [[sanitize]], retained as the independent
+    * model the native expression is asserted against (TextVectorSpec) —
+    * and the form the DuckDB oracles keep using, so every oracled query
+    * through [[sanitize]] is itself a cross-engine equivalence check.
+    */
+  def sanitizeRegex(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, lit("[^a-z0-9 ]"), lit("")),
+      lit(" +"), lit(" ")))
+
   /** Hex digit at 1-based position `pos` (column) of md5(tok), as 0-15. */
   def md5HexDigit(tok: Column, pos: Column): Column =
     conv(md5(tok).substr(pos, lit(1)), 16, 10).cast("long")

@@ -86,9 +86,17 @@ object PipelineOps {
     * ([a-z0-9 ], single spaces, no edge spaces — checked at all three
     * SFs), normalization EXACTLY inverts the injected noise:
     * md5(norm(noised)) = md5(text), the recovery law PipelineSpec pins.
-    * One narrow codegen projection, zero shuffle (the j7 rule); regex
-    * classes behave identically under Java regex and RE2. Shared by the
-    * batch registry entry and the stateless streaming twin.
+    * One narrow codegen projection, zero shuffle (the j7 rule). Shared
+    * by the batch registry entry and the stateless streaming twin.
+    *
+    * The strip/collapse/trim stage is the native `graft_sanitize` byte
+    * loop, not the regex pair: the JDK's char-class scan made this
+    * map-only query the single most expensive registry entry at sf10
+    * (65 s; ~28 s/regex pass over ~230 MB of text) — see
+    * [[graft.functions.AsciiSanitize]]. The DuckDB oracle still runs the
+    * regex formulation, so the hash match doubles as the cross-engine
+    * equivalence check; `lower` stays a builtin (Unicode case-folding is
+    * the regex-equivalent semantics and costs ~1 s/pass).
     */
   def normalizeText(docs: DataFrame): DataFrame = {
     val noised = concat(
@@ -96,9 +104,7 @@ object PipelineOps {
       expr("substring(text, cast(doc_id % 4 as int) + 1)"),
       when(col("doc_id") % 2 === 0, lit("  ,,!!  ")).otherwise(lit(" .?;   ")),
       expr("lpad('', cast(doc_id % 3 + 1 as int), '.')"))
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(noised), lit("[^a-z0-9 ]"), lit("")),
-      lit(" +"), lit(" ")))
+    val norm = TextFunctions.sanitize(lower(noised))
     docs.select(col("doc_id"),
       length(noised).cast("long").as("n_noised"),
       length(norm).cast("long").as("n_norm"),

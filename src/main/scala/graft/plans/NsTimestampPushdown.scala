@@ -91,5 +91,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => NsTimestampPushdown)
     ext.injectFunction(graft.functions.DotProduct.description)
     ext.injectFunction(graft.functions.PolyFingerprint.description)
+    ext.injectFunction(graft.functions.AsciiSanitize.description)
   }
 }

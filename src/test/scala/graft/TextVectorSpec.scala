@@ -54,6 +54,55 @@ class TextVectorSpec extends SparkTestBase {
     assert(withNull._1 == null && withNull._2 == null)
   }
 
+  test("native graft_sanitize == the regex composition, incl. Unicode and edges") {
+    // The byte-loop expression must be bit-identical to the regex
+    // formulation it replaced (which stays the DuckDB oracle form) —
+    // over the noised corpus the j11 registry query actually feeds it,
+    // and the adversarial shapes the equivalence argument covers:
+    // multi-byte UTF-8 (each byte ≥ 0x80 → stripped wholesale, like the
+    // regex strips the char), supplementary chars (4-byte emoji),
+    // leading/trailing/run spaces, punctuation-only, and empty.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(concat(
+        upper(expr("substring(text, 1, cast(doc_id % 4 as int))")),
+        expr("substring(text, cast(doc_id % 4 as int) + 1)"),
+        when(col("doc_id") % 2 === 0, lit("  ,,!!  ")).otherwise(lit(" .?;   ")),
+        expr("lpad('', cast(doc_id % 3 + 1 as int), '.')")).as("s"))
+    val edges = Seq(
+      "", " ", "   ", "...", "a", " a ", "a  b", "  a,,b  c!  ",
+      "café au lait", "ééxé", "naïve plan",
+      "emoji 😀 mid", "😀", "tab\tand\nnewline",
+      "MiXeD CaSe 123", "0 1 2  3").toDF("s")
+    Seq(docs, edges).foreach { df =>
+      val both = df.select(
+        TextFunctions.sanitize(lower(col("s"))).as("native"),
+        TextFunctions.sanitizeRegex(lower(col("s"))).as("regex"))
+      assert(both.filter(col("native") =!= col("regex") ||
+        col("native").isNull =!= col("regex").isNull).count() == 0,
+        both.filter(col("native") =!= col("regex")).head(3).mkString("; "))
+    }
+    // NULL propagates like the regex chain.
+    val n = spark.sql("SELECT graft_sanitize(CAST(NULL AS STRING)) AS x")
+      .head().isNullAt(0)
+    assert(n, "graft_sanitize(NULL) must be NULL")
+  }
+
+  test("graft_sanitize runs inside whole-stage codegen") {
+    // A parquet-backed scan, not a local Seq — ConvertToLocalRelation
+    // folds a literal frame into a LocalTableScan and the plan never
+    // exercises doGenCode at all.
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(TextFunctions.sanitize(concat(col("text"), lit("  X!"))).as("x"))
+    val plan = df.queryExecution.executedPlan
+    val spans = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.exists(_.toString.contains("graft_sanitize")),
+      s"graft_sanitize fell out of codegen:\n${plan.toString.take(2000)}")
+    val one = df.limit(1).as[String].head()
+    assert(!one.contains("!") && !one.endsWith(" "), s"bad sanitize: '$one'")
+  }
+
   test("exact dedup is idempotent") {
     val docs = Seq(
       (1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
