@@ -3668,7 +3668,180 @@ object PipelineOps {
                  | SELECT sz.doc_id, n_shared,
                  |   round(n_shared * 1.0 / n_fp, 3) AS containment
                  | FROM sz JOIN shd ON sz.doc_id = shd.doc_id
-                 | ORDER BY sz.doc_id""")))
+                 | ORDER BY sz.doc_id"""))),
+
+    // Decontamination APPLY — the step i19 stops short of: the surviving
+    // training corpus after dropping every train doc whose 3-gram
+    // containment against the eval set reaches the i19 threshold (0.2).
+    // Same shape as i18's dedup apply: the screen produces a TINY flagged
+    // id list (contaminated docs are rare by construction), and the drop
+    // is one broadcast anti-join on 8-byte ids — text never re-shuffles.
+    // The screen itself is the in-row form (contaminationScreen): gram
+    // hashing and set intersection stay inside each row against the
+    // broadcast 1-row eval set, zero shuffle before the anti-join. At
+    // 100 TB the eval side is a fixed-size benchmark suite; the train
+    // side streams through map-side exactly once.
+    Q("i57_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val evalSet = evalShingleSet(docs.filter(col("doc_id") < 50))
+        val train = docs.filter(col("doc_id") >= 50)
+        val flagged = contaminationScreen(train, evalSet).select(col("doc_id"))
+        train.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH sh AS (
+                 |   SELECT DISTINCT doc_id,
+                 |     unnest(list_transform(range(1, len(toks)-1),
+                 |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                 |   FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+                 |         WHERE len(string_split(text,' ')) >= 3)),
+                 | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+                 | tr AS (SELECT * FROM sh WHERE doc_id >= 50),
+                 | sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+                 | shd AS (SELECT doc_id, count(*) AS n_shared
+                 |   FROM tr JOIN ev USING (s) GROUP BY doc_id),
+                 | flagged AS (SELECT sz.doc_id FROM sz JOIN shd USING (doc_id)
+                 |   WHERE n_shared * 1.0 / n_sh >= 0.2)
+                 | SELECT doc_id, source, lang FROM documents
+                 | WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+                 | ORDER BY doc_id"""))),
+
+    // Source mixture weights — the sampling-weight table a training run
+    // feeds its data loader: for each source, the multiplier that
+    // equalizes TOKEN share across the K sources (weight =
+    // total_tokens / (K · source_tokens); uniform target — the natural
+    // fixture-checkable special case of an arbitrary target vector,
+    // which would enter as one more broadcast column). Two aggregates:
+    // per-source doc/token counts (20 groups, map-side partial), and the
+    // 1-row corpus total folded back — the corpus is scanned once and
+    // only (source, counts) rows move. The total comes from an
+    // UNPARTITIONED window over the K-row POST-AGGREGATION frame (the
+    // i22 bounded-window rule), not a second corpus aggregate — a
+    // `per.agg(...)` crossJoin would plan the whole scan+shuffle subtree
+    // twice. Integer arithmetic until the one output division.
+    Q("i58_mixture_weights",
+      (s, dir) => {
+        val all = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tok"))
+          .withColumn("tot_tok", sum(col("n_tok")).over(all))
+          .withColumn("k", count(lit(1)).over(all))
+          .select(col("source"), col("n_docs"), col("n_tok"),
+            round(col("tot_tok") / (col("k") * col("n_tok")), 6).as("weight"))
+          .orderBy("source")
+      },
+      Some(sql("""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 |     sum(len(string_split(text,' ')))::BIGINT AS n_tok
+                 |   FROM documents GROUP BY source),
+                 | tot AS (SELECT sum(n_tok)::BIGINT AS tot_tok,
+                 |     count(*)::BIGINT AS k FROM per)
+                 | SELECT source, n_docs, n_tok,
+                 |   round(tot_tok / (k * n_tok), 6) AS weight
+                 | FROM per, tot ORDER BY source"""))),
+
+    // BPE merge APPLY — the other half of i55's training loop: take the
+    // argmax pair (count desc, pair asc — i55's deterministic winner) and
+    // apply the merge to the vocabulary, emitting each affected word with
+    // its merge count (greedy non-overlapping left-to-right `replace`,
+    // identical semantics in Spark and DuckDB) and corpus-weighted total.
+    // Scale follows i55: everything past the word-count hash-aggregate
+    // runs on the |vocab|-row table; the argmax is a TakeOrdered(1)
+    // broadcast back as a 1-row dimension, so one more merge iteration
+    // costs one vocab-sized projection, never a corpus pass. The word
+    // table is MATERIALIZED once (the nearDupPairs rule) — it feeds both
+    // the argmax subtree and the output projection, and without the
+    // checkpoint each consumer re-plans the corpus explode+shuffle.
+    Q("i59_bpe_merge_apply",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val top = words.filter(length(col("w")) >= 2)
+          .select(col("n"), explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+          .select(col("pair"))
+        words.crossJoin(broadcast(top))
+          .withColumn("merged",
+            (length(col("w")) -
+              length(expr("replace(w, pair, '#')"))).cast("long"))
+          .filter(col("merged") > 0)
+          .select(col("w"), col("n"), col("pair"), col("merged"),
+            (col("merged") * col("n")).as("total_merges"))
+          .orderBy("w")
+      },
+      Some(sql("""WITH w AS (SELECT w, count(*)::BIGINT AS n
+                 |   FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+                 |   GROUP BY w),
+                 | p AS (SELECT n, unnest(list_transform(range(1, len(w)),
+                 |     i -> substr(w, i, 2))) AS pair
+                 |   FROM w WHERE len(w) >= 2),
+                 | top AS (SELECT pair FROM p GROUP BY pair
+                 |   ORDER BY sum(n) DESC, pair LIMIT 1)
+                 | SELECT w, n, pair,
+                 |   (len(w) - len(replace(w, pair, '#')))::BIGINT AS merged,
+                 |   ((len(w) - len(replace(w, pair, '#'))) * n)::BIGINT AS total_merges
+                 | FROM w, top
+                 | WHERE len(w) - len(replace(w, pair, '#')) > 0
+                 | ORDER BY w"""))),
+
+    // Zipf law fit — the corpus-health diagnostic a data pipeline runs
+    // per snapshot: least-squares slope of ln(freq) on ln(rank) over the
+    // top-30 words (all ranks deterministic: freq desc, word asc). A
+    // Zipfian corpus sits near slope −1; drift flags template spam or
+    // boilerplate floods. Scale: the regression runs on a CONSTANT-sized
+    // (30-row, post-aggregation) frame — the single-partition window is
+    // bounded by the constant, the exclusiveRunningTokens rule — and the
+    // corpus contributes one word-count hash-aggregate. The slope is
+    // computed from explicit sufficient statistics (Σx, Σy, Σxy, Σx²)
+    // so both engines run the same arithmetic; ln products over 30 O(5)
+    // values carry ~1e-14 relative error against the round(4) contract.
+    Q("j13_zipf_slope",
+      (s, dir) => {
+        // Materialized once (the nearDupPairs rule): the word table feeds
+        // the corpus-stats aggregate AND the ranked regression subtree.
+        val words = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val corpus = words.agg(count(lit(1)).as("n_types"),
+          sum(col("n")).as("n_tokens"))
+        val byFreq = Window.orderBy(col("n").desc, col("w").asc)
+        val ranked = words
+          .orderBy(col("n").desc, col("w").asc).limit(30)
+          .withColumn("rank", row_number().over(byFreq))
+          .select(log(col("rank")).as("x"), log(col("n")).as("y"))
+        val fit = ranked.agg(count(lit(1)).cast("double").as("m"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(round((col("m") * col("sxy") - col("sx") * col("sy")) /
+            (col("m") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+        corpus.crossJoin(broadcast(fit))
+          .select(col("n_types"), col("n_tokens"), col("zipf_slope"))
+      },
+      Some(sql("""WITH w AS (SELECT w, count(*)::BIGINT AS n
+                 |   FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+                 |   GROUP BY w),
+                 | corpus AS (SELECT count(*)::BIGINT AS n_types,
+                 |     sum(n)::BIGINT AS n_tokens FROM w),
+                 | ranked AS (SELECT ln(row_number() OVER (ORDER BY n DESC, w)) AS x,
+                 |     ln(n) AS y
+                 |   FROM w ORDER BY n DESC, w LIMIT 30),
+                 | fit AS (SELECT round(
+                 |     (count(*) * sum(x*y) - sum(x) * sum(y)) /
+                 |     (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope
+                 |   FROM ranked)
+                 | SELECT n_types, n_tokens, zipf_slope FROM corpus, fit""")))
   )
 
   /** The i48/i52 placement arithmetic over a frame carrying

@@ -951,6 +951,87 @@ object RelationalOps {
                  | ORDER BY numwait DESC, s_name
                  | LIMIT 100"""))),
 
+    // The TPC-H Q7 shape (volume shipping): the one Q* pattern the b9-b17
+    // battery lacked — a fact table joined through TWO roles of the SAME
+    // dimension (supplier-nation and customer-nation), with a disjunctive
+    // cross-role predicate that can only be evaluated after both joins.
+    // Catalyst broadcasts both nation aliases (25 rows each) and keeps
+    // the fact-fact joins (lineitem⋈orders⋈customer) on their keys; the
+    // date window prunes lineitem at the scan. Money arithmetic follows
+    // the b9 rule: DECIMAL internally (exact, order-independent), double
+    // on output.
+    Q("b18_sql_q7",
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+        t(s, dir, "nation").createOrReplaceTempView("v_nation")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                |  year(l.l_shipdate) AS l_year,
+                |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                |FROM v_supplier s
+                |JOIN v_lineitem l ON s.s_suppkey = l.l_suppkey
+                |JOIN v_orders o ON o.o_orderkey = l.l_orderkey
+                |JOIN v_customer c ON c.c_custkey = o.o_custkey
+                |JOIN v_nation n1 ON s.s_nationkey = n1.n_nationkey
+                |JOIN v_nation n2 ON c.c_nationkey = n2.n_nationkey
+                |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                |  AND l.l_shipdate >= DATE '1995-01-01'
+                |  AND l.l_shipdate < DATE '1997-01-01'
+                |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+                |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+      },
+      Some(sql("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 | year(l.l_shipdate)::BIGINT AS l_year,
+                 | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+                 | FROM supplier s
+                 | JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                 | JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 | JOIN customer c ON c.c_custkey = o.o_custkey
+                 | JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                 | JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                 | WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                 |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+                 |   AND l.l_shipdate >= DATE '1995-01-01'
+                 |   AND l.l_shipdate < DATE '1997-01-01'
+                 | GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+                 | ORDER BY supp_nation, cust_nation, l_year"""))),
+
+    // The TPC-H Q19 shape (discounted revenue), adapted to the fixture's
+    // columns: a fact⋈dimension join whose WHERE is a DISJUNCTION of
+    // conjuncts mixing both sides (brand+size from part, quantity from
+    // lineitem). The scale point is predicate decomposition: Catalyst
+    // extracts the common join key, pushes the per-side residuals
+    // (`p_brand IN (...)` onto the part scan, the quantity envelope onto
+    // lineitem) below the join, and evaluates only the cross-side
+    // disjunction post-join — the naive plan filters nothing before a
+    // fact-wide join. One-row output, exact DECIMAL sum cast to double.
+    Q("b19_sql_q19",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("v_part")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                |  COUNT(*) AS n_items
+                |FROM v_lineitem l JOIN v_part p ON p.p_partkey = l.l_partkey
+                |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                |       AND l.l_quantity BETWEEN 1 AND 11)
+                |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                |       AND l.l_quantity BETWEEN 10 AND 20)
+                |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)
+      },
+      Some(sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                 | COUNT(*) AS n_items
+                 | FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                 | WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                 |        AND l.l_quantity BETWEEN 1 AND 11)
+                 |    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                 |        AND l.l_quantity BETWEEN 10 AND 20)
+                 |    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                 |        AND l.l_quantity BETWEEN 20 AND 30)"""))),
+
     // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
     // an initial snapshot (every customer starts at attr 'NONE') merged
     // with a change stream (each order stamps its priority as the

@@ -726,4 +726,82 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"no corpus-vs-corpus shuffle join in the screen:\n$p")
   }
+
+  test("b18: shipdate window reaches the lineitem scan; no cartesian despite the cross-role disjunction") {
+    // The dual-role nation predicate can only evaluate after both joins —
+    // it must ride a join condition, never degrade the tree to a
+    // CartesianProduct/BNLJ; the two-year window must prune at the scan.
+    val p = plan(Registry.byId("b18_sql_q7").build(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-role disjunction must ride an equi-join condition:\n$p")
+    assert(p.replaceAll("\\s", "").contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window must reach the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation dimensions must broadcast:\n$p")
+  }
+
+  test("b19: per-side residuals of the OR-of-ANDs push below the join to BOTH scans") {
+    // Catalyst must extract the part-only disjunction (brand+size) onto
+    // the part scan and the lineitem-only quantity envelope onto the
+    // lineitem scan; only the cross-side disjunction evaluates post-join.
+    val p = plan(Registry.byId("b19_sql_q19").build(spark, dir))
+    val flat = p.replaceAll("\\s", "")
+    assert(flat.contains("And(EqualTo(p_brand") ||
+      flat.contains("EqualTo(p_brand"),
+      s"brand disjunction must reach the part scan's PushedFilters:\n$p")
+    assert(flat.contains("GreaterThanOrEqual(l_quantity"),
+      s"quantity envelope must reach the lineitem scan's PushedFilters:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"the join must stay an equi hash join on p_partkey:\n$p")
+  }
+
+  test("i57: the screen is shuffle-free and the drop is a broadcast anti-join") {
+    // In-row gram screen (no hash Exchange anywhere — the corpus never
+    // shuffles), tiny flagged list broadcast, LeftAnti on ids; the only
+    // Exchanges are the 1-row eval-set collect and the output sort.
+    val p = plan(Registry.byId("i57_decontaminate").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"decontamination must not hash-shuffle the corpus:\n$p")
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"the drop must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the screen:\n$p")
+  }
+
+  test("i58: one corpus aggregate; the total is a bounded post-agg window, not a second scan") {
+    val p = plan(Registry.byId("i58_mixture_weights").build(spark, dir))
+    // Exactly ONE corpus-side hash Exchange (the per-source aggregate);
+    // a naive per.agg+crossJoin form plans the scan+shuffle twice.
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE corpus scan, got $scans:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1, s"expected 1 hash Exchange, got $hashShuffles:\n$p")
+    // The window runs above the aggregation (the i22 bounded rule).
+    assert(p.contains("Window"), s"total must fold back via a window:\n$p")
+  }
+
+  test("i59: the argmax is TakeOrdered(1); the word table materializes once") {
+    val p = plan(Registry.byId("i59_bpe_merge_apply").build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject(limit=1"),
+      s"pair argmax must be a TakeOrderedAndProject(1):\n$p")
+    // The checkpointed word table replaces the corpus subtree on both
+    // consumers: no parquet scan appears anywhere in this plan.
+    assert(!p.contains("FileScan parquet"),
+      s"both consumers must read the materialized word table:\n$p")
+  }
+
+  test("j13: the regression runs above a TakeOrdered(30); no corpus-wide window") {
+    val p = plan(Registry.byId("j13_zipf_slope").build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject(limit=30"),
+      s"top-30 selection must be a TakeOrderedAndProject:\n$p")
+    // The only Window sits above the 30-row TakeOrdered, and the corpus
+    // contributes via the materialized word table (no rescan).
+    assert(!p.contains("FileScan parquet"),
+      s"both consumers must read the materialized word table:\n$p")
+    val windowIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && topIdx > windowIdx,
+      s"the rank window must sit ABOVE the TakeOrdered(30) frame:\n$p")
+  }
 }
