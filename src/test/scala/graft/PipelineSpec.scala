@@ -1157,4 +1157,84 @@ class PipelineSpec extends SparkTestBase {
       explode(split(col("text"), " ")).as("t")).count()
     assert(fp.count() < grams)
   }
+
+  test("i57 decontamination: drops exactly the over-threshold docs, keeps the rest") {
+    // The apply step must agree with the screen it composes: survivors =
+    // train docs minus the i19-flagged set, and the flagged set is
+    // NON-EMPTY on the fixture (a vacuously-clean corpus would pass any
+    // broken anti-join).
+    val out = Registry.byId("i57_decontaminate").build(spark, dir)
+    val train = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") >= 50)
+    val flagged = Registry.byId("i19_contamination").build(spark, dir)
+      .select("doc_id")
+    val nFlagged = flagged.count()
+    assert(nFlagged > 0, "fixture must contain contaminated docs")
+    assert(out.count() == train.count() - nFlagged,
+      "survivors = train minus flagged, exactly")
+    assert(out.join(flagged, "doc_id").count() == 0,
+      "no flagged doc survives")
+  }
+
+  test("i58 mixture weights: token-share after weighting is uniform across sources") {
+    // The defining property: weight_s * tokens_s = total/K for every
+    // source (up to the round(6) display contract).
+    val rows = Registry.byId("i58_mixture_weights").build(spark, dir)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n_tok")).sum.toDouble
+    val k = rows.length
+    rows.foreach { r =>
+      val weighted = r.getAs[Double]("weight") * r.getAs[Long]("n_tok")
+      assert(math.abs(weighted - total / k) < total / k * 1e-4,
+        s"${r.getAs[String]("source")}: weighted share $weighted != ${total / k}")
+    }
+  }
+
+  test("i59 BPE apply: merge counts match a literal per-word scan of the corpus") {
+    // Independent model: count non-overlapping pair occurrences with a
+    // driver-side greedy scan over the distinct words.
+    val out = Registry.byId("i59_bpe_merge_apply").build(spark, dir).collect()
+    assert(out.nonEmpty, "the argmax pair must occur somewhere")
+    val pair = out.head.getAs[String]("pair")
+    def greedy(w: String): Long = {
+      var i = 0; var c = 0L
+      while (i <= w.length - 2) {
+        if (w.substring(i, i + 2) == pair) { c += 1; i += 2 } else i += 1
+      }
+      c
+    }
+    out.foreach { r =>
+      val w = r.getAs[String]("w")
+      assert(r.getAs[Long]("merged") == greedy(w),
+        s"word '$w': engine ${r.getAs[Long]("merged")} != greedy ${greedy(w)}")
+      assert(r.getAs[Long]("total_merges") ==
+        greedy(w) * r.getAs[Long]("n"))
+    }
+  }
+
+  test("j13 Zipf slope: negative on the fixture; -1 on a crafted exact power law") {
+    // The fixture fit must come out negative (more frequent => lower
+    // rank). Then a crafted corpus whose frequencies are EXACTLY
+    // n(rank) = 12 / rank at ranks 1..4 (counts 12, 6, 4, 3):
+    // ln n = ln 12 - ln rank, so the least-squares slope is exactly -1 —
+    // run through the SAME Spark pipeline shape as the registry entry,
+    // not recomputed driver-side.
+    val fixture = Registry.byId("j13_zipf_slope").build(spark, dir).head()
+    assert(fixture.getAs[Double]("zipf_slope") < 0,
+      "corpus slope must be negative")
+    val crafted = Seq((0L,
+      (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++ Seq.fill(4)("w3") ++
+        Seq.fill(3)("w4")).mkString(" "))).toDF("doc_id", "text")
+    crafted.createOrReplaceTempView("zipf_crafted")
+    val slope = spark.sql(
+      """WITH w AS (SELECT w, count(*) AS n
+        |  FROM (SELECT explode(split(text, ' ')) AS w FROM zipf_crafted)
+        |  GROUP BY w),
+        |ranked AS (SELECT ln(row_number() OVER (ORDER BY n DESC, w)) AS x,
+        |    ln(n) AS y FROM w ORDER BY n DESC, w LIMIT 30)
+        |SELECT (count(*) * sum(x*y) - sum(x) * sum(y)) /
+        |       (count(*) * sum(x*x) - sum(x) * sum(x)) AS slope
+        |FROM ranked""".stripMargin).head().getDouble(0)
+    assert(math.abs(slope - -1.0) < 1e-9, s"crafted slope $slope")
+  }
 }
