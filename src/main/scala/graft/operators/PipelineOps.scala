@@ -3841,7 +3841,75 @@ object PipelineOps {
                  |     (count(*) * sum(x*y) - sum(x) * sum(y)) /
                  |     (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope
                  |   FROM ranked)
-                 | SELECT n_types, n_tokens, zipf_slope FROM corpus, fit""")))
+                 | SELECT n_types, n_tokens, zipf_slope FROM corpus, fit"""))),
+
+    // Heaps-law fit — j13's companion diagnostic: vocabulary GROWTH
+    // V(N) ≈ K·N^β measured over 3-gram types (the fixture's unigram
+    // vocab saturates in the first docs; trigram types grow 5× across
+    // it), fit as ln V on ln N at 8 doc_id checkpoints (max_id·i/8 —
+    // deterministic integer thresholds). β far from the corpus's own
+    // baseline flags template floods (β→0: no new phrasing) or
+    // boilerplate-free synthetic spam (β→1). Scale: the gram explode
+    // pays ONE corpus pass into a vocabulary-bounded first-seen table
+    // (min(doc_id) per gram — 8-byte xxhash64 keys, the i13 rule; the
+    // oracle groups raw gram strings, so the hash-vs-string count
+    // equivalence is itself oracle-checked); both checkpoint joins
+    // BROADCAST the 8-row threshold frame (≤8× map-side expansion, no
+    // shuffle before the 8-group aggregates); the regression runs on the
+    // constant 8-row frame (the j13 rule). The max_id scan reads one
+    // pruned column.
+    Q("j14_heaps_fit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cps = docs.agg(max(col("doc_id")).as("m"))
+          .select(explode(sequence(lit(1), lit(8))).as("i"), col("m"))
+          .select(col("i"), expr("(m * i) div 8").as("c"))
+        val first = docs
+          .select(col("doc_id"), explode(gramZip(col("text"), 3)).as("z"))
+          .select(col("doc_id"),
+            xxhash64(col("z.0"), col("z.1"), col("z.2")).as("g"))
+          .groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+        val v = first.join(broadcast(cps), col("fd") <= col("c"))
+          .groupBy(col("i")).agg(count(lit(1)).as("v"))
+        val perDoc = docs.select(col("doc_id"),
+          greatest(size(split(col("text"), " ")) - 2, lit(0))
+            .cast("long").as("ng"))
+        val n = perDoc.join(broadcast(cps), col("doc_id") <= col("c"))
+          .groupBy(col("i")).agg(sum(col("ng")).as("n"))
+        val pts = v.join(n, "i")
+          .select(col("i"), col("v"), col("n"),
+            log(col("n").cast("double")).as("x"),
+            log(col("v").cast("double")).as("y"))
+        pts.agg(count(lit(1)).cast("double").as("m8"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            max(when(col("i") === 8, col("v"))).as("v_total"),
+            max(when(col("i") === 8, col("n"))).as("n_total"))
+          .select(col("v_total"), col("n_total"),
+            round((col("m8") * col("sxy") - col("sx") * col("sy")) /
+              (col("m8") * col("sxx") - col("sx") * col("sx")), 4)
+              .as("heaps_beta"))
+      },
+      Some(sql("""WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+                 | cp AS (SELECT i, (m * i) // 8 AS c
+                 |   FROM (SELECT max(doc_id) AS m FROM documents), range(1,9) t(i)),
+                 | g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1),
+                 |     j -> tk[j]||' '||tk[j+1]||' '||tk[j+2])) AS gr
+                 |   FROM d WHERE len(tk) >= 3),
+                 | f AS (SELECT gr, min(doc_id) AS fd FROM g GROUP BY gr),
+                 | v AS (SELECT i, count(*)::BIGINT AS v FROM f JOIN cp ON fd <= c GROUP BY i),
+                 | nn AS (SELECT i, sum(greatest(len(tk)-2, 0))::BIGINT AS n
+                 |   FROM d JOIN cp ON doc_id <= c GROUP BY i),
+                 | pts AS (SELECT i, v, n, ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y
+                 |   FROM v JOIN nn USING (i)),
+                 | st AS (SELECT count(*)::DOUBLE AS m8, sum(x) AS sx, sum(y) AS sy,
+                 |     sum(x*y) AS sxy, sum(x*x) AS sxx,
+                 |     max(CASE WHEN i=8 THEN v END) AS v_total,
+                 |     max(CASE WHEN i=8 THEN n END) AS n_total FROM pts)
+                 | SELECT v_total, n_total,
+                 |   round((m8*sxy - sx*sy) / (m8*sxx - sx*sx), 4) AS heaps_beta
+                 | FROM st""")))
   )
 
   /** The i48/i52 placement arithmetic over a frame carrying

@@ -1032,6 +1032,34 @@ object RelationalOps {
                  |    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
                  |        AND l.l_quantity BETWEEN 20 AND 30)"""))),
 
+    // The TPC-H Q14 shape (promo revenue): a RATIO OF CONDITIONAL
+    // AGGREGATES over one fact⋈dimension join — both the CASE-guarded
+    // numerator and the unguarded denominator come out of a single
+    // aggregation pass (never two scans), the month window prunes
+    // lineitem at the scan, part broadcasts. Both sums are exact DECIMAL;
+    // only the final ratio is floating, rounded per the display contract.
+    Q("b20_sql_q14",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("v_part")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+                |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue,
+                |  COUNT(*) AS n_items
+                |FROM v_lineitem l JOIN v_part p ON l.l_partkey = p.p_partkey
+                |WHERE l.l_shipdate >= DATE '1995-09-01'
+                |  AND l.l_shipdate < DATE '1995-10-01'""".stripMargin)
+      },
+      Some(sql("""SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 |     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+                 |     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 |   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue,
+                 |   COUNT(*) AS n_items
+                 | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                 | WHERE l.l_shipdate >= DATE '1995-09-01'
+                 |   AND l.l_shipdate < DATE '1995-10-01'"""))),
+
     // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
     // an initial snapshot (every customer starts at attr 'NONE') merged
     // with a change stream (each order stamps its priority as the

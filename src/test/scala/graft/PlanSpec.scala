@@ -756,6 +756,33 @@ class PlanSpec extends SparkTestBase {
       s"the join must stay an equi hash join on p_partkey:\n$p")
   }
 
+  test("b20: one aggregation pass computes both conditional sums; month window reaches the scan") {
+    val p = plan(Registry.byId("b20_sql_q14").build(spark, dir))
+    // A two-scans-of-the-join formulation would show 2+ lineitem scans.
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected lineitem+part scans only, got $scans:\n$p")
+    assert(p.replaceAll("\\s", "").contains("GreaterThanOrEqual(l_shipdate"),
+      s"month window must reach the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+      s"part must broadcast:\n$p")
+  }
+
+  test("j14: gram explode collapses to the first-seen table; checkpoint joins broadcast 8 rows") {
+    val p = plan(Registry.byId("j14_heaps_fit").build(spark, dir))
+    // The only corpus-keyed hash Exchange is the gram first-seen
+    // aggregate; V/N checkpoint joins must be broadcast (8-row build
+    // side), never a shuffle join of the corpus against thresholds.
+    assert(!p.contains("SortMergeJoin"),
+      s"checkpoint joins must broadcast the 8-row frame:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    // gram first-seen + the two 8-group checkpoint aggregates + the
+    // V⋈N 8-row join — all post-aggregation group-bounded except the
+    // first; allow the bounded ones, pin the total.
+    assert(hashShuffles <= 4, s"expected ≤4 hash Exchanges, got $hashShuffles:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"threshold joins must be broadcast:\n$p")
+  }
+
   test("i57: the screen is shuffle-free and the drop is a broadcast anti-join") {
     // In-row gram screen (no hash Exchange anywhere — the corpus never
     // shuffles), tiny flagged list broadcast, LeftAnti on ids; the only
