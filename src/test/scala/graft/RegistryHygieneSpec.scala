@@ -31,21 +31,31 @@ class RegistryHygieneSpec extends SparkTestBase {
   }
 
   test("no registry query funnels raw corpus rows through an unpartitioned window") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, Window => LWindow}
     // The r3 i2 scale-killer, generalized to EVERY query: an
-    // unpartitioned window whose input is not already aggregate-bounded
-    // is a single-partition sort of the corpus. Exemptions are the
-    // operators whose SEMANTICS are a global ranking over a base table
-    // (d6's distribution analytics) — there the total order is the
-    // deliverable, and the 100 TB form is rank-by-range-partition
-    // (the e1 sort machinery), not a different plan for the same op.
+    // unpartitioned window whose input is not already bounded is a
+    // single-partition sort of the corpus. Bounded = an Aggregate
+    // somewhere below (group-count-sized frame, the i22 rule) OR a
+    // GlobalLimit (constant-k frame — j13's rank window reads a
+    // TakeOrdered(30); the aggregate below it hides behind a
+    // localCheckpoint's LogicalRDD, but the limit alone is the bound).
+    // Exemptions are the operators whose SEMANTICS are a global ranking
+    // over a base table (d6's distribution analytics) — there the total
+    // order is the deliverable, and the 100 TB form is
+    // rank-by-range-partition (the e1 sort machinery), not a different
+    // plan for the same op.
     val globalBySemantics = Set("d6_window_distribution")
     Registry.all.filterNot(q => globalBySemantics(q.id)).foreach { q =>
       val wins = q.build(spark, dir).queryExecution.optimizedPlan
         .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
       wins.foreach { w =>
-        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-          s"${q.id}: unpartitioned window over non-aggregated input:\n$w")
+        val bounded = w.child.collectFirst {
+          case a: Aggregate => a
+          case l: GlobalLimit => l
+        }.nonEmpty
+        assert(bounded,
+          s"${q.id}: unpartitioned window over unbounded input:\n$w")
       }
     }
   }
