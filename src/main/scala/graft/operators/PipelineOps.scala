@@ -3910,6 +3910,126 @@ object PipelineOps {
                  | SELECT v_total, n_total,
                  |   round((m8*sxy - sx*sy) / (m8*sxx - sx*sx), 4) AS heaps_beta
                  | FROM st""")))
+  ) ++ importanceOps
+
+  // Split out of the main Seq literal — Scala 2.13 chokes on single
+  // method bodies past ~certain JVM size with this many large string
+  // literals in one Seq(...).
+  private lazy val importanceOps: Seq[Q] = Seq(
+    // DSIR-style importance weights (hashed-n-gram importance sampling,
+    // Xie et al., NeurIPS 2023 — public method): score every raw doc by
+    // how target-like its n-gram distribution is, where the target is
+    // the lang='en' slice and the raw pool is the whole corpus. Per
+    // bigram g the smoothed count ratio (c_tgt(g)+1)/(c_raw(g)+1) is
+    // micro-quantized (round(1e6·r), the i23 rule) so the per-doc SUM of
+    // per-occurrence scores is an exact int64 — order-free and
+    // bit-identical cross-engine; DSIR's log-space (geometric) pooling
+    // is the production option behind the SAME plan shape, but ln() is
+    // not bit-portable (the i26 rule), so the deterministic twin pools
+    // arithmetically. The displayed weight re-scales by the constant
+    // smoothing normalizer (S+V)/(T+V) — one double product per output
+    // row from exact integer totals, identical both engines. Scale: the
+    // shape is exactly j10's — occurrences carry 8-byte xxhash64 keys
+    // (counts are hash-invariant; the oracle joins raw bigrams), the
+    // ratio table joins WITHOUT a broadcast hint (bigram vocabulary
+    // grows with the corpus — j10's rule; AQE broadcasts it locally),
+    // the totals are two 1-row aggregates folded in by broadcast, and
+    // the top-25 is a TakeOrderedAndProject. One tokenize pass
+    // (localCheckpoint) feeds the raw counts, target counts, totals,
+    // and the scoring spine.
+    Q("i60_dsir_importance",
+      (s, dir) => {
+        val occ = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(gramZip(col("text"), 2)).as("z"))
+          .select(col("doc_id"), col("lang"),
+            xxhash64(col("z.0"), col("z.1")).as("bk"))
+          .localCheckpoint(true)
+        val raw = occ.groupBy(col("bk")).agg(count(lit(1)).as("cs"))
+        val tgt = occ.filter(col("lang") === "en")
+          .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+        val rat = raw.join(tgt, Seq("bk"), "left")
+          .select(col("bk"),
+            round(lit(1e6) * (coalesce(col("ct"), lit(0L)) + lit(1L))
+              / (col("cs") + lit(1L))).cast("long").as("q"))
+        val sv = raw.agg(sum(col("cs")).cast("double").as("s_tot"),
+          count(lit(1)).cast("double").as("v"))
+        val tv = occ.filter(col("lang") === "en")
+          .agg(count(lit(1)).cast("double").as("t_tot"))
+        val cfac = sv.crossJoin(broadcast(tv))
+          .select(((col("s_tot") + col("v")) / (col("t_tot") + col("v")))
+            .as("cfac"))
+        occ.join(rat, "bk")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+          .crossJoin(broadcast(cfac))
+          .orderBy((col("sq").cast("double") / col("n_bigrams")).desc,
+            col("doc_id"))
+          .limit(25)
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sq").cast("double") / col("n_bigrams") / lit(1e6)
+              * col("cfac"), 4).as("dsir_weight"))
+      },
+      Some(sql("""WITH occ AS (
+                 |   SELECT doc_id, lang,
+                 |     unnest(list_transform(range(1, len(toks)),
+                 |       i -> toks[i] || ' ' || toks[i+1])) AS bg
+                 |   FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 |         FROM documents)),
+                 | raw AS (SELECT bg, count(*)::BIGINT AS cs FROM occ GROUP BY bg),
+                 | tgt AS (SELECT bg, count(*)::BIGINT AS ct FROM occ
+                 |   WHERE lang = 'en' GROUP BY bg),
+                 | rat AS (SELECT raw.bg,
+                 |     round(1e6 * (coalesce(ct, 0) + 1) / (cs + 1))::BIGINT AS q
+                 |   FROM raw LEFT JOIN tgt ON raw.bg = tgt.bg),
+                 | sv AS (SELECT sum(cs)::DOUBLE AS s_tot, count(*)::DOUBLE AS v FROM raw),
+                 | tv AS (SELECT count(*)::DOUBLE AS t_tot FROM occ WHERE lang = 'en'),
+                 | cf AS (SELECT (s_tot + v) / (t_tot + v) AS cfac FROM sv, tv),
+                 | sp AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                 |     sum(q)::BIGINT AS sq
+                 |   FROM occ JOIN rat ON occ.bg = rat.bg GROUP BY doc_id)
+                 | SELECT doc_id, n_bigrams,
+                 |   round(sq::DOUBLE / n_bigrams / 1e6 * cfac, 4) AS dsir_weight
+                 | FROM sp, cf
+                 | ORDER BY sq::DOUBLE / n_bigrams DESC, doc_id LIMIT 25"""))),
+
+    // PCA power-iteration step — the distributed matvec primitive an
+    // embedding-pipeline health check runs (top principal direction of
+    // the corpus embedding matrix): one step u = Xᵀ(Xv₀) from the
+    // deterministic seed v₀ = e₀, i.e. Xv₀ is each row's first
+    // coordinate. Both stages micro-quantize (round(1e6·x), the i23
+    // rule) so every per-dimension accumulation is a SUM of exact int64
+    // products (|1e6·x|·|1e6·x| ≈ 1e12 × 10⁶ rows ≪ 2⁶³) — order-free,
+    // bit-identical cross-engine, no float-sum drift. The normalization
+    // is deliberately deferred: a full power iteration divides by ‖u‖
+    // (one more 1-row broadcast) without changing the plan shape. Scale:
+    // this is the gradient-aggregation shape — posexplode is a narrow
+    // map-side projection (dim × rows), partial aggregation combines
+    // each partition down to d rows BEFORE the shuffle, so the exchange
+    // carries (n_partitions × d) rows regardless of corpus size, and
+    // the output is dimension-bounded. Xv₀ is a same-row scalar, so q
+    // rides the projection — one corpus pass, ZERO joins, one
+    // d-group shuffle.
+    Q("i61_pca_power_step",
+      (s, dir) => {
+        t(s, dir, "embeddings")
+          .select(
+            round(lit(1e6) * element_at(col("embedding"), 1)).cast("long").as("q"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("pos"),
+            (round(lit(1e6) * col("x")).cast("long") * col("q")).as("p"))
+          .groupBy(col("pos")).agg(sum(col("p")).as("u_q"))
+          .select(col("pos").cast("long").as("pos"), col("u_q"))
+          .orderBy("pos")
+      },
+      Some(sql("""WITH x AS (SELECT
+                 |     round(1e6 * embedding[1])::BIGINT AS q,
+                 |     unnest(range(0, len(embedding))) AS pos,
+                 |     unnest(list_transform(embedding,
+                 |       e -> round(1e6 * e)::BIGINT)) AS xq
+                 |   FROM embeddings)
+                 | SELECT pos, sum(xq * q)::BIGINT AS u_q
+                 | FROM x GROUP BY pos ORDER BY pos""")))
   )
 
   /** The i48/i52 placement arithmetic over a frame carrying

@@ -1060,6 +1060,188 @@ object RelationalOps {
                  | WHERE l.l_shipdate >= DATE '1995-09-01'
                  |   AND l.l_shipdate < DATE '1995-10-01'"""))),
 
+    // The TPC-H Q10 shape (returned-item report): a three-fact chain
+    // (customer⋈orders⋈lineitem) closed by a broadcast dimension
+    // (nation), a quarter window pruning ORDERS at the scan (the orders
+    // filter cuts the lineitem join input before lineitem is touched —
+    // Catalyst pushes the date range below the o⋈l join), a returnflag
+    // residual on the lineitem scan, and a top-20 by revenue. The sort
+    // is a TakeOrderedAndProject over the grouped output, never a full
+    // sort. Revenue follows the b9 money rule; the tie-break on
+    // c_custkey makes the top-20 total-ordered (TPC-H's bare
+    // `ORDER BY revenue DESC` is not deterministic under ties).
+    Q("b21_sql_q10",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        t(s, dir, "nation").createOrReplaceTempView("v_nation")
+        s.sql("""SELECT c.c_custkey, c.c_name,
+                |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                |  n.n_name
+                |FROM v_customer c
+                |JOIN v_orders o ON c.c_custkey = o.o_custkey
+                |JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+                |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+                |WHERE o.o_orderdate >= DATE '1996-01-01'
+                |  AND o.o_orderdate < DATE '1996-04-01'
+                |  AND l.l_returnflag = 'R'
+                |GROUP BY c.c_custkey, c.c_name, n.n_name
+                |ORDER BY revenue DESC, c_custkey
+                |LIMIT 20""".stripMargin)
+      },
+      Some(sql("""SELECT c.c_custkey, c.c_name,
+                 | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                 | n.n_name
+                 | FROM customer c
+                 | JOIN orders o ON c.c_custkey = o.o_custkey
+                 | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                 | JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 | WHERE o.o_orderdate >= DATE '1996-01-01'
+                 |   AND o.o_orderdate < DATE '1996-04-01'
+                 |   AND l.l_returnflag = 'R'
+                 | GROUP BY c.c_custkey, c.c_name, n.n_name
+                 | ORDER BY revenue DESC, c_custkey
+                 | LIMIT 20"""))),
+
+    // The TPC-H Q13 shape (customer order-count distribution): the one
+    // OUTER-join aggregation pattern the battery lacked — a LEFT OUTER
+    // join whose non-key residual lives IN THE JOIN CONDITION (orders
+    // filtered by priority inside the ON clause, so customers with only
+    // filtered-out orders still appear with count 0 — a WHERE would
+    // silently drop them), feeding a two-level aggregate:
+    // count-per-customer, then histogram-of-counts. COUNT(o_orderkey)
+    // counts non-NULL matches only, the outer-join-aware form. Scale:
+    // level 1 shuffles on custkey (the join's own key — AQE coalesces
+    // the reused partitioning), level 2 aggregates a ≤|distinct counts|
+    // frame, effectively constant-sized.
+    Q("b22_sql_q13",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT c_count, COUNT(*) AS custdist FROM (
+                |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                |  FROM v_customer c LEFT OUTER JOIN v_orders o
+                |    ON c.c_custkey = o.o_custkey
+                |   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+                |  GROUP BY c.c_custkey) co
+                |GROUP BY c_count
+                |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+      },
+      Some(sql("""SELECT c_count, COUNT(*) AS custdist FROM (
+                 |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                 |  FROM customer c LEFT OUTER JOIN orders o
+                 |    ON c.c_custkey = o.o_custkey
+                 |   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+                 |  GROUP BY c.c_custkey) co
+                 | GROUP BY c_count
+                 | ORDER BY custdist DESC, c_count DESC"""))),
+
+    // The TPC-H Q15 shape (top supplier): an aggregated view consumed
+    // TWICE — once as the join input, once inside an uncorrelated scalar
+    // MAX subquery that gates the WHERE. The max-selection runs
+    // engine-internal on the EXACT decimal sums (never on doubles — a
+    // double round-trip could admit false ties), so both engines pick
+    // the same winner(s); only the output casts to double. Catalyst
+    // plans the scalar subquery as a 1-row broadcast against the re-run
+    // CTE — Q15's canonical self-referential shape; a 100 TB deployment
+    // materializes the revenue view once (the i47 MV pattern) so both
+    // consumers read one physical aggregate.
+    Q("b23_sql_q15",
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""WITH revenue AS (
+                |  SELECT l_suppkey AS supplier_no,
+                |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+                |  FROM v_lineitem
+                |  WHERE l_shipdate >= DATE '1996-01-01'
+                |    AND l_shipdate < DATE '1996-04-01'
+                |  GROUP BY l_suppkey)
+                |SELECT s.s_suppkey, s.s_name,
+                |  CAST(r.total_revenue AS DOUBLE) AS total_revenue
+                |FROM v_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+                |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+                |ORDER BY s.s_suppkey""".stripMargin)
+      },
+      Some(sql("""WITH revenue AS (
+                 |  SELECT l_suppkey AS supplier_no,
+                 |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+                 |  FROM lineitem
+                 |  WHERE l_shipdate >= DATE '1996-01-01'
+                 |    AND l_shipdate < DATE '1996-04-01'
+                 |  GROUP BY l_suppkey)
+                 | SELECT s.s_suppkey, s.s_name,
+                 |  CAST(r.total_revenue AS DOUBLE) AS total_revenue
+                 | FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+                 | WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+                 | ORDER BY s.s_suppkey"""))),
+
+    // The TPC-H Q8 shape (national market share): the deepest join tree
+    // in the battery — a fact spine (lineitem⋈orders⋈customer) closed by
+    // FOUR broadcast dimensions (part, supplier, and BOTH nation roles,
+    // one reached through region) — feeding the b20 conditional-ratio
+    // form per year: share = Σ(volume where supplier-nation = target) /
+    // Σ(volume). The region and p_type filters prune their dimension
+    // scans BEFORE broadcast, so the fact side is filtered by two
+    // broadcast semi-like joins rather than scanned wide; the two-year
+    // order-date window prunes orders. Both sums exact DECIMAL, one
+    // double division per output row, rounded per the display contract.
+    Q("b24_sql_q8",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("v_part")
+        t(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "nation").createOrReplaceTempView("v_nation")
+        t(s, dir, "region").createOrReplaceTempView("v_region")
+        s.sql("""SELECT o_year,
+                |  ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                |    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+                |FROM (
+                |  SELECT year(o.o_orderdate) AS o_year,
+                |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+                |    n2.n_name AS nation
+                |  FROM v_part p
+                |  JOIN v_lineitem l ON p.p_partkey = l.l_partkey
+                |  JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+                |  JOIN v_orders o ON o.o_orderkey = l.l_orderkey
+                |  JOIN v_customer c ON c.c_custkey = o.o_custkey
+                |  JOIN v_nation n1 ON n1.n_nationkey = c.c_nationkey
+                |  JOIN v_region r ON r.r_regionkey = n1.n_regionkey
+                |  JOIN v_nation n2 ON n2.n_nationkey = s.s_nationkey
+                |  WHERE r.r_name = 'EUROPE'
+                |    AND p.p_type = 'PROMO'
+                |    AND o.o_orderdate >= DATE '1995-01-01'
+                |    AND o.o_orderdate < DATE '1997-01-01') vol
+                |GROUP BY o_year
+                |ORDER BY o_year""".stripMargin)
+      },
+      Some(sql("""SELECT o_year,
+                 |  ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                 |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 |    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+                 | FROM (
+                 |  SELECT year(o.o_orderdate)::BIGINT AS o_year,
+                 |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+                 |    n2.n_name AS nation
+                 |  FROM part p
+                 |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+                 |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 |  JOIN customer c ON c.c_custkey = o.o_custkey
+                 |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+                 |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+                 |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+                 |  WHERE r.r_name = 'EUROPE'
+                 |    AND p.p_type = 'PROMO'
+                 |    AND o.o_orderdate >= DATE '1995-01-01'
+                 |    AND o.o_orderdate < DATE '1997-01-01') vol
+                 | GROUP BY o_year
+                 | ORDER BY o_year"""))),
+
     // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
     // an initial snapshot (every customer starts at attr 'NONE') merged
     // with a change stream (each order stamps its priority as the

@@ -831,4 +831,86 @@ class PlanSpec extends SparkTestBase {
     assert(windowIdx >= 0 && topIdx > windowIdx,
       s"the rank window must sit ABOVE the TakeOrdered(30) frame:\n$p")
   }
+
+  test("b21: quarter window prunes ORDERS at the scan; top-20 is TakeOrdered; returnflag reaches lineitem") {
+    val p = plan(Registry.byId("b21_sql_q10").build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"top-20 must be a TakeOrderedAndProject, never a full sort:\n$p")
+    val flat = p.replaceAll("\\s", "")
+    assert(flat.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter window must reach the orders scan:\n$p")
+    assert(flat.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag residual must reach the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the chain must stay equi hash joins:\n$p")
+  }
+
+  test("b22: the ON-clause priority filter pushes to the orders scan under the LeftOuter") {
+    // The residual lives in the JOIN CONDITION — for a left outer join a
+    // right-side-only predicate is pushable to the right scan without
+    // changing outer semantics; a WHERE placement would have dropped
+    // zero-order customers instead.
+    val p = plan(Registry.byId("b22_sql_q13").build(spark, dir))
+    assert(p.replaceAll("\\s", "").contains("Not(EqualTo(o_orderpriority"),
+      s"the ON-residual must reach the orders scan's PushedFilters:\n$p")
+    assert(p.contains("LeftOuter"),
+      s"the join must stay LEFT OUTER (zero-count customers kept):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("b23: the shipdate window prunes BOTH revenue-view consumers at their scans") {
+    // The CTE runs twice (join input + scalar MAX subquery) — Q15's
+    // canonical shape; the window must prune each instantiation, and the
+    // gate must stay a post-aggregation Filter, never a value join.
+    val p = plan(Registry.byId("b23_sql_q15").build(spark, dir))
+    val pruned = "GreaterThanOrEqual\\(l_shipdate".r
+      .findAllIn(p.replaceAll("\\s", "")).size
+    assert(pruned >= 1,
+      s"shipdate window must reach the lineitem scan(s):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the supplier join must stay an equi hash join:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"revenue must aggregate before the max gate:\n$p")
+  }
+
+  test("b24: all four dimensions broadcast; region/p_type/date filters prune their scans") {
+    val p = plan(Registry.byId("b24_sql_q8").build(spark, dir))
+    val flat = p.replaceAll("\\s", "")
+    assert(flat.contains("EqualTo(p_type,PROMO)"),
+      s"p_type filter must reach the part scan:\n$p")
+    assert(flat.contains("EqualTo(r_name,EUROPE)"),
+      s"region filter must reach the region scan:\n$p")
+    assert(flat.contains("GreaterThanOrEqual(o_orderdate"),
+      s"two-year window must reach the orders scan:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected ≥4 broadcast dimension joins, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("i60: one tokenize pass feeds all consumers; top-25 is TakeOrdered; no shuffle join") {
+    val p = plan(Registry.byId("i60_dsir_importance").build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject(limit=25"),
+      s"top-25 must be a TakeOrderedAndProject:\n$p")
+    // Every consumer (raw counts, target counts, totals, spine) reads
+    // the materialized occurrence table — no parquet rescan anywhere.
+    assert(!p.contains("FileScan parquet"),
+      s"all consumers must read the checkpointed occurrence table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the ratio join must not sort-merge at this SF (AQE broadcast):\n$p")
+  }
+
+  test("i61: matvec is one scan, zero joins, one d-group hash Exchange") {
+    val p = plan(Registry.byId("i61_pca_power_step").build(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE embeddings scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"the matvec must plan ZERO joins:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"expected exactly one d-group hash Exchange, got $hashShuffles:\n$p")
+    // Partial aggregation must combine BELOW the Exchange (map-side).
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
+  }
 }
