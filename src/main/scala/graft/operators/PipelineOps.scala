@@ -3938,38 +3938,7 @@ object PipelineOps {
     // (localCheckpoint) feeds the raw counts, target counts, totals,
     // and the scoring spine.
     Q("i60_dsir_importance",
-      (s, dir) => {
-        val occ = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            explode(gramZip(col("text"), 2)).as("z"))
-          .select(col("doc_id"), col("lang"),
-            xxhash64(col("z.0"), col("z.1")).as("bk"))
-          .localCheckpoint(true)
-        val raw = occ.groupBy(col("bk")).agg(count(lit(1)).as("cs"))
-        val tgt = occ.filter(col("lang") === "en")
-          .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
-        val rat = raw.join(tgt, Seq("bk"), "left")
-          .select(col("bk"),
-            round(lit(1e6) * (coalesce(col("ct"), lit(0L)) + lit(1L))
-              / (col("cs") + lit(1L))).cast("long").as("q"))
-        val sv = raw.agg(sum(col("cs")).cast("double").as("s_tot"),
-          count(lit(1)).cast("double").as("v"))
-        val tv = occ.filter(col("lang") === "en")
-          .agg(count(lit(1)).cast("double").as("t_tot"))
-        val cfac = sv.crossJoin(broadcast(tv))
-          .select(((col("s_tot") + col("v")) / (col("t_tot") + col("v")))
-            .as("cfac"))
-        occ.join(rat, "bk")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
-          .crossJoin(broadcast(cfac))
-          .orderBy((col("sq").cast("double") / col("n_bigrams")).desc,
-            col("doc_id"))
-          .limit(25)
-          .select(col("doc_id"), col("n_bigrams"),
-            round(col("sq").cast("double") / col("n_bigrams") / lit(1e6)
-              * col("cfac"), 4).as("dsir_weight"))
-      },
+      (s, dir) => dsirImportance(t(s, dir, "documents"), topK = 25),
       Some(sql("""WITH occ AS (
                  |   SELECT doc_id, lang,
                  |     unnest(list_transform(range(1, len(toks)),
@@ -4011,17 +3980,7 @@ object PipelineOps {
     // rides the projection — one corpus pass, ZERO joins, one
     // d-group shuffle.
     Q("i61_pca_power_step",
-      (s, dir) => {
-        t(s, dir, "embeddings")
-          .select(
-            round(lit(1e6) * element_at(col("embedding"), 1)).cast("long").as("q"),
-            posexplode(col("embedding")).as(Seq("pos", "x")))
-          .select(col("pos"),
-            (round(lit(1e6) * col("x")).cast("long") * col("q")).as("p"))
-          .groupBy(col("pos")).agg(sum(col("p")).as("u_q"))
-          .select(col("pos").cast("long").as("pos"), col("u_q"))
-          .orderBy("pos")
-      },
+      (s, dir) => pcaPowerStep(t(s, dir, "embeddings")),
       Some(sql("""WITH x AS (SELECT
                  |     round(1e6 * embedding[1])::BIGINT AS q,
                  |     unnest(range(0, len(embedding))) AS pos,
@@ -4031,6 +3990,58 @@ object PipelineOps {
                  | SELECT pos, sum(xq * q)::BIGINT AS u_q
                  | FROM x GROUP BY pos ORDER BY pos""")))
   )
+
+  /** The i60 pipeline over any (doc_id, lang, text) frame — factored so
+    * PipelineSpec can assert the hand-computed weights on a crafted
+    * corpus through the SAME code path the registry runs.
+    */
+  def dsirImportance(docs: DataFrame, topK: Int): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), col("lang"),
+        explode(gramZip(col("text"), 2)).as("z"))
+      .select(col("doc_id"), col("lang"),
+        xxhash64(col("z.0"), col("z.1")).as("bk"))
+      .localCheckpoint(true)
+    val raw = occ.groupBy(col("bk")).agg(count(lit(1)).as("cs"))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+    val rat = raw.join(tgt, Seq("bk"), "left")
+      .select(col("bk"),
+        round(lit(1e6) * (coalesce(col("ct"), lit(0L)) + lit(1L))
+          / (col("cs") + lit(1L))).cast("long").as("q"))
+    val sv = raw.agg(sum(col("cs")).cast("double").as("s_tot"),
+      count(lit(1)).cast("double").as("v"))
+    val tv = occ.filter(col("lang") === "en")
+      .agg(count(lit(1)).cast("double").as("t_tot"))
+    val cfac = sv.crossJoin(broadcast(tv))
+      .select(((col("s_tot") + col("v")) / (col("t_tot") + col("v")))
+        .as("cfac"))
+    occ.join(rat, "bk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .crossJoin(broadcast(cfac))
+      .orderBy((col("sq").cast("double") / col("n_bigrams")).desc,
+        col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sq").cast("double") / col("n_bigrams") / lit(1e6)
+          * col("cfac"), 4).as("dsir_weight"))
+  }
+
+  /** The i61 matvec over any (vec_id, embedding) frame — factored so
+    * PipelineSpec can assert the exact integer result on crafted
+    * vectors through the SAME code path the registry runs.
+    */
+  def pcaPowerStep(emb: DataFrame): DataFrame =
+    emb
+      .select(
+        round(lit(1e6) * element_at(col("embedding"), 1)).cast("long").as("q"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        (round(lit(1e6) * col("x")).cast("long") * col("q")).as("p"))
+      .groupBy(col("pos")).agg(sum(col("p")).as("u_q"))
+      .select(col("pos").cast("long").as("pos"), col("u_q"))
+      .orderBy("pos")
 
   /** The i48/i52 placement arithmetic over a frame carrying
     * (doc_id, tok, cum_before): first/last sequence, in-sequence offset,

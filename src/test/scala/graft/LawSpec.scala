@@ -124,4 +124,40 @@ class LawSpec extends SparkTestBase {
     assert(merged == whole, s"lossless merge: merged=$merged whole=$whole")
     assert(whole > 0)
   }
+
+  test("b22 histogram conservation: buckets partition customers; weighted sum counts orders") {
+    // Two exact integer identities a hash-compare can't attribute:
+    // Σ custdist = |customer| (every customer lands in exactly one
+    // bucket — the outer join kept the orderless ones), and
+    // Σ c_count·custdist = |orders passing the ON residual| (every
+    // qualifying order is counted exactly once).
+    val rows = Registry.byId("b22_sql_q13").build(spark, dir).collect()
+    val nCust = Tables.load(spark, dir, "customer").count()
+    val nQual = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED").count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust,
+      "buckets must partition the customer set")
+    assert(rows.map(r => r.getAs[Long]("c_count") *
+      r.getAs[Long]("custdist")).sum == nQual,
+      "weighted bucket sum must count every qualifying order once")
+  }
+
+  test("b23 picks exactly the argmax supplier(s) of an independent revenue ranking") {
+    // Independent model: rank suppliers by the same decimal revenue via
+    // the DataFrame API (no scalar subquery) and take the max set.
+    val out = Registry.byId("b23_sql_q15").build(spark, dir).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(18,4)")).as("rev"))
+    val mx = rev.agg(max(col("rev")).as("mx"))
+    val want = rev.crossJoin(broadcast(mx))
+      .filter(col("rev") === col("mx"))
+      .collect().map(_.getAs[Long]("l_suppkey")).toSet
+    assert(out == want && out.nonEmpty,
+      s"scalar-subquery gate must select the argmax set: got $out want $want")
+  }
 }

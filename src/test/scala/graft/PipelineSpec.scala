@@ -1237,4 +1237,46 @@ class PipelineSpec extends SparkTestBase {
         |FROM ranked""".stripMargin).head().getDouble(0)
     assert(math.abs(slope - -1.0) < 1e-9, s"crafted slope $slope")
   }
+
+  test("i60 DSIR: crafted corpus ranks target-like > mixed > off-target with hand-computed weights") {
+    // Target (en) doc speaks 'a b' bigrams; an off-target doc speaks
+    // 'x y'; a mixed doc speaks half of each. Hand computation:
+    //   occurrences: d0 ab3 ba2 | d1 xy3 yx2 | d2 ab2 ba1 bx1 xy1
+    //   raw: ab5 ba3 xy4 yx2 bx1; target (d0): ab3 ba2
+    //   q = round(1e6(ct+1)/(cs+1)): ab 666667, ba 750000, xy 200000,
+    //       yx 333333, bx 500000
+    //   means/1e6: d0 .7000002, d1 .2533332, d2 .5566668
+    //   cfac = (S+V)/(T+V) = (15+5)/(5+5) = 2
+    //   weights (round 4): d0 1.4, d1 .5067, d2 1.1133
+    val crafted = Seq(
+      (0L, "en", "a b a b a b"),
+      (1L, "de", "x y x y x y"),
+      (2L, "de", "a b a b x y")).toDF("doc_id", "lang", "text")
+    val got = PipelineOps.dsirImportance(crafted, topK = 3).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 2L, 1L),
+      s"rank order must be target > mixed > off-target: ${got.toSeq}")
+    val w = got.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("dsir_weight")).toMap
+    assert(w(0L) == 1.4 && w(2L) == 1.1133 && w(1L) == 0.5067,
+      s"hand-computed weights must match exactly: $w")
+  }
+
+  test("i61 power step: crafted matrix yields the exact integer X^T(Xv0)") {
+    // X = [[1, 0], [0.5, 0.5]], v0 = e0 -> Xv0 = (1, 0.5); quantized
+    // q = (1e6, 5e5). u = X^T diag-free accumulation:
+    //   u0 = 1e6*1e6 + 5e5*5e5 = 1.25e12
+    //   u1 = 0*1e6   + 5e5*5e5 = 2.5e11
+    val crafted = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val got = PipelineOps.pcaPowerStep(crafted).collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("u_q")).toMap
+    assert(got == Map(0L -> 1250000000000L, 1L -> 250000000000L),
+      s"exact integer matvec mismatch: $got")
+    // Fixture invariant: u[0] = sum of squares of the first coordinate,
+    // strictly positive on any non-degenerate corpus.
+    val fix = Registry.byId("i61_pca_power_step").build(spark, dir)
+      .filter(col("pos") === 0L).head().getAs[Long]("u_q")
+    assert(fix > 0L, "u[0] is a sum of squares, must be positive")
+  }
 }
