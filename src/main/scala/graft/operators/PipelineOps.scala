@@ -3988,8 +3988,105 @@ object PipelineOps {
                  |       e -> round(1e6 * e)::BIGINT)) AS xq
                  |   FROM embeddings)
                  | SELECT pos, sum(xq * q)::BIGINT AS u_q
-                 | FROM x GROUP BY pos ORDER BY pos""")))
+                 | FROM x GROUP BY pos ORDER BY pos"""))),
+
+    // Incremental DSIR — i60's ingest form (the i25/i36 lift): a NEW
+    // batch (doc_id ≥ 400) scores against the PERSISTED corpus state —
+    // the quantized ratio table and 1-row normalizer built from the
+    // corpus MINUS the batch, exactly what a production ingest keeps
+    // between crawls; corpus text is never re-tokenized per batch. A
+    // bigram the corpus never saw scores the add-1 prior q = 1e6
+    // (LEFT-join coalesce) — OOV text is neutral, not dropped. Scale:
+    // the batch side is small by definition, the corpus contributes
+    // only its (bk, q) table (16 bytes/bigram — the i36 band-table
+    // argument), the score join keys on 8-byte hashes, and the scoring
+    // is stateless per doc, so the streaming twin (stream-static join
+    // in StreamingSpec) is ≡ batch under ANY micro-batch split.
+    Q("i62_dsir_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (rat, cfac) = dsirState(docs.filter(col("doc_id") < 400))
+        dsirScoreAgainst(docs.filter(col("doc_id") >= 400), rat, cfac)
+      },
+      Some(sql("""WITH corp AS (
+                 |   SELECT doc_id, lang,
+                 |     unnest(list_transform(range(1, len(toks)),
+                 |       i -> toks[i] || ' ' || toks[i+1])) AS bg
+                 |   FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                 |         FROM documents WHERE doc_id < 400)),
+                 | raw AS (SELECT bg, count(*)::BIGINT AS cs FROM corp GROUP BY bg),
+                 | tgt AS (SELECT bg, count(*)::BIGINT AS ct FROM corp
+                 |   WHERE lang = 'en' GROUP BY bg),
+                 | rat AS (SELECT raw.bg,
+                 |     round(1e6 * (coalesce(ct, 0) + 1) / (cs + 1))::BIGINT AS q
+                 |   FROM raw LEFT JOIN tgt ON raw.bg = tgt.bg),
+                 | sv AS (SELECT sum(cs)::DOUBLE AS s_tot, count(*)::DOUBLE AS v FROM raw),
+                 | tv AS (SELECT count(*)::DOUBLE AS t_tot FROM corp WHERE lang = 'en'),
+                 | cf AS (SELECT (s_tot + v) / (t_tot + v) AS cfac FROM sv, tv),
+                 | bocc AS (
+                 |   SELECT doc_id,
+                 |     unnest(list_transform(range(1, len(toks)),
+                 |       i -> toks[i] || ' ' || toks[i+1])) AS bg
+                 |   FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 |         FROM documents WHERE doc_id >= 400)),
+                 | sp AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                 |     sum(coalesce(q, 1000000))::BIGINT AS sq
+                 |   FROM bocc LEFT JOIN rat ON bocc.bg = rat.bg GROUP BY doc_id)
+                 | SELECT doc_id, n_bigrams,
+                 |   round(sq::DOUBLE / n_bigrams / 1e6 * cfac, 4) AS dsir_weight
+                 | FROM sp, cf ORDER BY doc_id""")))
   )
+
+  /** The i60 count-side state as persistable tables: the quantized
+    * ratio table (bk, q) and the 1-row smoothing normalizer (cfac) —
+    * what a production ingest keeps between crawls (the i36 premise).
+    * Factored so the batch entry (i62), the streaming twin, and the
+    * law tests provably score against the same state definition.
+    */
+  def dsirState(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val occ = corpus
+      .select(col("lang"), explode(gramZip(col("text"), 2)).as("z"))
+      .select(col("lang"), xxhash64(col("z.0"), col("z.1")).as("bk"))
+      .localCheckpoint(true)
+    val raw = occ.groupBy(col("bk")).agg(count(lit(1)).as("cs"))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy(col("bk")).agg(count(lit(1)).as("ct"))
+    val rat = raw.join(tgt, Seq("bk"), "left")
+      .select(col("bk"),
+        round(lit(1e6) * (coalesce(col("ct"), lit(0L)) + lit(1L))
+          / (col("cs") + lit(1L))).cast("long").as("q"))
+    val sv = raw.agg(sum(col("cs")).cast("double").as("s_tot"),
+      count(lit(1)).cast("double").as("v"))
+    val tv = occ.filter(col("lang") === "en")
+      .agg(count(lit(1)).cast("double").as("t_tot"))
+    val cfac = sv.crossJoin(broadcast(tv))
+      .select(((col("s_tot") + col("v")) / (col("t_tot") + col("v")))
+        .as("cfac"))
+    (rat, cfac)
+  }
+
+  /** Score a batch against a persisted (rat, cfac) state — the i62
+    * apply side, shared verbatim by the batch registry entry and the
+    * StreamingSpec stream-static twin. A bigram the corpus has never
+    * seen scores the add-1 prior (0+1)/(0+1) = 1 → q = 1e6 (the LEFT
+    * join's coalesce), so out-of-vocabulary text is neutral, not
+    * dropped. Stateless per doc: any micro-batch split scores
+    * identically to the batch run.
+    */
+  def dsirScoreAgainst(batch: DataFrame, rat: DataFrame,
+      cfac: DataFrame): DataFrame =
+    batch
+      .select(col("doc_id"), explode(gramZip(col("text"), 2)).as("z"))
+      .select(col("doc_id"), xxhash64(col("z.0"), col("z.1")).as("bk"))
+      .join(rat, Seq("bk"), "left")
+      .select(col("doc_id"), coalesce(col("q"), lit(1000000L)).as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .crossJoin(broadcast(cfac))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sq").cast("double") / col("n_bigrams") / lit(1e6)
+          * col("cfac"), 4).as("dsir_weight"))
+      .orderBy("doc_id")
 
   /** The i60 pipeline over any (doc_id, lang, text) frame — factored so
     * PipelineSpec can assert the hand-computed weights on a crafted

@@ -806,6 +806,36 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, Registry.byId("i52_pack_incremental").build(spark, dir))
   }
 
+  test("streaming DSIR importance ingest == batch i62 (stream vs persisted count state)") {
+    // The importance screen at INGEST time: the corpus's quantized
+    // ratio table and 1-row normalizer sit STATIC (the persisted state
+    // a production ingest keeps between crawls — the i36 premise), and
+    // each arriving doc scores against them via a per-batch join.
+    // Scoring is stateless per doc (each doc's bigrams ride its own
+    // row), so a SHUFFLED feed under any micro-batch split reproduces
+    // batch i62 exactly — the same state definition feeds both paths
+    // through the shared dsirState/dsirScoreAgainst factoring.
+    val docs = Tables.load(spark, dir, "documents")
+    val (rat0, cfac0) = PipelineOps.dsirState(docs.filter(col("doc_id") < 400))
+    val rat = rat0.localCheckpoint(true)
+    val cfac = cfac0.localCheckpoint(true)
+    val feed = new scala.util.Random(31).shuffle(
+      docs.filter(col("doc_id") >= 400)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq)
+    val scored = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    Replay.runForeach(spark, feed, 4, OutputMode.Append())(ds =>
+      ds.toDF("doc_id", "text")) { (df, _) =>
+      if (!df.isEmpty)
+        scored ++= PipelineOps.dsirScoreAgainst(
+          df.select("doc_id", "text"), rat, cfac).collect()
+    }
+    val want = Registry.byId("i62_dsir_incremental").build(spark, dir)
+    val got = spark.createDataFrame(
+      spark.sparkContext.parallelize(scored.toSeq), want.schema)
+    assertSameRows(got, want)
+    assert(want.count() > 0, "the batch slice must be non-empty")
+  }
+
   test("streaming vocab-coverage screen == batch i50 (stateless broadcast vocab)") {
     // The coverage screen at INGEST time: the top-V vocab sits
     // static in one broadcast row and each arriving doc is scored
