@@ -1242,6 +1242,34 @@ object RelationalOps {
                  | GROUP BY o_year
                  | ORDER BY o_year"""))),
 
+    // The TPC-H Q6 shape (forecasting revenue change): the SCAN-ONLY
+    // aggregate archetype — no join, no group, one row out; its entire
+    // value is plan hygiene: every predicate (date window, discount
+    // band, quantity cap) must reach the parquet scan's PushedFilters
+    // and the projection must prune to the 4 referenced columns, so at
+    // 100 TB the job reads row-group statistics + 4 columns, nothing
+    // else. The discount band uses exact DECIMAL(18,4) bounds — a
+    // double BETWEEN on 0.05/0.07 literals risks representation-edge
+    // flips; the cast compares cents-exact on both engines.
+    Q("b25_sql_q6",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                |  COUNT(*) AS n_items
+                |FROM v_lineitem
+                |WHERE l_shipdate >= DATE '1996-01-01'
+                |  AND l_shipdate < DATE '1997-01-01'
+                |  AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN CAST(0.05 AS DECIMAL(18,4)) AND CAST(0.07 AS DECIMAL(18,4))
+                |  AND l_quantity < 24""".stripMargin)
+      },
+      Some(sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                 | COUNT(*) AS n_items
+                 | FROM lineitem
+                 | WHERE l_shipdate >= DATE '1996-01-01'
+                 |   AND l_shipdate < DATE '1997-01-01'
+                 |   AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN CAST(0.05 AS DECIMAL(18,4)) AND CAST(0.07 AS DECIMAL(18,4))
+                 |   AND l_quantity < 24"""))),
+
     // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
     // an initial snapshot (every customer starts at attr 'NONE') merged
     // with a change stream (each order stamps its priority as the
