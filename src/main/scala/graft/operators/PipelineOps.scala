@@ -951,6 +951,13 @@ object PipelineOps {
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
       markerScore(col("text"), Seq("a", "the")).as("n_stop"))
 
+  /** (doc_id, n_tok, quality) — the i53/i63 scoring frame, factored so
+    * the budget-selection law test runs the registry's code path.
+    */
+  private[graft] def docTokQuality(docs: DataFrame): DataFrame =
+    docTokStats(docs).select(col("doc_id"), col("n_tok"),
+      qualityExpr.as("quality"))
+
   /** The j2 quality formula over docTokStats columns — kept as ONE shared
     * expression so j2 and i17 can never drift (the oracle reproduces the
     * identical op order, so the rounded doubles bit-agree cross-engine).
@@ -3989,6 +3996,51 @@ object PipelineOps {
                  |   FROM embeddings)
                  | SELECT pos, sum(xq * q)::BIGINT AS u_q
                  | FROM x GROUP BY pos ORDER BY pos"""))),
+
+    // Budget-capped selection — the delivery question i53 orders but
+    // never cuts: which docs make the training run when the token
+    // budget is B = total/3? Greedy best-first by the SAME j2/i53
+    // quality expression, resolved at SCORE-LEVEL granularity (a level
+    // is in iff the whole level fits the remaining budget): the 3dp
+    // score's ≤1001-value domain turns the global greedy rank — the
+    // scale trap — into a score-level histogram: one (quality →
+    // token-sum) hash-aggregate, a running sum over ≤1001
+    // POST-aggregation rows in DESCENDING quality (the i53
+    // hygiene-compliant window), the budget as a 1-row broadcast, and
+    // the ≤1001-row keep-set broadcast back onto the corpus — the
+    // corpus shuffles once (the aggregate), text never moves.
+    // All-or-nothing per level is the deterministic contract: equal
+    // scores are indistinguishable, so a partial cut inside a level
+    // would need an arbitrary tiebreak; the budget is a soft cap and
+    // the boundary level stays out (cum ≤ B, cum including the level).
+    Q("i63_budget_select",
+      (s, dir) => {
+        val q = docTokQuality(t(s, dir, "documents"))
+        val lvl = q.groupBy(col("quality")).agg(sum(col("n_tok")).as("ltok"))
+          .withColumn("cum",
+            sum(col("ltok")).over(Window.orderBy(col("quality").desc)))
+        val budget = q.agg(expr("sum(n_tok) div 3").as("b"))
+        val keep = lvl.crossJoin(broadcast(budget))
+          .filter(col("cum") <= col("b")).select(col("quality"))
+        q.join(broadcast(keep), Seq("quality"))
+          .select(col("doc_id"), col("quality"), col("n_tok"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH st AS (SELECT doc_id,
+                 |     len(string_split(text,' '))::BIGINT AS n_tok,
+                 |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |   FROM documents),
+                 | q AS (SELECT doc_id, n_tok,
+                 |     round(least(n_tok/100.0, 1.0)*0.4 + (n_uniq/n_tok)*0.3 + (1.0 - n_stop/n_tok)*0.3, 3) AS quality
+                 |   FROM st),
+                 | lvl AS (SELECT quality,
+                 |     SUM(sum(n_tok)) OVER (ORDER BY quality DESC)::BIGINT AS cum
+                 |   FROM q GROUP BY quality),
+                 | b AS (SELECT (sum(n_tok) // 3)::BIGINT AS b FROM q),
+                 | keep AS (SELECT quality FROM lvl, b WHERE cum <= b.b)
+                 | SELECT doc_id, quality, n_tok FROM q JOIN keep USING (quality)
+                 | ORDER BY doc_id"""))),
 
     // Incremental DSIR — i60's ingest form (the i25/i36 lift): a NEW
     // batch (doc_id ≥ 400) scores against the PERSISTED corpus state —

@@ -1279,4 +1279,29 @@ class PipelineSpec extends SparkTestBase {
       .filter(col("pos") === 0L).head().getAs[Long]("u_q")
     assert(fix > 0L, "u[0] is a sum of squares, must be positive")
   }
+
+  test("i63 budget selection: within budget, level-maximal, quality-monotone") {
+    val sel = Registry.byId("i63_budget_select").build(spark, dir).collect()
+    val q = PipelineOps.docTokQuality(Tables.load(spark, dir, "documents"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("quality"), r.getAs[Long]("n_tok")))
+    val budget = q.map(_._3).sum / 3
+    val selIds = sel.map(_.getAs[Long]("doc_id")).toSet
+    // Conservation: the selection fits the budget.
+    val used = sel.map(_.getAs[Long]("n_tok")).sum
+    assert(used <= budget, s"selection $used must fit budget $budget")
+    // Maximality at level granularity: the best excluded LEVEL would
+    // not have fit on top of the selection.
+    val excluded = q.filterNot(t => selIds(t._1))
+    assert(excluded.nonEmpty && sel.nonEmpty, "the cut must bite both ways")
+    val bestExcl = excluded.map(_._2).max
+    val bestExclTok = excluded.filter(_._2 == bestExcl).map(_._3).sum
+    assert(used + bestExclTok > budget,
+      s"adding the best excluded level ($bestExcl, $bestExclTok tok) must overflow")
+    // Quality monotonicity: keep-set is a prefix of the score order —
+    // no excluded doc outranks any selected doc.
+    val minSel = sel.map(_.getAs[Double]("quality")).min
+    assert(bestExcl < minSel,
+      s"excluded quality $bestExcl must sit strictly below selected min $minSel")
+  }
 }

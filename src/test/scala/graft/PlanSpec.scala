@@ -935,6 +935,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"Q6 must plan no join at all:\n$p")
   }
 
+  test("i63: the budget window runs on the post-aggregation level table; joins broadcast") {
+    val p = plan(Registry.byId("i63_budget_select").build(spark, dir))
+    // The running sum must sit ABOVE a hash aggregate (the ≤1001-row
+    // level table), never over the raw corpus — the i53 histogram rule.
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+      s"window must consume an aggregated frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"keep-set and budget joins must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the keep-set must come back as a broadcast:\n$p")
+  }
+
   test("i62: the batch side is the only parquet scan; the state reads materialized tables") {
     val p = plan(Registry.byId("i62_dsir_incremental").build(spark, dir))
     val scans = "FileScan parquet".r.findAllIn(p).size
