@@ -4042,6 +4042,44 @@ object PipelineOps {
                  | SELECT doc_id, quality, n_tok FROM q JOIN keep USING (quality)
                  | ORDER BY doc_id"""))),
 
+    // Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    // 1998, the consistent placement a 100 TB corpus store needs when
+    // the shard count changes: each doc goes to argmax over shards of
+    // md5("shard:s:doc_id"), so growing S=4 → S=5 moves ONLY the docs
+    // the NEW shard wins (expected 1/5) and every mover lands ON the
+    // new shard — no doc ever moves between two old shards (a mod-S
+    // assignment reshuffles (S-1)/S of the corpus instead; PipelineSpec
+    // pins the exact law). The argmax is an IN-ROW array_max over a
+    // constant S-struct array — map-only, zero shuffle but the output
+    // sort, the i54 rule; at any S the weights need no coordination,
+    // no ring state, no lookup table — the whole "cluster membership"
+    // is the literal shard count.
+    Q("i64_rendezvous_shard",
+      (s, dir) => {
+        def w(sh: Int) = conv(substring(md5(concat(lit(s"shard:$sh:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+        def shard(n: Int) = array_max(array((0 until n).map(sh =>
+          struct(w(sh).as("w"), lit(sh).cast("long").as("s"))): _*))
+          .getField("s")
+        t(s, dir, "documents")
+          .select(col("doc_id"), shard(4).as("shard4"), shard(5).as("shard5"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH w AS (SELECT doc_id, s,
+                 |     ('0x' || substr(md5('shard:' || CAST(s AS VARCHAR) || ':'
+                 |       || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS w
+                 |   FROM documents, range(0, 5) t(s)),
+                 | a4 AS (SELECT doc_id, s AS shard4 FROM (
+                 |     SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                 |       ORDER BY w DESC, s DESC) AS rn FROM w WHERE s < 4)
+                 |   WHERE rn = 1),
+                 | a5 AS (SELECT doc_id, s AS shard5 FROM (
+                 |     SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                 |       ORDER BY w DESC, s DESC) AS rn FROM w)
+                 |   WHERE rn = 1)
+                 | SELECT doc_id, shard4::BIGINT AS shard4, shard5::BIGINT AS shard5
+                 | FROM a4 JOIN a5 USING (doc_id) ORDER BY doc_id"""))),
+
     // Incremental DSIR — i60's ingest form (the i25/i36 lift): a NEW
     // batch (doc_id ≥ 400) scores against the PERSISTED corpus state —
     // the quantized ratio table and 1-row normalizer built from the

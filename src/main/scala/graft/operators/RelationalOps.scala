@@ -1270,6 +1270,39 @@ object RelationalOps {
                  |   AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN CAST(0.05 AS DECIMAL(18,4)) AND CAST(0.07 AS DECIMAL(18,4))
                  |   AND l_quantity < 24"""))),
 
+    // The TPC-H Q12 shape (shipping-mode priority split), adapted to the
+    // fixture's columns (l_returnflag stands in for shipmode; lateness =
+    // shipped > 90 days after order — no receipt/commit dates): the DUAL
+    // CONDITIONAL COUNT form where the CASE discriminates on the OTHER
+    // table's column (o_orderpriority) while grouping on the fact side —
+    // both counts come out of one aggregation pass over one join; the
+    // cross-table lateness inequality can't push to either scan, so it
+    // rides the join as a post-join filter while the per-side IsNotNulls
+    // still prune. Pure integer counts — no float anywhere.
+    Q("b26_sql_q12",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT l.l_returnflag,
+                |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                |      THEN 1 ELSE 0 END) AS high_line_count,
+                |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                |      THEN 1 ELSE 0 END) AS low_line_count
+                |FROM v_orders o JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+                |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                |GROUP BY l.l_returnflag
+                |ORDER BY l.l_returnflag""".stripMargin)
+      },
+      Some(sql("""SELECT l.l_returnflag,
+                 | SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 |     THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                 | SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 |     THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+                 | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                 | WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                 | GROUP BY l.l_returnflag
+                 | ORDER BY l.l_returnflag"""))),
+
     // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
     // an initial snapshot (every customer starts at attr 'NONE') merged
     // with a change stream (each order stamps its priority as the

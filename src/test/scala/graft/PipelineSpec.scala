@@ -1304,4 +1304,22 @@ class PipelineSpec extends SparkTestBase {
     assert(bestExcl < minSel,
       s"excluded quality $bestExcl must sit strictly below selected min $minSel")
   }
+
+  test("i64 rendezvous: growing 4->5 shards moves docs ONLY onto the new shard") {
+    val rows = Registry.byId("i64_rendezvous_shard").build(spark, dir).collect()
+    val moved = rows.filter(r => r.getAs[Long]("shard4") != r.getAs[Long]("shard5"))
+    // The minimal-disruption law, EXACT: a doc's weights for shards
+    // 0..3 are unchanged by adding shard 4, so the argmax can only
+    // change if the NEW shard wins — no doc ever moves between two
+    // old shards (a mod-S scheme reshuffles (S-1)/S of the corpus).
+    assert(moved.nonEmpty, "some docs must land on the new shard")
+    assert(moved.forall(_.getAs[Long]("shard5") == 4L),
+      s"every mover must land ON shard 4: ${moved.take(3).toSeq}")
+    // Expected move fraction is 1/5; bound it loosely (md5 uniformity).
+    val frac = moved.length.toDouble / rows.length
+    assert(frac > 0.05 && frac < 0.4, s"move fraction $frac far from 1/5")
+    // Balance sanity: every old shard owns someone under S=4.
+    assert(rows.map(_.getAs[Long]("shard4")).distinct.sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+  }
 }

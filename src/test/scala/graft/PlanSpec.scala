@@ -950,6 +950,26 @@ class PlanSpec extends SparkTestBase {
       s"the keep-set must come back as a broadcast:\n$p")
   }
 
+  test("i64: rendezvous assignment is map-only — no hash Exchange, no join") {
+    val p = plan(Registry.byId("i64_rendezvous_shard").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the in-row argmax must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere in the assignment:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+  }
+
+  test("b26: both conditional counts come from one aggregation pass over one join") {
+    val p = plan(Registry.byId("b26_sql_q12").build(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected orders+lineitem scans only, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the lateness inequality must ride the equi-join:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs == 2, s"expected ONE partial+final aggregate pair, got $aggs:\n$p")
+  }
+
   test("i62: the batch side is the only parquet scan; the state reads materialized tables") {
     val p = plan(Registry.byId("i62_dsir_incremental").build(spark, dir))
     val scans = "FileScan parquet".r.findAllIn(p).size
