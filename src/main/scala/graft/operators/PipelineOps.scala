@@ -951,6 +951,19 @@ object PipelineOps {
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
       markerScore(col("text"), Seq("a", "the")).as("n_stop"))
 
+  /** The i64 placement over any frame with a doc_id — a pure per-row
+    * projection (the j7 rule), factored so the registry entry, the law
+    * test, and the StreamingSpec twin share one definition.
+    */
+  def rendezvousShards(docs: DataFrame): DataFrame = {
+    def w(sh: Int) = conv(substring(md5(concat(lit(s"shard:$sh:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    def shard(n: Int) = array_max(array((0 until n).map(sh =>
+      struct(w(sh).as("w"), lit(sh).cast("long").as("s"))): _*))
+      .getField("s")
+    docs.select(col("doc_id"), shard(4).as("shard4"), shard(5).as("shard5"))
+  }
+
   /** (doc_id, n_tok, quality) — the i53/i63 scoring frame, factored so
     * the budget-selection law test runs the registry's code path.
     */
@@ -4055,16 +4068,7 @@ object PipelineOps {
     // no ring state, no lookup table — the whole "cluster membership"
     // is the literal shard count.
     Q("i64_rendezvous_shard",
-      (s, dir) => {
-        def w(sh: Int) = conv(substring(md5(concat(lit(s"shard:$sh:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
-        def shard(n: Int) = array_max(array((0 until n).map(sh =>
-          struct(w(sh).as("w"), lit(sh).cast("long").as("s"))): _*))
-          .getField("s")
-        t(s, dir, "documents")
-          .select(col("doc_id"), shard(4).as("shard4"), shard(5).as("shard5"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => rendezvousShards(t(s, dir, "documents")).orderBy("doc_id"),
       Some(sql("""WITH w AS (SELECT doc_id, s,
                  |     ('0x' || substr(md5('shard:' || CAST(s AS VARCHAR) || ':'
                  |       || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS w

@@ -854,6 +854,21 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming rendezvous sharding == batch i64 (stateless, arrival-order free)") {
+    // Placement is a pure per-row projection of doc_id (the j7 rule):
+    // the SAME expression maps over each micro-batch with no state
+    // store, and a shuffled feed reproduces the batch assignment
+    // exactly — the property that makes rendezvous placement usable at
+    // ingest time (a new doc's shard needs no coordination).
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(43).shuffle(docs)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.rendezvousShards(ds.toDF("doc_id", "source")))
+    val want = Registry.byId("i64_rendezvous_shard").build(spark, dir)
+    assertSameRows(got, want)
+  }
+
   test("streaming PII scrub == batch j7 (stateless, arrival-order free)") {
     // Redaction is a pure per-row projection: the SAME expression maps
     // over each micro-batch with no state store, and a shuffled feed
