@@ -951,6 +951,39 @@ object PipelineOps {
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
       markerScore(col("text"), Seq("a", "the")).as("n_stop"))
 
+  /** The j15 pairwise TVD over any (source, text) frame — factored so
+    * PipelineSpec can pin the metric laws (identical → 0, disjoint → 1)
+    * on crafted corpora through the registry's code path.
+    */
+  def sourceTvd(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"), xxhash64(col("w")).as("tk"))
+      .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val pairs = tot.select(col("source").as("s1"), col("n").as("n1"))
+      .join(broadcast(tot.select(col("source").as("s2"), col("n").as("n2"))),
+        col("s1") < col("s2"))
+    val bth = cnt.select(col("source").as("s1"), col("tk"), col("c").as("c1"))
+      .join(cnt.select(col("source").as("s2"), col("tk"), col("c").as("c2")),
+        Seq("tk"))
+      .filter(col("s1") < col("s2"))
+      .join(broadcast(tot.select(col("source").as("s1"), col("n").as("tn1"))), "s1")
+      .join(broadcast(tot.select(col("source").as("s2"), col("n").as("tn2"))), "s2")
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(abs(col("c1") * col("tn2") - col("c2") * col("tn1"))).as("sabs"),
+        sum(col("c1")).as("sb1"), sum(col("c2")).as("sb2"))
+    pairs.join(bth, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        round((coalesce(col("sabs"), lit(0L))
+          + (col("n1") - coalesce(col("sb1"), lit(0L))) * col("n2")
+          + (col("n2") - coalesce(col("sb2"), lit(0L))) * col("n1"))
+          .cast("double")
+          / (lit(2) * col("n1") * col("n2")).cast("double"), 6).as("tvd"))
+      .orderBy("s1", "s2")
+  }
+
   /** The i64 placement over any frame with a doc_id — a pure per-row
     * projection (the j7 rule), factored so the registry entry, the law
     * test, and the StreamingSpec twin share one definition.
@@ -4054,6 +4087,51 @@ object PipelineOps {
                  | keep AS (SELECT quality FROM lvl, b WHERE cum <= b.b)
                  | SELECT doc_id, quality, n_tok FROM q JOIN keep USING (quality)
                  | ORDER BY doc_id"""))),
+
+    // Source-pair distribution divergence — the redundancy diagnostic a
+    // mixture designer (i58) reads next: TOTAL-VARIATION distance
+    // between every two sources' unigram distributions, TVD(p,q) =
+    // ½Σ|p_t − q_t|. The cross-engine trick: with p_t = c1/N1, q_t =
+    // c2/N2, every term cross-multiplies to the EXACT integer
+    // |c1·N2 − c2·N1| over the constant denominator N1·N2 — no float
+    // sum, no ln (the i26 rule); tokens present in only one source
+    // contribute (N1−Σboth c1)·N2 + (N2−Σboth c2)·N1 via totals, so
+    // the inner token join plus two aggregates covers the full outer
+    // sum. One double division per pair, rounded. The pair spine is
+    // the 20-row totals frame joined to itself (s1<s2) so pairs with
+    // DISJOINT vocabularies still appear (TVD = 1) — an inner-join
+    // drive would silently drop exactly the most-divergent pairs.
+    // Scale: counts hash-aggregate once ((source, tk) keys, map-side
+    // combine) and MATERIALIZE once for both join sides (the
+    // nearDupPairs rule); the token join keys on 8-byte hashes and is
+    // vocabulary-×-source bounded, never corpus-bounded; totals (K
+    // rows) broadcast; output is K² pairs. Overflow honesty: c·N needs
+    // < 2⁶³ — fine to ~3·10⁹ tokens/source; a 100 TB corpus first
+    // quantizes counts to per-mille probabilities (the i23 rule),
+    // which preserves the integer-exactness argument at any scale.
+    Q("j15_source_divergence",
+      (s, dir) => sourceTvd(t(s, dir, "documents")),
+      Some(sql("""WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 |   FROM documents),
+                 | cnt AS (SELECT source, w, count(*)::BIGINT AS c
+                 |   FROM occ GROUP BY source, w),
+                 | tot AS (SELECT source, sum(c)::BIGINT AS n FROM cnt GROUP BY source),
+                 | pairs AS (SELECT t1.source AS s1, t1.n AS n1,
+                 |     t2.source AS s2, t2.n AS n2
+                 |   FROM tot t1 JOIN tot t2 ON t1.source < t2.source),
+                 | bth AS (SELECT a.source AS s1, b.source AS s2,
+                 |     sum(abs(a.c * tb.n - b.c * ta.n))::BIGINT AS sabs,
+                 |     sum(a.c)::BIGINT AS sb1, sum(b.c)::BIGINT AS sb2
+                 |   FROM cnt a JOIN cnt b ON a.w = b.w AND a.source < b.source
+                 |     JOIN tot ta ON ta.source = a.source
+                 |     JOIN tot tb ON tb.source = b.source
+                 |   GROUP BY a.source, b.source)
+                 | SELECT s1, s2,
+                 |   round((coalesce(sabs, 0) + (n1 - coalesce(sb1, 0)) * n2
+                 |       + (n2 - coalesce(sb2, 0)) * n1)::DOUBLE
+                 |     / (2 * n1 * n2)::DOUBLE, 6) AS tvd
+                 | FROM pairs LEFT JOIN bth USING (s1, s2)
+                 | ORDER BY s1, s2"""))),
 
     // Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
     // 1998, the consistent placement a 100 TB corpus store needs when

@@ -1322,4 +1322,30 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("shard4")).distinct.sorted.toSeq ==
       Seq(0L, 1L, 2L, 3L))
   }
+
+  test("j15 TVD laws: identical sources -> 0, disjoint -> 1, fixture bounded in (0,1)") {
+    // Metric endpoints on a crafted corpus through the registry's code
+    // path: sources A and B share one distribution (TVD 0), C is
+    // token-disjoint from both (TVD 1), D overlaps A halfway: p_A =
+    // (½,½) on (x,y), p_D = (½,½) on (y,z) -> TVD = ½(½+0+½)... = 0.5.
+    val crafted = Seq(
+      (0L, "A", "x y x y"),
+      (1L, "B", "x x y y"),
+      (2L, "C", "w w w w"),
+      (3L, "D", "y z y z")).toDF("doc_id", "source", "text")
+    val got = PipelineOps.sourceTvd(crafted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("tvd"))
+      .toMap
+    assert(got(("A", "B")) == 0.0, s"identical distributions: $got")
+    assert(got(("A", "C")) == 1.0 && got(("B", "C")) == 1.0,
+      s"disjoint vocabularies: $got")
+    assert(got(("A", "D")) == 0.5, s"half-overlap: $got")
+    // Fixture sanity: every pair lands strictly inside [0, 1] and the
+    // full 190-pair matrix materializes.
+    val fix = Registry.byId("j15_source_divergence").build(spark, dir).collect()
+    assert(fix.length == 190)
+    assert(fix.forall { r =>
+      val t = r.getAs[Double]("tvd"); t >= 0.0 && t <= 1.0
+    })
+  }
 }
