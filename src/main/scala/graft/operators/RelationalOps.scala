@@ -1502,6 +1502,36 @@ object RelationalOps {
                  | unnest(list_sort(string_split(p_name, ' '))) AS token
                  | FROM part ORDER BY p_partkey, token"""))),
 
+    // Lambda higher-order functions — the in-row compute surface that
+    // replaces per-row UDFs (the "functions, not UDFs" rule: these stay
+    // inside whole-stage codegen; a Scala UDF boxes every row). filter,
+    // transform+aggregate (fold), exists, and zip_with each with a
+    // DuckDB list_* twin; every output is an integer, boolean, or
+    // joined string — no float, no collection-order ambiguity (the
+    // slice is position-stable, never a set).
+    Q("g10_higher_order_funcs",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(filter(toks, t => length(t) >= 5)).cast("long").as("n_long"),
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+              .as("char_sum"),
+            exists(toks, t => t === "the").as("has_the"),
+            array_join(zip_with(slice(toks, 1, 3), slice(toks, 2, 3),
+              (a, b) => concat(a, lit(">"), b)), ",").as("bigram_head"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 |   FROM documents)
+                 | SELECT doc_id,
+                 |   len(list_filter(toks, t -> len(t) >= 5))::BIGINT AS n_long,
+                 |   list_sum(list_transform(toks, t -> len(t)))::BIGINT AS char_sum,
+                 |   list_contains(toks, 'the') AS has_the,
+                 |   array_to_string(list_transform(range(1, least(len(toks), 4)),
+                 |     i -> toks[i] || '>' || toks[i+1]), ',') AS bigram_head
+                 | FROM d ORDER BY doc_id"""))),
+
     // Map build + explode to sorted (key, value) rows — never emit raw
     // MapType (hash-order unstable across engines, SURVEY §7 H4).
     Q("g5_map_funcs",

@@ -970,6 +970,15 @@ class PlanSpec extends SparkTestBase {
     assert(aggs == 2, s"expected ONE partial+final aggregate pair, got $aggs:\n$p")
   }
 
+  test("g10: the HOF battery is a pure map pass — one scan, no shuffle, no join") {
+    val p = plan(Registry.byId("g10_higher_order_funcs").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"in-row lambda compute must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join anywhere:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$p")
+  }
+
   test("i62: the batch side is the only parquet scan; the state reads materialized tables") {
     val p = plan(Registry.byId("i62_dsir_incremental").build(spark, dir))
     val scans = "FileScan parquet".r.findAllIn(p).size
