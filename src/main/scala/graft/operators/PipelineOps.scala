@@ -951,6 +951,25 @@ object PipelineOps {
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
       markerScore(col("text"), Seq("a", "the")).as("n_stop"))
 
+  /** The j16 concentration index over any (source, text) frame —
+    * factored so PipelineSpec can pin the metric endpoints (uniform
+    * over k types → 1−1/k, single-token collapse → 0) on crafted
+    * corpora through the registry's code path.
+    */
+  def tokenGini(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"), xxhash64(col("w")).as("tk"))
+      .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tok"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("source"), col("n_types"), col("n_tok"),
+        round(lit(1.0) - col("ss").cast("double")
+          / (col("n_tok") * col("n_tok")).cast("double"), 6)
+          .as("gini_diversity"))
+      .orderBy("source")
+
   /** The j15 pairwise TVD over any (source, text) frame — factored so
     * PipelineSpec can pin the metric laws (identical → 0, disjoint → 1)
     * on crafted corpora through the registry's code path.
@@ -4132,6 +4151,28 @@ object PipelineOps {
                  |     / (2 * n1 * n2)::DOUBLE, 6) AS tvd
                  | FROM pairs LEFT JOIN bth USING (s1, s2)
                  | ORDER BY s1, s2"""))),
+
+    // Per-source token concentration — the Simpson/Gini diversity index
+    // 1 − Σp², j15's within-source companion (j15 compares sources,
+    // this flags a source whose own distribution collapsed to template
+    // spam: concentration → 1 means a few tokens dominate). The same
+    // exactness trick: with p = c/N the index is 1 − Σc²/N² — Σc² is
+    // an exact int64 (c ≤ N ≤ ~3·10⁹ before overflow; a 100 TB corpus
+    // quantizes counts first, the i23 rule), one double division per
+    // source, rounded. Plan: the (source, tk) count aggregate, then a
+    // K-row per-source rollup — two hash aggregates on narrowing keys,
+    // map-side combined, nothing else.
+    Q("j16_token_gini",
+      (s, dir) => tokenGini(t(s, dir, "documents")),
+      Some(sql("""WITH cnt AS (SELECT source, w, count(*)::BIGINT AS c
+                 |   FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                 |         FROM documents)
+                 |   GROUP BY source, w)
+                 | SELECT source, count(*)::BIGINT AS n_types,
+                 |   sum(c)::BIGINT AS n_tok,
+                 |   round(1.0 - sum(c * c)::DOUBLE
+                 |     / (sum(c)::BIGINT * sum(c)::BIGINT)::DOUBLE, 6) AS gini_diversity
+                 | FROM cnt GROUP BY source ORDER BY source"""))),
 
     // Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
     // 1998, the consistent placement a 100 TB corpus store needs when

@@ -1348,4 +1348,17 @@ class PipelineSpec extends SparkTestBase {
       val t = r.getAs[Double]("tvd"); t >= 0.0 && t <= 1.0
     })
   }
+
+  test("j16 Gini endpoints: uniform over k types -> 1-1/k, single-token collapse -> 0") {
+    val crafted = Seq(
+      (0L, "U", "a b c d"),          // uniform over 4 -> 1 - 4/16 = 0.75
+      (1L, "S", "spam spam spam"),   // collapsed -> 0
+      (2L, "M", "a a a b")).toDF("doc_id", "source", "text")
+      // M: (3/4)^2 + (1/4)^2 = 10/16 -> 0.375
+    val got = PipelineOps.tokenGini(crafted).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("gini_diversity")).toMap
+    assert(got("U") == 0.75 && got("S") == 0.0 && got("M") == 0.375,
+      s"endpoint mismatch: $got")
+  }
 }
