@@ -114,6 +114,27 @@ object StreamingOps {
         col("e_ts").cast("timestamp_ntz").as("e_ts"))
   }
 
+  /** h9: the per-window LEADERBOARD over the h1 counts — top-2 event
+    * types per 1 h tumbling window (count desc, type asc — total order
+    * under ties). Factored as the RANK STAGE over any (ws, event_type,
+    * cnt) frame: batch ranks the one-shot aggregate; the streaming
+    * leaderboard ranks the continuously-maintained complete-mode count
+    * table in foreachBatch (StreamingSpec asserts final snapshot ≡
+    * batch). The rank window partitions BY WINDOW — at scale each
+    * window's frame is |event types|, never the event stream, and the
+    * counts arrive pre-aggregated from the h1 shuffle.
+    */
+  def windowTopK(counts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("ws"))
+          .orderBy(col("cnt").desc, col("event_type").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("ws"), col("rnk").cast("long").as("rnk"),
+        col("event_type"), col("cnt"))
+  }
+
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
   private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
 
@@ -123,6 +144,20 @@ object StreamingOps {
       Some(sql("""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt,
                  | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
                  | FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""))),
+
+    Q("h9_window_topk",
+      (s, dir) => windowTopK(tumbling(ev(s, dir)), 2)
+        .orderBy("ws", "rnk"),
+      Some(sql("""WITH c AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                 |     count(*) AS cnt,
+                 |     CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+                 |   FROM events GROUP BY 1, 2)
+                 | SELECT ws, rnk, event_type, cnt FROM (
+                 |   SELECT ws, event_type, cnt,
+                 |     row_number() OVER (PARTITION BY ws
+                 |       ORDER BY cnt DESC, event_type) AS rnk
+                 |   FROM c)
+                 | WHERE rnk <= 2 ORDER BY ws, rnk"""))),
 
     // Each event lands in exactly two 1h/30m windows: the one starting at
     // its 30-minute bucket and the one 30 minutes earlier.

@@ -36,6 +36,20 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, StreamingOps.tumbling(batchDF))
   }
 
+  test("h9 windowed leaderboard: rank over the streamed complete-mode counts == batch") {
+    // The leaderboard pattern: the count table is continuously
+    // maintained by the stream (complete mode); the top-k rank stage
+    // materializes from it per refresh — here asserted on the final
+    // snapshot. Rank is deterministic under ties (count desc, type
+    // asc), so any micro-batch split converges to the batch board.
+    val counts = Replay.run(spark, eventSeq, 5, OutputMode.Complete())(
+      ds => StreamingOps.tumbling(ds.toDF()))
+    val got = StreamingOps.windowTopK(counts, 2)
+    val want = StreamingOps.windowTopK(StreamingOps.tumbling(batchDF), 2)
+    assertSameRows(got, want)
+    assert(want.count() > 0)
+  }
+
   test("h2 sliding window: stream (complete mode) == batch") {
     val got = Replay.run(spark, eventSeq, 5, OutputMode.Complete())(
       ds => StreamingOps.sliding(ds.toDF()))
