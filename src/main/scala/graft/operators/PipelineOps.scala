@@ -4152,6 +4152,54 @@ object PipelineOps {
                  | FROM pairs LEFT JOIN bth USING (s1, s2)
                  | ORDER BY s1, s2"""))),
 
+    // FILTERED ANN — the production retrieval shape i10 stops short of:
+    // top-k under a METADATA PREDICATE (label = 1), the "filtered
+    // vector search" every RAG store serves. The predicate pushes BELOW
+    // the vector math: candidates filter on label before assignment
+    // and scoring, so the routing, the probe join, and the dot products
+    // all run on the filtered slice — at 100 TB the label predicate
+    // prunes at the scan (a parquet row-group skip), and the IVF
+    // bucket-bounding still applies within the slice. Assignment is
+    // per-vector (independent of the rest of the corpus), so
+    // filter-then-assign ≡ assign-then-filter — the oracle uses the
+    // shared full-corpus assignment CTE with the label filter at the
+    // candidate join, pinning that equivalence cross-engine.
+    Q("i65_ann_filtered",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = stubCodebook(emb, ivfParams.k)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"))
+        val probe = cent.crossJoin(broadcast(qv))
+          .select(col("cid"),
+            round(VectorFunctions.dot(col("cemb"), col("qemb")), 6).as("qd"))
+          .orderBy(col("qd").desc, col("cid"))
+          .limit(ivfParams.nprobe).select("cid")
+        assignToCentroids(emb.filter(col("label") === 1), cent)
+          .join(broadcast(probe), "cid")
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      },
+      Some(sql(s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+                 | $centroidAssignCte,
+                 | probe AS (
+                 |   SELECT cid FROM (
+                 |     SELECT cid, round(sum(p), 6) AS qd
+                 |     FROM (SELECT c.cid, unnest(c.cemb)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |           FROM cent c, q)
+                 |     GROUP BY cid)
+                 |   ORDER BY qd DESC, cid LIMIT 2),
+                 | sims AS (
+                 |   SELECT vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+                 |              JOIN probe pr ON a.cid = pr.cid, q
+                 |         WHERE e.label = 1)
+                 |   GROUP BY vec_id)
+                 | SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10"""))),
+
     // Per-source token concentration — the Simpson/Gini diversity index
     // 1 − Σp², j15's within-source companion (j15 compares sources,
     // this flags a source whose own distribution collapsed to template

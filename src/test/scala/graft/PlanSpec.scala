@@ -970,6 +970,16 @@ class PlanSpec extends SparkTestBase {
     assert(aggs == 2, s"expected ONE partial+final aggregate pair, got $aggs:\n$p")
   }
 
+  test("i65: the metadata predicate prunes the candidate scan below the vector math") {
+    val p = plan(Registry.byId("i65_ann_filtered").build(spark, dir))
+    assert(p.replaceAll("\\s", "").contains("EqualTo(label,1)"),
+      s"the label predicate must reach the embeddings scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe and query joins must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      s"the top-k must be a TakeOrderedAndProject:\n$p")
+  }
+
   test("g10: the HOF battery is a pure map pass — one scan, no shuffle, no join") {
     val p = plan(Registry.byId("g10_higher_order_funcs").build(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"),
