@@ -672,6 +672,62 @@ object LlmOps {
                   | WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> canon_id)
                   | ORDER BY doc_id"""))),
 
+    // QUALITY-canonical dedup apply — i18 with the canonical rule a
+    // curation pipeline actually wants: each near-dup cluster keeps its
+    // BEST-QUALITY member (the shared j2/i53 quality expression; doc_id
+    // breaks exact-quality ties), not its min-id one — when a crawl
+    // picks up the same article as clean text and as boilerplate-wrapped
+    // scrape, min-id keeps whichever arrived first, this keeps the
+    // clean one. Same pair graph + star-contraction resolution as
+    // i15/i18; the quality join moves (doc_id, double) pairs only; the
+    // per-cluster argmax is a window PARTITIONED by canon_id —
+    // cluster-bounded, never corpus-bounded (the i31 rule); the apply
+    // anti-joins 8-byte ids, text never re-shuffles. PipelineSpec pins
+    // the sibling law against i18: identical survivor COUNT (one per
+    // cluster either way), every survivor quality-dominates its
+    // cluster's min-id pick.
+    Q("i66_dedup_quality_canon",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = PipelineOps.docTokQuality(docs)
+          .select(col("doc_id"), col("quality"))
+        val drop = clusterLabels(nearDupPairs(docs))
+          .join(q, "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lbl"))
+              .orderBy(col("quality").desc, col("doc_id").asc)))
+          .filter(col("rn") > 1)
+          .select(col("doc_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                  | edges AS (
+                  |   SELECT doc_id1 AS s, doc_id2 AS d FROM nd
+                  |   UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                  | reach(doc_id, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.doc_id),
+                  | lbl AS (SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id),
+                  | st AS (SELECT doc_id,
+                  |     len(string_split(text,' '))::BIGINT AS n_tok,
+                  |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                  |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                  |   FROM documents),
+                  | qq AS (SELECT doc_id,
+                  |     round(least(n_tok/100.0, 1.0)*0.4 + (n_uniq/n_tok)*0.3 + (1.0 - n_stop/n_tok)*0.3, 3) AS quality
+                  |   FROM st),
+                  | rk AS (SELECT l.doc_id,
+                  |     row_number() OVER (PARTITION BY l.canon_id
+                  |       ORDER BY qq.quality DESC, l.doc_id) AS rn
+                  |   FROM lbl l JOIN qq ON qq.doc_id = l.doc_id),
+                  | drp AS (SELECT doc_id FROM rk WHERE rn > 1)
+                  | SELECT doc_id, source, lang FROM documents
+                  | WHERE doc_id NOT IN (SELECT doc_id FROM drp)
+                  | ORDER BY doc_id"""))),
+
     // Frequency-CAPPED dedup — the soft variant production corpora
     // actually ship (full dedup over-flattens the natural distribution;
     // C4/RefinedWeb-style pipelines keep a bounded number of copies):

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
-import graft.operators.PipelineOps
+import graft.operators.{LlmOps, PipelineOps}
 
 /** Training-pipeline operator internals: the multimodal decode plumbing
   * and sketch invariants that the DuckDB oracles can't express.
@@ -1347,6 +1347,39 @@ class PipelineSpec extends SparkTestBase {
     assert(fix.forall { r =>
       val t = r.getAs[Double]("tvd"); t >= 0.0 && t <= 1.0
     })
+  }
+
+  test("i66 sibling law vs i18: same survivor count, quality-dominant canonicals") {
+    // Both apply rules keep exactly one doc per near-dup cluster, so
+    // the survivor COUNT must be identical; and wherever the two picks
+    // differ, i66's pick must strictly quality-dominate i18's (equal
+    // quality falls back to min-id and the picks coincide).
+    val byQuality = Registry.byId("i66_dedup_quality_canon").build(spark, dir)
+    val byMinId = Registry.byId("i18_dedup_apply").build(spark, dir)
+    assert(byQuality.count() == byMinId.count(),
+      "one survivor per cluster under either rule")
+    val q = PipelineOps.docTokQuality(Tables.load(spark, dir, "documents"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("quality")).toMap
+    val qIds = byQuality.collect().map(_.getAs[Long]("doc_id")).toSet
+    val mIds = byMinId.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert((qIds -- mIds).nonEmpty,
+      "the quality rule must disagree somewhere on the fixture")
+    // The per-cluster law: each cluster's i66 pick quality-dominates
+    // its i18 pick (they coincide when qualities tie — the doc_id
+    // fallback is min-id on both sides then).
+    val clusters = LlmOps.clusterLabels(
+      LlmOps.nearDupPairs(Tables.load(spark, dir, "documents")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lbl"))
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      val ids = members.map(_._1)
+      val pickQ = ids.filter(qIds).toSeq
+      val pickM = ids.filter(mIds).toSeq
+      assert(pickQ.size == 1 && pickM.size == 1,
+        s"cluster $lbl must keep exactly one member under each rule")
+      assert(q(pickQ.head) >= q(pickM.head),
+        s"cluster $lbl: quality pick ${pickQ.head} must dominate ${pickM.head}")
+    }
   }
 
   test("j16 Gini endpoints: uniform over k types -> 1-1/k, single-token collapse -> 0") {
