@@ -184,6 +184,34 @@ class PlanSpec extends SparkTestBase {
       s"rank window over the verified pairs is back:\n$p")
   }
 
+  test("b27/b29/b31: the remaining TPC-H decorrelations never fall back to nested loops") {
+    // Q2's correlated scalar-min (with its own 4-table join chain), Q11's
+    // global-total scalar subquery, and Q20's correlated aggregates inside
+    // HAVING are the three decorrelation shapes the b11–b17 battery didn't
+    // yet cover. Each must plan as aggregate + key-equi join — a
+    // CartesianProduct or BroadcastNestedLoopJoin means Catalyst gave up
+    // and the query re-probes lineitem per outer row (fatal at 100 TB).
+    for (id <- Seq("b27_sql_q2", "b29_sql_q11", "b31_sql_q20")) {
+      val p = plan(Registry.byId(id).build(spark, dir))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$id failed to decorrelate:\n$p")
+    }
+    // Q2's top-100 must not global-sort.
+    val p2 = plan(Registry.byId("b27_sql_q2").build(spark, dir))
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"Q2 top-100 must plan as TakeOrderedAndProject:\n$p2")
+    // Q20's IN must become a semi join on s_suppkey.
+    val p20 = plan(Registry.byId("b31_sql_q20").build(spark, dir))
+    assert(p20.contains("LeftSemi"), s"Q20 IN must plan as a semi join:\n$p20")
+  }
+
+  test("b30: Q16's NOT IN plans as a null-aware anti join on the 100-row supplier side") {
+    val p = plan(Registry.byId("b30_sql_q16").build(spark, dir))
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q16 anti join degenerated:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
