@@ -956,6 +956,29 @@ object PipelineOps {
     * over k types → 1−1/k, single-token collapse → 0) on crafted
     * corpora through the registry's code path.
     */
+  /** j17's per-source Shannon entropy over any (source, text) frame —
+    * factored so PipelineSpec can pin the endpoint laws (uniform → max,
+    * collapsed → 0) on crafted corpora through the registry's code path.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"), xxhash64(col("w")).as("tk"))
+      .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
+    val hNats = log(col("n_tok").cast("double")) -
+      col("s_q") / lit(1e6) / col("n_tok")
+    cnt.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tok"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e6)).cast("long")).as("s_q"))
+      .select(col("source"), col("n_types"), col("n_tok"),
+        round(hNats / log(lit(2.0)), 4).as("entropy_bits"),
+        round(when(col("n_types") > 1,
+          hNats / log(col("n_types").cast("double")))
+          .otherwise(lit(1.0)), 4).as("norm_entropy"))
+      .orderBy("source")
+  }
+
   def tokenGini(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -3982,7 +4005,7 @@ object PipelineOps {
                  | SELECT v_total, n_total,
                  |   round((m8*sxy - sx*sy) / (m8*sxx - sx*sx), 4) AS heaps_beta
                  | FROM st""")))
-  ) ++ importanceOps
+  ) ++ importanceOps ++ sketchOps
 
   // Split out of the main Seq literal — Scala 2.13 chokes on single
   // method bodies past ~certain JVM size with this many large string
@@ -4296,6 +4319,146 @@ object PipelineOps {
                  | SELECT doc_id, n_bigrams,
                  |   round(sq::DOUBLE / n_bigrams / 1e6 * cfac, 4) AS dsir_weight
                  | FROM sp, cf ORDER BY doc_id""")))
+  )
+
+  private lazy val sketchOps: Seq[Q] = Seq(
+
+    // Count–Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+    // streaming-friendly frequency sketch a 100 TB token pipeline keeps
+    // instead of the full count table: d=3 hash rows × w=64 counters,
+    // built in ONE map-side-combined aggregate (the corpus shuffles at
+    // most d·w = 192 cells per partition, constant regardless of corpus
+    // or vocabulary size — THE point vs the exact count table, whose
+    // shuffle is vocabulary-sized). Hashes are md5-derived (row i keys
+    // token w at ('0x'+md5(i:w)[0:8]) mod 64 — the b16/i16
+    // content-addressed rule, reproducible in any engine). The estimate
+    // for a probe token is min over rows of its counter — never an
+    // undercount (PipelineSpec pins est ≥ truth); the probe set here is
+    // the exact top-20 (the eval harness — also how the sketch's
+    // overcount is measured in production), and the probe join
+    // broadcasts the 192-cell sketch. The truth side's vocab-sized
+    // aggregate exists only for this eval; the production artifact is
+    // the sketch alone.
+    Q("i67_cms_heavy_hitters",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+        def bucket(i: Column, w: Column): Column =
+          conv(substring(md5(concat(i.cast("string"), lit(":"), w)), 1, 8),
+            16, 10).cast("long") % 64
+        val rows3 = array(lit(0), lit(1), lit(2))
+        val sk = toks
+          .select(col("w"), explode(rows3).as("i"))
+          .select(col("i"), bucket(col("i"), col("w")).as("b"))
+          .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+        val top = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("w")).limit(20)
+        top
+          .select(col("w"), col("true_cnt"), explode(rows3).as("i"))
+          .withColumn("b", bucket(col("i"), col("w")))
+          .join(broadcast(sk), Seq("i", "b"))
+          .groupBy(col("w"), col("true_cnt"))
+          .agg(min(col("c")).as("est_cnt"))
+          .select(col("w"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") - col("true_cnt")).as("overcount"))
+          .orderBy(col("true_cnt").desc, col("w"))
+      },
+      Some(sql("""WITH toks AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+                 | sk AS (SELECT i, ('0x'||substr(md5(i||':'||w),1,8))::BIGINT % 64 AS b,
+                 |     count(*)::BIGINT AS c
+                 |   FROM toks, range(0,3) t(i) GROUP BY 1, 2),
+                 | top AS (SELECT w, count(*)::BIGINT AS true_cnt FROM toks GROUP BY w
+                 |   ORDER BY true_cnt DESC, w LIMIT 20),
+                 | est AS (SELECT w, true_cnt, min(c)::BIGINT AS est_cnt
+                 |   FROM (SELECT t.w, t.true_cnt, sk.c
+                 |         FROM top t, range(0,3) r(i)
+                 |         JOIN sk ON sk.i = r.i
+                 |           AND sk.b = ('0x'||substr(md5(r.i||':'||t.w),1,8))::BIGINT % 64)
+                 |   GROUP BY w, true_cnt)
+                 | SELECT w, true_cnt, est_cnt, (est_cnt - true_cnt)::BIGINT AS overcount
+                 | FROM est ORDER BY true_cnt DESC, w"""))),
+
+    // Bloom-prescreened contamination screen — i19's at-scale form: when
+    // the eval shingle set is too big to broadcast raw, its
+    // `bloom_filter_agg` bitmap (kilobytes for millions of shingles)
+    // broadcasts instead, and `might_contain` drops ~all clean train
+    // shingles BEFORE the exact confirm join ever shuffles them; the
+    // confirm join then runs only on prescreen survivors, so Bloom false
+    // positives cost a lookup, never a wrong answer. Output is
+    // IDENTICAL to i19 (same oracle SQL; PipelineSpec pins the
+    // DataFrame-level equivalence, PlanSpec pins that might_contain
+    // guards the join) — the sketch changes the plan, not the
+    // semantics. The per-doc size count aggregates the train stream
+    // separately (no join needed for it); at 100 TB the shingle table is
+    // the persisted artifact (the i36 band-table rule), so neither pass
+    // re-tokenizes.
+    Q("i68_bloom_prescreen",
+      (s, dir) => {
+        // might_contain requires its bloom input as a scalar subquery (a
+        // constant per task), so the screen is phrased in SQL: the
+        // subquery builds the bitmap once, every task probes it inline.
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(shingleZip(col("text"))).as("z"))
+          .select(col("doc_id"),
+            xxhash64(col("z.0"), col("z.1"), col("z.2")).as("sh"))
+          .distinct()
+          .createOrReplaceTempView("v_i68_sh")
+        s.sql("""WITH ev AS (SELECT DISTINCT sh FROM v_i68_sh WHERE doc_id < 50),
+                |tr AS (SELECT doc_id, sh FROM v_i68_sh WHERE doc_id >= 50),
+                |sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+                |pre AS (SELECT doc_id, sh FROM tr
+                |  WHERE graft_might_contain(
+                |    (SELECT graft_bloom_agg(sh, 10000L, 81920L) FROM ev), sh)),
+                |shd AS (SELECT doc_id, count(*) AS n_shared
+                |  FROM pre LEFT SEMI JOIN ev ON pre.sh = ev.sh GROUP BY doc_id)
+                |SELECT sz.doc_id, n_shared,
+                |  round(CAST(n_shared AS DOUBLE) / n_sh, 3) AS containment
+                |FROM sz JOIN shd ON sz.doc_id = shd.doc_id
+                |WHERE CAST(n_shared AS DOUBLE) / n_sh >= 0.2
+                |ORDER BY sz.doc_id""".stripMargin)
+      },
+      Some(sql("""WITH sh AS (
+                 |   SELECT DISTINCT doc_id,
+                 |     unnest(list_transform(range(1, len(toks)-1),
+                 |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                 |   FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+                 |         WHERE len(string_split(text,' ')) >= 3)),
+                 | ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+                 | tr AS (SELECT * FROM sh WHERE doc_id >= 50),
+                 | sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+                 | shd AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (s) GROUP BY doc_id)
+                 | SELECT sz.doc_id, n_shared,
+                 |   round(n_shared * 1.0 / n_sh, 3) AS containment
+                 | FROM sz JOIN shd ON sz.doc_id = shd.doc_id
+                 | WHERE n_shared * 1.0 / n_sh >= 0.2
+                 | ORDER BY sz.doc_id"""))),
+
+    // Per-source token Shannon entropy — j16's log-scale companion (the
+    // Rényi α→1 limit where j16 is α=2): low entropy flags template
+    // spam, near-max entropy flags random/encrypted junk; norm_entropy
+    // (H / log |V|) is the scale-free form quality pipelines threshold
+    // on. Cross-engine float hazard handled the j13 way, but exact: each
+    // type's contribution c·ln(c) is QUANTIZED to an int64 at 1e-6
+    // resolution and summed exactly (sum order can't matter), so the
+    // only float step is one final H = ln N − S/N per source — a 1-unit
+    // quantization difference moves H by 1e-6/N ≪ the round(4)
+    // contract. Plan: the (source, token-hash) count aggregate, then a
+    // per-source rollup — two map-side-combined hash aggregates on
+    // narrowing keys, the j16 shape exactly.
+    Q("j17_token_entropy",
+      (s, dir) => tokenEntropy(t(s, dir, "documents")),
+      Some(sql("""WITH cnt AS (SELECT source, w, count(*)::BIGINT AS c
+                 |   FROM (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)
+                 |   GROUP BY source, w),
+                 | per AS (SELECT source, count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_tok,
+                 |     sum(CAST(round(c * ln(c) * 1e6) AS BIGINT))::BIGINT AS s_q
+                 |   FROM cnt GROUP BY source)
+                 | SELECT source, n_types, n_tok,
+                 |   round((ln(n_tok) - s_q / 1e6 / n_tok) / ln(2), 4) AS entropy_bits,
+                 |   round(CASE WHEN n_types > 1
+                 |     THEN (ln(n_tok) - s_q / 1e6 / n_tok) / ln(n_types)
+                 |     ELSE 1.0 END, 4) AS norm_entropy
+                 | FROM per ORDER BY source""")))
   )
 
   /** The i60 count-side state as persistable tables: the quantized

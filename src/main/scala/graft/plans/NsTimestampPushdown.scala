@@ -92,5 +92,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.DotProduct.description)
     ext.injectFunction(graft.functions.PolyFingerprint.description)
     ext.injectFunction(graft.functions.AsciiSanitize.description)
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain as
+    // internal expressions (used by its own runtime-filter rule) without
+    // public SQL registration; expose them for the i68 prescreen join.
+    ext.injectFunction(GraftExtensions.bloomAggDescription)
+    ext.injectFunction(GraftExtensions.mightContainDescription)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, BloomFilterMightContain}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  val bloomAggDescription: (FunctionIdentifier,
+      ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+    (children: Seq[Expression]) => children match {
+      case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+      case Seq(c) => new BloomFilterAggregate(c)
+      case cs => throw new IllegalArgumentException(
+        s"graft_bloom_agg takes 1 or 3 arguments, got ${cs.length}")
+    }
+  )
+
+  val mightContainDescription: (FunctionIdentifier,
+      ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+      "graft_might_contain"),
+    (children: Seq[Expression]) => children match {
+      case Seq(bf, v) => BloomFilterMightContain(bf, v)
+      case cs => throw new IllegalArgumentException(
+        s"graft_might_contain takes exactly 2 arguments, got ${cs.length}")
+    }
+  )
 }

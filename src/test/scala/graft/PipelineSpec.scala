@@ -1394,4 +1394,36 @@ class PipelineSpec extends SparkTestBase {
     assert(got("U") == 0.75 && got("S") == 0.0 && got("M") == 0.375,
       s"endpoint mismatch: $got")
   }
+
+  test("i67 CMS law: the sketch never undercounts any probed token") {
+    val rows = Registry.byId("i67_cms_heavy_hitters").build(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("true_cnt"),
+        s"CMS undercounted ${r.getAs[String]("w")}")
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("est_cnt") - r.getAs[Long]("true_cnt"))
+    }
+  }
+
+  test("i68 Bloom prescreen is semantics-preserving: row-identical to i19") {
+    assertSameRows(
+      Registry.byId("i68_bloom_prescreen").build(spark, dir),
+      Registry.byId("i19_contamination").build(spark, dir))
+  }
+
+  test("j17 entropy endpoints: uniform -> max bits & norm 1, collapse -> 0, 3:1 split exact") {
+    val crafted = Seq(
+      (0L, "U", "a b c d"),          // uniform over 4 -> 2 bits, norm 1
+      (1L, "S", "spam spam spam"),   // collapsed -> 0 bits (norm 1 by the
+                                     // single-support convention)
+      (2L, "M", "a a a b")).toDF("doc_id", "source", "text")
+    val got = PipelineOps.tokenEntropy(crafted).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("entropy_bits"), r.getAs[Double]("norm_entropy"))).toMap
+    assert(got("U") == ((2.0, 1.0)), s"uniform: ${got("U")}")
+    assert(got("S") == ((0.0, 1.0)), s"collapsed: ${got("S")}")
+    // H(3/4, 1/4) = 2 - 0.75·log2(3) = 0.8113 bits; |V|=2 so norm == H.
+    assert(got("M") == ((0.8113, 0.8113)), s"split: ${got("M")}")
+  }
 }

@@ -212,6 +212,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"Q16 anti join degenerated:\n$p")
   }
 
+  test("i68: the Bloom bitmap guards the stream before the confirm semi join") {
+    val p = plan(Registry.byId("i68_bloom_prescreen").build(spark, dir))
+    assert(p.contains("might_contain"),
+      s"bloom prescreen filter missing from the plan:\n$p")
+    assert(p.contains("LeftSemi"), s"exact confirm join missing:\n$p")
+  }
+
+  test("i67: the probe side joins the 192-cell sketch as a broadcast") {
+    val p = plan(Registry.byId("i67_cms_heavy_hitters").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"sketch join must broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cross join:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
