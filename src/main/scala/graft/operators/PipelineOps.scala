@@ -956,6 +956,24 @@ object PipelineOps {
     * over k types → 1−1/k, single-token collapse → 0) on crafted
     * corpora through the registry's code path.
     */
+  private def cmsBucket(i: Column, w: Column): Column =
+    conv(substring(md5(concat(i.cast("string"), lit(":"), w)), 1, 8),
+      16, 10).cast("long") % 64
+
+  /** i67's Count–Min sketch build over any frame with a `text` column:
+    * d=3 md5-derived hash rows × w=64 counters in one map-side-combined
+    * aggregate. Factored so StreamingSpec can pin LINEARITY — CMS
+    * counters are sums, so a streaming Complete-mode aggregation over
+    * any micro-batch split merges to exactly the batch sketch (the
+    * property that lets a 100 TB ingest maintain the sketch
+    * incrementally, per-partition, and union sketches across days).
+    */
+  def cmsSketch(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .select(col("w"), explode(array(lit(0), lit(1), lit(2))).as("i"))
+      .select(col("i"), cmsBucket(col("i"), col("w")).as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+
   /** j17's per-source Shannon entropy over any (source, text) frame —
     * factored so PipelineSpec can pin the endpoint laws (uniform → max,
     * collapsed → 0) on crafted corpora through the registry's code path.
@@ -4323,6 +4341,63 @@ object PipelineOps {
 
   private lazy val sketchOps: Seq[Q] = Seq(
 
+    // k-NN majority-vote classification — the auto-labeling step a
+    // training pipeline runs to propagate a seed set's labels (topic,
+    // quality tier, domain) onto unlabeled data: each query vector takes
+    // the majority label of its 10 nearest neighbors in the labeled
+    // pool, ties broken (votes desc, label asc) so the verdict is total.
+    // This is the EXACT brute-force form over the 20-query sample — the
+    // i28 rule: ground truth on a sample is |sample|·|corpus| narrow dot
+    // products with the query batch BROADCAST (never an all-pairs corpus
+    // join); the production path labels via the same vote stage over
+    // i42's IVF-PQ candidates instead of the full pool. The per-query
+    // rank window partitions on qid (sample-bounded fan-out), the vote
+    // aggregate is 10 rows per query.
+    Q("i69_knn_classify",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("label").as("true_label"))
+        val pool = emb.filter(col("vec_id") >= 20)
+        pool.crossJoin(broadcast(q))
+          .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
+            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rn") <= 10)
+          .groupBy(col("qid"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("pick", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("votes").desc, col("label"))))
+          .filter(col("pick") === 1)
+          .select(col("qid"), col("label").as("pred_label"),
+            col("true_label"), col("votes"))
+          .orderBy("qid")
+      },
+      Some(sql("""WITH q AS (SELECT vec_id AS qid, embedding AS qemb, label AS true_label
+                 |   FROM embeddings WHERE vec_id < 20),
+                 | sims AS (SELECT qid, vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT q.qid, e.vec_id,
+                 |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e, q WHERE e.vec_id >= 20)
+                 |   GROUP BY 1, 2),
+                 | top10 AS (SELECT qid, vec_id FROM (
+                 |     SELECT qid, vec_id,
+                 |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                 |     FROM sims) WHERE rn <= 10),
+                 | votes AS (SELECT t.qid, e.label, count(*)::BIGINT AS votes
+                 |   FROM top10 t JOIN embeddings e ON t.vec_id = e.vec_id
+                 |   GROUP BY 1, 2),
+                 | pick AS (SELECT qid, label AS pred_label, votes FROM (
+                 |     SELECT qid, label, votes,
+                 |       row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+                 |     FROM votes) WHERE rn = 1)
+                 | SELECT p.qid, p.pred_label, q.true_label, p.votes
+                 | FROM pick p JOIN q ON p.qid = q.qid ORDER BY p.qid"""))),
+
     // Count–Min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
     // streaming-friendly frequency sketch a 100 TB token pipeline keeps
     // instead of the full count table: d=3 hash rows × w=64 counters,
@@ -4341,21 +4416,15 @@ object PipelineOps {
     // the sketch alone.
     Q("i67_cms_heavy_hitters",
       (s, dir) => {
-        val toks = t(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("w"))
-        def bucket(i: Column, w: Column): Column =
-          conv(substring(md5(concat(i.cast("string"), lit(":"), w)), 1, 8),
-            16, 10).cast("long") % 64
-        val rows3 = array(lit(0), lit(1), lit(2))
-        val sk = toks
-          .select(col("w"), explode(rows3).as("i"))
-          .select(col("i"), bucket(col("i"), col("w")).as("b"))
-          .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+        val docs = t(s, dir, "documents")
+        val sk = cmsSketch(docs)
+        val toks = docs.select(explode(split(col("text"), " ")).as("w"))
         val top = toks.groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
           .orderBy(col("true_cnt").desc, col("w")).limit(20)
         top
-          .select(col("w"), col("true_cnt"), explode(rows3).as("i"))
-          .withColumn("b", bucket(col("i"), col("w")))
+          .select(col("w"), col("true_cnt"),
+            explode(array(lit(0), lit(1), lit(2))).as("i"))
+          .withColumn("b", cmsBucket(col("i"), col("w")))
           .join(broadcast(sk), Seq("i", "b"))
           .groupBy(col("w"), col("true_cnt"))
           .agg(min(col("c")).as("est_cnt"))

@@ -226,6 +226,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"unexpected cross join:\n$p")
   }
 
+  test("i69: the query batch broadcasts onto the pool (no shuffled cartesian)") {
+    val p = plan(Registry.byId("i69_knn_classify").build(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query batch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"shuffled cartesian over the pool:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")

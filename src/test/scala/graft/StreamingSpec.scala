@@ -868,6 +868,21 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming CMS sketch == batch i67 sketch (linear sketch merges across micro-batches)") {
+    // CMS counters are plain sums, so the sketch is LINEAR: a streaming
+    // Complete-mode aggregation over ANY micro-batch split (here a
+    // shuffled 4-chunk feed) merges to exactly the batch sketch — the
+    // property that lets a 100 TB ingest maintain the sketch
+    // incrementally and union per-day sketches without rebuilds.
+    val texts = Tables.load(spark, dir, "documents")
+      .select("text").as[String].collect().toSeq
+    val feed = new scala.util.Random(47).shuffle(texts)
+    val got = Replay.run(spark, feed, 4, OutputMode.Complete())(ds =>
+      PipelineOps.cmsSketch(ds.toDF("text")))
+    val want = PipelineOps.cmsSketch(Tables.load(spark, dir, "documents"))
+    assertSameRows(got, want)
+  }
+
   test("streaming rendezvous sharding == batch i64 (stateless, arrival-order free)") {
     // Placement is a pure per-row projection of doc_id (the j7 rule):
     // the SAME expression maps over each micro-batch with no state
