@@ -127,6 +127,43 @@ object LlmOps {
     verifyJaccard(cand, sets)
   }
 
+  /** The i70 pipeline: directed CONTAINMENT C(A→B) = |A∩B|/|A| ≥ 0.9 —
+    * the asymmetric sibling of i2's Jaccard that catches a short doc
+    * living inside a longer one (a quote, an article re-issued inside a
+    * boilerplate wrapper), which symmetric Jaccard misses whenever the
+    * container is much larger. The prefix filter stays lossless on the
+    * CONTAINED side only: C ≥ θ ⇒ |A∩B| ≥ ceil(θ·|A|), so A's
+    * (|A| − ceil(θ·|A|) + 1)-prefix must share a token with B — but B
+    * carries no such bound (it can be arbitrarily large), so the
+    * candidate join is A.prefix ⋈ B.full-set, bucketed by source.
+    * Directed pairs: both (A,B) and (B,A) can emit, with different
+    * denominators.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val sets = hashedTokenSets(docs).localCheckpoint(true)
+    val aPref = sets.select(col("doc_id"), col("source"),
+      explode(slice(col("rks"), lit(1),
+        prefixLen(col("n_tok"), thetaTenths = 9).cast("int"))).as("rk"))
+    val bAll = sets.select(col("doc_id"), col("source"),
+      explode(col("rks")).as("rk"))
+    val cand = aPref.alias("a")
+      .join(bAll.alias("b"),
+        col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val l = sets.select(col("doc_id").as("doc_a"), col("rks").as("rks_a"),
+      col("n_tok").as("na"))
+    val r = sets.select(col("doc_id").as("doc_b"), col("rks").as("rks_b"))
+    cand.join(l, "doc_a").join(r, "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("rks_a"), col("rks_b"))).cast("long"))
+      .filter(col("n_inter") * 10 >= col("na") * 9)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter") / col("na"), 3).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** One large-star round: every node u connects its STRICTLY LARGER
     * neighbors to the minimum of its neighborhood (incl. itself) — long
     * tails fold toward small ids, roughly halving component "depth" per
@@ -611,6 +648,30 @@ object LlmOps {
     Q("i2_dedup_near",
       (s, dir) => nearDupPairs(t(s, dir, "documents")),
       Some(exactNearDupOracle)),
+
+    // Directed containment pairs — see [[containmentPairs]]; the oracle
+    // computes the UNFILTERED exact form (integer threshold compare:
+    // 10·inter ≥ 9·|A| — no float in the filter), so the one-sided
+    // prefix filter must be lossless.
+    Q("i70_containment_dedup",
+      (s, dir) => containmentPairs(t(s, dir, "documents")),
+      Some(sql("""WITH dtok AS (
+                 |   SELECT doc_id, source, token,
+                 |     count(*) OVER (PARTITION BY doc_id) AS n_tok
+                 |   FROM (SELECT DISTINCT doc_id, source,
+                 |           unnest(string_split(text, ' ')) AS token
+                 |         FROM documents)),
+                 | pairs AS (
+                 |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 |     min(a.n_tok) AS na, count(*)::BIGINT AS n_inter
+                 |   FROM dtok a JOIN dtok b
+                 |     ON a.source = b.source AND a.token = b.token
+                 |        AND a.doc_id <> b.doc_id
+                 |   GROUP BY 1, 2)
+                 | SELECT doc_a, doc_b, n_inter,
+                 |   round(n_inter * 1.0 / na, 3) AS containment
+                 | FROM pairs WHERE n_inter * 10 >= 9 * na
+                 | ORDER BY doc_a, doc_b"""))),
 
     // Near-dup CLUSTER RESOLUTION — the step a training pipeline runs
     // after pair finding: connected components over the pair graph, one

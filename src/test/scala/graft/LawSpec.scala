@@ -160,4 +160,23 @@ class LawSpec extends SparkTestBase {
     assert(out == want && out.nonEmpty,
       s"scalar-subquery gate must select the argmax set: got $out want $want")
   }
+
+  test("i70 dominates i2: J ≥ 0.9 implies BOTH directed containments ≥ 0.9") {
+    // J(A,B) ≤ min(C(A→B), C(B→A)) pointwise, so every symmetric
+    // Jaccard pair must appear in the directed containment output in
+    // both orientations — the algebraic relation tying the two dedup
+    // finders together (and a cheap end-to-end cross-check of both
+    // candidate filters at once).
+    val ct = Registry.byId("i70_containment_dedup").build(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nd = Registry.byId("i2_dedup_near").build(spark, dir)
+      .select(col("doc_id1"), col("doc_id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.nonEmpty)
+    nd.foreach { case (a, b) =>
+      assert(ct((a, b)) && ct((b, a)),
+        s"J≥0.9 pair ($a,$b) missing a containment orientation")
+    }
+  }
 }
