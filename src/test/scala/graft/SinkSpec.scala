@@ -23,4 +23,29 @@ class SinkSpec extends SparkTestBase {
       back.select("doc_id", "quality", "split"),
       cur.filter(col("split") === "train"))
   }
+
+  test("dimension join prunes partitions at RUNTIME (dynamic partition pruning)") {
+    // Static pruning (above) needs a literal predicate; the common
+    // production read is a JOIN against a dimension whose qualifying
+    // values only exist at runtime (here: the languages whose corpus
+    // share exceeds a threshold). Spark must insert a DynamicPruning
+    // subquery on the partitioned scan — at 100 TB this is the
+    // difference between scanning one lang directory and scanning the
+    // corpus to discard it row-by-row.
+    val out = "/tmp/graft-test-dpp"
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    Tables.writePartitioned(docs, out, "lang")
+    val part = spark.read.parquet(out)
+    val dim = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 100)  // runtime-valued qualifying set
+      .select(col("lang"))
+    val joined = part.join(dim, "lang")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a DynamicPruning subquery on the partitioned scan:\n$p")
+    val wantLangs = dim.collect().map(_.getString(0)).toSet
+    assert(wantLangs.nonEmpty && joined.count() ==
+      docs.filter(col("lang").isin(wantLangs.toSeq: _*)).count())
+  }
 }
