@@ -1547,6 +1547,37 @@ object RelationalOps {
                  |                 WHERE l3.l_partkey = l1.l_partkey))
                  | ORDER BY s.s_name"""))),
 
+    // Recursive CTE — Spark 4's WITH RECURSIVE (UnionLoop) walking a
+    // synthesized containment hierarchy (parent = doc_id DIV 2, an
+    // acyclic binary tree rooted at 0): per doc, the ancestor-chain
+    // depth, chain length, and root — the org-chart / BOM-explosion /
+    // folder-tree shape that needed iterative driver loops before 4.x.
+    // Termination is structural (anc_id strictly halves toward 0, ~log₂
+    // levels — far under the recursion cap); each level is one narrow
+    // self-join, all-integer output. DuckDB's recursive CTE (integer //
+    // division) is the oracle twin — the same fixpoint from an
+    // independent recursion engine.
+    Q("b32_recursive_cte",
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("v_documents")
+        s.sql("""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+                |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM v_documents
+                |  UNION ALL
+                |  SELECT a.doc_id, a.anc_id DIV 2, a.depth + 1
+                |  FROM anc a WHERE a.anc_id > 0)
+                |SELECT doc_id, max(depth) AS depth, count(*) AS n_anc,
+                |  CAST(min(anc_id) AS BIGINT) AS root
+                |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      },
+      Some(sql("""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+                 |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+                 |  UNION ALL
+                 |  SELECT a.doc_id, a.anc_id // 2, a.depth + 1
+                 |  FROM anc a WHERE a.anc_id > 0)
+                 | SELECT doc_id, max(depth) AS depth, count(*)::BIGINT AS n_anc,
+                 |   min(anc_id)::BIGINT AS root
+                 | FROM anc GROUP BY doc_id ORDER BY doc_id"""))),
+
     // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
     // an initial snapshot (every customer starts at attr 'NONE') merged
     // with a change stream (each order stamps its priority as the
