@@ -1416,15 +1416,18 @@ object RelationalOps {
                  | ORDER BY nation, o_year DESC"""))),
 
     // The TPC-H Q11 shape (important stock): a grouped value per key
-    // filtered against a GLOBAL scalar subquery that re-aggregates the
-    // same restricted join — the "group exceeds a fraction of the total"
-    // pattern. lineitem⋈supplier⋈nation surrogates partsupp; the value is
-    // an exact decimal sum. The fraction compare multiplies the GROUP
-    // side by 1000 ((18,2)×(4,0)→(23,2), exact) instead of multiplying
-    // the total by 0.001, so neither engine ever rounds. Catalyst plans
-    // the scalar subquery once (subquery reuse), broadcasts nation, and
-    // aggregates partially map-side; at 100 TB both passes are one
-    // shuffle each on l_partkey / nothing.
+    // filtered against GLOBAL scalar subqueries that re-aggregate the
+    // same restricted join — the "group exceeds a multiple of the
+    // average" pattern. lineitem⋈supplier⋈nation surrogates partsupp;
+    // the value is an exact decimal sum. The original's FIXED fraction
+    // (>0.01% of total) is scale-SENSITIVE — at 10× the parts each
+    // part's share drops below any constant and the result empties — so
+    // the threshold is relative instead: value > 2× the mean per-part
+    // value, phrased as v·n_parts > 2·total with BOTH sides scalar
+    // subqueries over the original join ((18,2)×(8,0)→(27,2) and
+    // 2×(18,2)→(19,2), exact — neither engine ever rounds). Nation
+    // broadcasts, all three aggregation passes partial-combine
+    // map-side.
     Q("b29_sql_q11",
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
@@ -1439,7 +1442,13 @@ object RelationalOps {
                 |  JOIN v_nation n ON s.s_nationkey = n.n_nationkey
                 |  WHERE n.n_name = 'NATION_3'
                 |  GROUP BY l.l_partkey) g
-                |WHERE v * CAST(1000 AS DECIMAL(4,0)) > (
+                |WHERE v * (
+                |  SELECT CAST(count(DISTINCT l.l_partkey) AS DECIMAL(8,0))
+                |  FROM v_lineitem l
+                |  JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+                |  JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+                |  WHERE n.n_name = 'NATION_3')
+                |> 2 * (
                 |  SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
                 |    * CAST(l.l_quantity AS DECIMAL(10,0))) AS DECIMAL(18,2))
                 |  FROM v_lineitem l
@@ -1457,7 +1466,13 @@ object RelationalOps {
                  |  JOIN nation n ON s.s_nationkey = n.n_nationkey
                  |  WHERE n.n_name = 'NATION_3'
                  |  GROUP BY l.l_partkey) g
-                 | WHERE v * CAST(1000 AS DECIMAL(4,0)) > (
+                 | WHERE v * (
+                 |  SELECT CAST(count(DISTINCT l.l_partkey) AS DECIMAL(8,0))
+                 |  FROM lineitem l
+                 |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                 |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+                 |  WHERE n.n_name = 'NATION_3')
+                 | > 2 * (
                  |  SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
                  |    * CAST(l.l_quantity AS DECIMAL(10,0))) AS DECIMAL(18,2))
                  |  FROM lineitem l
