@@ -241,6 +241,51 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(spark.table("h8_t"), want)
   }
 
+  test("h8b LEFT OUTER stream-stream join == batch left join (watermark proves absence)") {
+    // The outer variant needs the watermark to PROVE a match can no
+    // longer arrive before it null-pads a buffered left row. Feeding
+    // the data alone leaves the last hour of purchases stuck in state
+    // (their absence is not yet provable), so a sentinel event on EACH
+    // stream advances both watermarks past every real row; the sentinel
+    // purchase then shows as one unmatched row we drop before compare.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ordered = eventSeq.sortBy(_.ts.getTime)
+    val purchases = ordered.filter(_.event_type == "purchase")
+    val errors = ordered.filter(_.event_type == "error")
+    val maxTs = ordered.last.ts.getTime
+    val sentinelP = Event(-999L, new java.sql.Timestamp(maxTs + 10L * 3600 * 1000),
+      -1L, "purchase", 0.0, "{}")
+    val sentinelE = Event(-998L, new java.sql.Timestamp(maxTs + 10L * 3600 * 1000),
+      -1L, "error", 0.0, "{}")
+    val msP = MemoryStream[Event]; val msE = MemoryStream[Event]
+    val joined = StreamingOps.purchaseErrorLeftJoin(
+      msP.toDS().toDF().withWatermark("ts", "1 hour"),
+      msE.toDS().toDF().withWatermark("ts", "1 hour"))
+    val q = joined.writeStream.format("memory").queryName("h8b_t")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-h8b").toString)
+      .start()
+    val pChunks = purchases.grouped(math.max(1, purchases.size / 4 + 1)).toSeq
+    val eChunks = errors.grouped(math.max(1, errors.size / 4 + 1)).toSeq
+    (0 until math.max(pChunks.size, eChunks.size)).foreach { i =>
+      if (i < pChunks.size) msP.addData(pChunks(i))
+      if (i < eChunks.size) msE.addData(eChunks(i))
+      q.processAllAvailable()
+    }
+    msP.addData(Seq(sentinelP)); msE.addData(Seq(sentinelE))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    val got = spark.table("h8b_t").filter(col("p_id") =!= -999L)
+    val want = StreamingOps.purchaseErrorLeftJoin(
+      batchDF.filter(col("event_type") === "purchase"),
+      batchDF.filter(col("event_type") === "error"))
+    assertSameRows(got, want)
+    // the outer semantics actually fired: null-padded rows exist
+    assert(got.filter(col("e_id").isNull).count() > 0)
+  }
+
   test("file-source streaming replay of the events table == batch") {
     // The second real source path (SURVEY §1.4): stream the ns-precision
     // parquet with an explicit raw-nanos schema (readStream cannot infer),
