@@ -4502,6 +4502,68 @@ object PipelineOps {
                  | WHERE n_shared * 1.0 / n_sh >= 0.2
                  | ORDER BY sz.doc_id"""))),
 
+    // MinHash estimator calibration — the i28 rule applied to the
+    // MinHash sketch: for every EXACT J ≥ 0.9 pair (i2's output), the
+    // 8-permutation signature agreement n_agree/8 is the sketch's
+    // Jaccard estimate; E[n_agree/8] = J, so high-J pairs must agree on
+    // most components. The measurement a pipeline runs before trusting
+    // LSH banding thresholds (band/row trade-offs are derived from this
+    // estimator's variance — 8 perms ⇒ σ ≈ √(J(1−J)/8)). All integer
+    // agreement counts joined onto the exact pairs; the signature table
+    // is the i7 artifact (doc_id + 64 bytes), so both joins move
+    // sketches, never text.
+    Q("i71_minhash_estimate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = graft.operators.LlmOps.nearDupPairs(docs)
+        val sig = minhashSig(docs)
+        val s1 = sig.select(col("doc_id").as("doc_id1") +:
+          (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+        val s2 = sig.select(col("doc_id").as("doc_id2") +:
+          (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+        val agree = (0 until NumHashes)
+          .map(j => when(col(s"a$j") === col(s"b$j"), lit(1L)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        pairs.join(s1, "doc_id1").join(s2, "doc_id2")
+          .withColumn("n_agree", agree)
+          .select(col("doc_id1"), col("doc_id2"), col("jaccard"),
+            col("n_agree"),
+            round(col("n_agree") / lit(8.0), 3).as("est_jaccard"))
+          .orderBy("doc_id1", "doc_id2")
+      },
+      Some(sql(s"""WITH dtok AS (
+                 |   SELECT doc_id, source, token,
+                 |     count(*) OVER (PARTITION BY doc_id) AS n_tok
+                 |   FROM (SELECT DISTINCT doc_id, source,
+                 |           unnest(string_split(text, ' ')) AS token FROM documents)),
+                 | prs AS (
+                 |   SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                 |     min(a.n_tok) AS n1, min(b.n_tok) AS n2, count(*) AS inter
+                 |   FROM dtok a JOIN dtok b
+                 |     ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+                 |   GROUP BY 1, 2),
+                 | nd AS (
+                 |   SELECT doc_id1, doc_id2,
+                 |     round(inter * 1.0 / (n1 + n2 - inter), 3) AS jaccard
+                 |   FROM prs WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.9),
+                 | hh AS (SELECT doc_id, md5('0:'||token)||md5('1:'||token) AS h
+                 |   FROM (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS token
+                 |         FROM documents)),
+                 | sig AS (SELECT doc_id,
+                 |   ${(0 until 8).map(j =>
+                      s"min(('0x'||substr(h,${1 + 8 * j},8))::BIGINT) AS mh$j")
+                      .mkString(", ")}
+                 |   FROM hh GROUP BY doc_id),
+                 | ag AS (SELECT nd.doc_id1, nd.doc_id2, nd.jaccard,
+                 |     (${(0 until 8).map(j =>
+                      s"(CASE WHEN s1.mh$j = s2.mh$j THEN 1 ELSE 0 END)")
+                      .mkString(" + ")})::BIGINT AS n_agree
+                 |   FROM nd JOIN sig s1 ON nd.doc_id1 = s1.doc_id
+                 |     JOIN sig s2 ON nd.doc_id2 = s2.doc_id)
+                 | SELECT doc_id1, doc_id2, jaccard, n_agree,
+                 |   round(n_agree / 8.0, 3) AS est_jaccard
+                 | FROM ag ORDER BY doc_id1, doc_id2"""))),
+
     // Per-source token Shannon entropy — j16's log-scale companion (the
     // Rényi α→1 limit where j16 is α=2): low entropy flags template
     // spam, near-max entropy flags random/encrypted junk; norm_entropy

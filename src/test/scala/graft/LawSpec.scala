@@ -161,6 +161,18 @@ class LawSpec extends SparkTestBase {
       s"scalar-subquery gate must select the argmax set: got $out want $want")
   }
 
+  test("i18 dedup-apply is complete: the deduped corpus contains NO J ≥ 0.9 pair") {
+    // Canonicals of distinct clusters can never share a J ≥ 0.9 edge
+    // (an edge would have merged the clusters), so re-running the pair
+    // finder over the applied output must return empty — the fixpoint
+    // property that makes one dedup pass sufficient.
+    val docs = Tables.load(spark, dir, "documents")
+    val surv = Registry.byId("i18_dedup_apply").build(spark, dir).select("doc_id")
+    val deduped = docs.join(surv, "doc_id")
+    assert(graft.operators.LlmOps.nearDupPairs(deduped).count() == 0,
+      "dedup-apply left a J ≥ 0.9 pair in the corpus")
+  }
+
   test("i70 dominates i2: J ≥ 0.9 implies BOTH directed containments ≥ 0.9") {
     // J(A,B) ≤ min(C(A→B), C(B→A)) pointwise, so every symmetric
     // Jaccard pair must appear in the directed containment output in
