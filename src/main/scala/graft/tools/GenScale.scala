@@ -51,26 +51,43 @@ object GenScale {
     val S = 10000000L // key stride, far above every sf0.1 key range
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // File-layout discipline, both axes measured on this runner:
+    //   - COUNT: a union of N copies inherits N× the source's file count —
+    //     for the single-file driver tables that means a 10× table with 10
+    //     files, capping scan parallelism at 10 tasks on a 32-core runner
+    //     and reading as a fake super-linear ratio on scan-bound queries
+    //     (a3: 10.5 µs/row on a 10-file sf1 vs 2.4 µs/row at 100 files).
+    //   - ORDER: a plain round-robin repartition destroys intra-file key
+    //     clustering, and the window/dedup family pays for it genuinely
+    //     (i18 11.4 s → 143.5 s at sf1: random key order defeats the
+    //     sort's adaptivity, parquet RLE, and row-group stats).
+    // Real deployments have BOTH properties — file count sized to the
+    // cluster AND files covering contiguous ingest-key ranges — so scaled
+    // tables are written range-partitioned by their natural key, sorted
+    // within each file.
+    def write(name: String, df: DataFrame, sortKey: String): Unit = {
+      df.repartitionByRange(cpus.toInt, col(sortKey))
+        .sortWithinPartitions(sortKey)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[genscale] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
-    def scaled(name: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+    def scaled(name: String, sortKey: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
       val base = read(name)
-      write(name, (0 until copies).map(c => tx(base, c)).reduce(_ unionByName _))
+      write(name, (0 until copies).map(c => tx(base, c)).reduce(_ unionByName _),
+        sortKey)
     }
     def shiftCols(d: DataFrame, c: Int, cols: String*): DataFrame =
       cols.foldLeft(d)((acc, n) => acc.withColumn(n, col(n) + c * S))
 
-    write("region", read("region"))
-    write("nation", read("nation"))
-    scaled("supplier")((d, c) => shiftCols(d, c, "s_suppkey"))
-    scaled("customer")((d, c) => shiftCols(d, c, "c_custkey"))
-    scaled("part")((d, c) => shiftCols(d, c, "p_partkey"))
-    scaled("orders")((d, c) => shiftCols(d, c, "o_orderkey", "o_custkey"))
-    scaled("lineitem")((d, c) =>
+    write("region", read("region"), "r_regionkey")
+    write("nation", read("nation"), "n_nationkey")
+    scaled("supplier", "s_suppkey")((d, c) => shiftCols(d, c, "s_suppkey"))
+    scaled("customer", "c_custkey")((d, c) => shiftCols(d, c, "c_custkey"))
+    scaled("part", "p_partkey")((d, c) => shiftCols(d, c, "p_partkey"))
+    scaled("orders", "o_orderkey")((d, c) => shiftCols(d, c, "o_orderkey", "o_custkey"))
+    scaled("lineitem", "l_orderkey")((d, c) =>
       shiftCols(d, c, "l_orderkey", "l_partkey", "l_suppkey"))
-    scaled("events")((d, c) => shiftCols(d, c, "event_id", "user_id"))
+    scaled("events", "event_id")((d, c) => shiftCols(d, c, "event_id", "user_id"))
 
     // documents/embeddings shift by ROW COUNT (so copy 0 keeps the
     // driver's id range and the ≥400 incremental boundaries stay
@@ -85,7 +102,7 @@ object GenScale {
     }
     val nDocs = read("documents").count()
     requireDense("documents", "doc_id", nDocs)
-    scaled("documents") { (d, c) =>
+    scaled("documents", "doc_id") { (d, c) =>
       if (c == 0) d
       else {
         val txt = array_join(
@@ -98,7 +115,7 @@ object GenScale {
     }
     val nVecs = read("embeddings").count()
     requireDense("embeddings", "vec_id", nVecs)
-    scaled("embeddings")((d, c) =>
+    scaled("embeddings", "vec_id")((d, c) =>
       d.withColumn("vec_id", col("vec_id") + c * nVecs))
 
     spark.stop()
