@@ -4564,6 +4564,49 @@ object PipelineOps {
                  |   round(n_agree / 8.0, 3) AS est_jaccard
                  | FROM ag ORDER BY doc_id1, doc_id2"""))),
 
+    // Corpus snapshot diff — the dataset-versioning primitive: two crawl
+    // snapshots (old = ids < 450; new = ids ≥ 50, with a deterministic
+    // simulated edit on every 7th doc) reconcile into
+    // added/removed/changed/same by FINGERPRINT comparison under a full
+    // outer join on doc_id. In production both sides are the persisted
+    // md5 tables (the i1 artifact) — the diff joins 8-byte ids carrying
+    // 16-byte fingerprints and never moves text; the per-doc delta table
+    // is this same plan minus the final 4-row rollup, which is what the
+    // oracle hash-checks. All four statuses are non-vacuous at every SF
+    // by construction of the id windows.
+    Q("i72_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val old = docs.filter(col("doc_id") < 450)
+          .select(col("doc_id"), md5(col("text")).as("fp_o"))
+        val nw = docs.filter(col("doc_id") >= 50)
+          .select(col("doc_id"), md5(when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_n"))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp_o").isNull, "added")
+              .when(col("fp_n").isNull, "removed")
+              .when(col("fp_o") =!= col("fp_n"), "changed")
+              .otherwise("same").as("status"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("status")
+      },
+      Some(sql("""WITH old AS (SELECT doc_id, md5(text) AS fp
+                 |   FROM documents WHERE doc_id < 450),
+                 | new AS (SELECT doc_id,
+                 |     md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp
+                 |   FROM documents WHERE doc_id >= 50),
+                 | d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 |     CASE WHEN o.doc_id IS NULL THEN 'added'
+                 |          WHEN n.doc_id IS NULL THEN 'removed'
+                 |          WHEN o.fp <> n.fp THEN 'changed' ELSE 'same' END AS status
+                 |   FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+                 | SELECT status, count(*)::BIGINT AS n_docs,
+                 |   min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+                 | FROM d GROUP BY status ORDER BY status"""))),
+
     // Per-source token Shannon entropy — j16's log-scale companion (the
     // Rényi α→1 limit where j16 is α=2): low entropy flags template
     // spam, near-max entropy flags random/encrypted junk; norm_entropy

@@ -233,6 +233,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"shuffled cartesian over the pool:\n$p")
   }
 
+  test("i70: containment candidates come from an equi join, never a cross product") {
+    // The one-sided prefix filter must still produce an EQUI candidate
+    // join on (source, rk) — an all-pairs cross product over same-source
+    // docs is the failure mode the filter exists to prevent.
+    val p = plan(Registry.byId("i70_containment_dedup").build(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment candidate generation degenerated to all-pairs:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
