@@ -423,7 +423,40 @@ object RelationalOps {
       },
       Some(sql("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 3) AS p50_exact,
                  | count(*) AS n_rows, CAST(1 AS BIGINT) AS est_ok
-                 | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")))
+                 | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))),
+
+    // Wide→long UNPIVOT (melt) — the inverse of c7's pivot and the shape
+    // every metrics pipeline needs to feed a generic (entity, metric,
+    // value) sink from a wide aggregate. Spark's native `unpivot` plans as
+    // an Expand over the already-3-row wide aggregate — zero extra
+    // shuffle, output rows = rows × metrics. Values unify to DOUBLE (the
+    // unpivot type contract); the sums run DECIMAL-internal first so the
+    // doubles are exact on both engines. At scale the wide aggregate is
+    // the only shuffle and Expand is per-row local — melting N metrics
+    // never re-shuffles the fact table.
+    Q("c11_unpivot",
+      (s, dir) => {
+        val wide = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").cast("double").as("sum_qty"),
+            sumMoney(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).cast("double").as("n_rows"))
+        wide.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+            "metric", "value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some(sql("""WITH wide AS (SELECT l_returnflag,
+                 |     CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+                 |     CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+                 |     CAST(count(*) AS DOUBLE) AS n_rows
+                 |   FROM lineitem GROUP BY l_returnflag)
+                 | SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+                 | UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+                 | UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM wide
+                 | ORDER BY l_returnflag, metric""")))
   )
 
   // -------------------------------------------------------------- windows
@@ -582,7 +615,49 @@ object RelationalOps {
                  |   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
                  |   count(*) AS n_events,
                  |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-                 | FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""")))
+                 | FROM sess GROUP BY user_id, sid ORDER BY user_id, sid"""))),
+
+    // Sequence-continuity audit (gaps-and-islands) — the reference's data
+    // model is per-shard monotone sequence numbers (`main.go:300-356`
+    // resumes a shard AT_SEQUENCE_NUMBER); the operational question it
+    // implies is "is my checkpointed read contiguous, and where are the
+    // holes?". Shard = user_id % 8 (the i64 rendezvous surrogate), sequence
+    // = event_id. The classic row_number difference trick: within a shard,
+    // consecutive ids share grp = id − row_number, so one window pass +
+    // two hash aggregates yield the islands, the longest run, and the
+    // total missing ids per shard. All-integer arithmetic (event_id is
+    // unique in the fixture), so the result is exact on both engines.
+    // Scale: one shuffle on shard; the window sort is per-shard (a Kinesis
+    // deployment has thousands of shards — parallelism is the shard count,
+    // and a monster shard sorts on disk, never on the driver).
+    Q("d8_gap_islands",
+      (s, dir) => {
+        val seq0 = t(s, dir, "events")
+          .select(pmod(col("user_id"), lit(8)).as("shard"), col("event_id"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+        seq0
+          .withColumn("grp", col("event_id") - row_number().over(w))
+          .groupBy(col("shard"), col("grp"))
+          .agg(count(lit(1)).as("run_len"),
+            min(col("event_id")).as("run_start"),
+            max(col("event_id")).as("run_end"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_islands"),
+            max(col("run_len")).as("max_run"),
+            (max(col("run_end")) - min(col("run_start")) + lit(1L)
+              - sum(col("run_len"))).as("missing"))
+          .orderBy("shard")
+      },
+      Some(sql("""WITH seq AS (SELECT user_id % 8 AS shard, event_id FROM events),
+                 | runs AS (SELECT shard, event_id,
+                 |     event_id - row_number() OVER (PARTITION BY shard ORDER BY event_id) AS grp
+                 |   FROM seq),
+                 | isl AS (SELECT shard, grp, count(*) AS run_len,
+                 |     min(event_id) AS run_start, max(event_id) AS run_end
+                 |   FROM runs GROUP BY shard, grp)
+                 | SELECT shard, count(*) AS n_islands, max(run_len) AS max_run,
+                 |   max(run_end) - min(run_start) + 1 - CAST(sum(run_len) AS BIGINT) AS missing
+                 | FROM isl GROUP BY shard ORDER BY shard""")))
   )
 
   // --------------------------------------------------- sort / set / scalar
@@ -1592,6 +1667,38 @@ object RelationalOps {
                  | SELECT doc_id, max(depth) AS depth, count(*)::BIGINT AS n_anc,
                  |   min(anc_id)::BIGINT AS root
                  | FROM anc GROUP BY doc_id ORDER BY doc_id"""))),
+
+    // LATERAL correlated derived table — the one FROM-position subquery
+    // surface the b11-b14/b17 matrix lacks: a per-row subquery returning
+    // MULTIPLE columns at once (a scalar subquery returns one; doing this
+    // with two scalar subqueries would double the inner scan). Catalyst
+    // decorrelates the lateral aggregate into ONE outer join on
+    // l_orderkey + a hash aggregate — no per-row re-execution, no
+    // BroadcastNestedLoopJoin (PlanSpec pins it). The empty-group
+    // semantics matter: an urgent order with no lineitems still emits
+    // (n_items=0, max_price NULL) on both engines. At scale this is a
+    // plain fact-fact equi join — bucketing both sides on orderkey
+    // removes even that shuffle.
+    Q("b33_lateral_agg",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT o.o_orderkey, o.o_totalprice, t.n_items, t.max_price
+                |FROM v_orders o,
+                |LATERAL (SELECT count(*) AS n_items,
+                |                CAST(max(l.l_extendedprice) AS DOUBLE) AS max_price
+                |         FROM v_lineitem l WHERE l.l_orderkey = o.o_orderkey) t
+                |WHERE o.o_orderpriority = '1-URGENT'
+                |ORDER BY o.o_orderkey
+                |LIMIT 100""".stripMargin)
+      },
+      Some(sql("""SELECT o.o_orderkey, o.o_totalprice, t.n_items, t.max_price
+                 | FROM orders o,
+                 | LATERAL (SELECT count(*) AS n_items,
+                 |                 CAST(max(l.l_extendedprice) AS DOUBLE) AS max_price
+                 |          FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t
+                 | WHERE o.o_orderpriority = '1-URGENT'
+                 | ORDER BY o.o_orderkey LIMIT 100"""))),
 
     // SCD Type 2 merge — the CDC shape every warehouse dimension ships:
     // an initial snapshot (every customer starts at attr 'NONE') merged

@@ -243,6 +243,23 @@ class PlanSpec extends SparkTestBase {
       s"containment candidate generation degenerated to all-pairs:\n$p")
   }
 
+  test("d8: islands pipeline reuses the shard shuffle — one hash Exchange total") {
+    // hash(shard) satisfies ClusteredDistribution(shard, grp) and
+    // ClusteredDistribution(shard), so the window and BOTH aggregations
+    // must ride the single Exchange (the only other Exchange is the final
+    // ORDER BY rangepartitioning).
+    val p = plan(Registry.byId("d8_gap_islands").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"window + island/shard aggregates must share hash(shard), got $hashShuffles:\n$p")
+  }
+
+  test("b33: lateral aggregate decorrelates — no nested-loop re-execution") {
+    val p = plan(Registry.byId("b33_lateral_agg").build(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral derived table must decorrelate to an equi join:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
