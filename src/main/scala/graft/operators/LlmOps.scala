@@ -1187,6 +1187,83 @@ object LlmOps {
                  |   GROUP BY vec_id, label)
                  | SELECT d.doc_id, nn.label, d.n_chars, d.lang, nn.vnorm
                  | FROM documents d JOIN nn ON d.doc_id = nn.vec_id
-                 | ORDER BY d.doc_id""")))
+                 | ORDER BY d.doc_id"""))),
+
+    // Importance-proportional Bernoulli thinning — the sampling mode a
+    // DSIR-weighted curation (i60) actually applies at 100 TB: each doc
+    // is kept with probability w/20000 where w = min(n_chars, 2000) is
+    // its integer weight, decided by a CONTENT-ADDRESSED coin (the i16
+    // rule: a salted md5 of the doc id), so the sample is reproducible
+    // across reruns, resumable ingest slices, and engine versions — no
+    // RNG state anywhere. ALL-INTEGER accept test (48-bit hash mod 20000
+    // vs w): exact on both engines, and the plan is a PURE FILTER — zero
+    // shuffle, zero aggregate, scan-parallel at any corpus size
+    // (PlanSpec pins no Exchange besides the output sort). Expected
+    // sample mass Σw/20000 tracks corpus size linearly.
+    Q("i73_weighted_sample",
+      (s, dir) => {
+        val w = least(col("n_chars"), lit(2000L))
+        val coin = conv(substring(
+          md5(concat(lit("wsamp:"), col("doc_id").cast("string"))), 1, 12),
+          16, 10).cast("long") % 20000
+        t(s, dir, "documents")
+          .filter(coin < w)
+          .select(col("doc_id"), col("source"), w.as("weight"), coin.as("coin"))
+          .orderBy("doc_id")
+      },
+      Some(sql("""SELECT doc_id, source, least(n_chars, 2000) AS weight,
+                 |   ('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 20000 AS coin
+                 | FROM documents
+                 | WHERE ('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 20000
+                 |       < least(n_chars, 2000)
+                 | ORDER BY doc_id"""))),
+
+    // One PAGERANK power-iteration step over the near-dup graph — graph
+    // centrality as a curation signal: a doc whose neighborhood is dense
+    // with near-copies is boilerplate/template mass; PR after one step
+    // from the uniform vector already separates hubs (the same step
+    // iterated is full PageRank; the round shape is identical, so one
+    // oracled step pins the whole loop's arithmetic). Edges are i2's
+    // exact J ≥ 0.9 pairs symmetrized; every stage is an 8-byte-id
+    // equi-join or hash aggregate — degrees, then neighbor
+    // contributions round(1e9/deg) summed as EXACT integers (order-free
+    // cross-engine; floor(1e9/deg) is safe in double because the true
+    // quotient sits ≥ 1/deg ≫ 1 ulp from any integer), then one final
+    // per-node float. Isolated docs keep the damping floor 0.15. At
+    // scale this is the textbook distributed PR round: no adjacency
+    // matrix, no driver state, contributions combine map-side.
+    Q("i74_pagerank_step",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nd = nearDupPairs(docs).select(col("doc_id1"), col("doc_id2"))
+        val edges = nd.select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
+          .unionAll(nd.select(col("doc_id2").as("src"), col("doc_id1").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val contrib = edges.join(deg, "src")
+          .select(col("dst"),
+            floor(lit(1000000000.0) / col("deg")).cast("long").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+        docs.select(col("doc_id"))
+          .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+          .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("deg"), lit(0L)).as("deg"),
+            round(lit(0.15) +
+              lit(0.85) * coalesce(col("csum"), lit(0L)) / lit(1e9), 6).as("pr"))
+          .orderBy("doc_id")
+      },
+      Some(sql(s"""WITH $nearDupPairsCte,
+                 | edges AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM nd
+                 |           UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                 | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+                 | contrib AS (
+                 |   SELECT e.dst, CAST(sum(CAST(floor(1000000000.0 / d.deg) AS BIGINT)) AS BIGINT) AS csum
+                 |   FROM edges e JOIN deg d ON e.src = d.src GROUP BY e.dst)
+                 | SELECT doc_id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+                 |   round(0.15 + 0.85 * coalesce(c.csum, 0) / 1e9, 6) AS pr
+                 | FROM documents
+                 | LEFT JOIN deg d ON doc_id = d.src
+                 | LEFT JOIN contrib c ON doc_id = c.dst
+                 | ORDER BY doc_id""")))
   )
 }

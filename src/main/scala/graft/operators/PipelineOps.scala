@@ -877,6 +877,29 @@ object PipelineOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH band-collision candidate pairs over a minhashSig table: 4 bands
+    * × 2 rows, candidates = same (band ordinal, band value, source)
+    * equi-join, doc_id1 < doc_id2, distinct. The band hash IS the shuffle
+    * key — never an all-pairs join. Shared by i8 (which then verifies the
+    * signature agreement) and i75 (which grades the raw candidate set
+    * against the exact pairs).
+    */
+  private[graft] def bandCandidates(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("b"), col(s"mh${2 * b}").as("x"), col(s"mh${2 * b + 1}").as("y")))
+    val bands = sig.select(col("doc_id"), col("source"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("source"),
+        col("band.b").as("b"), col("band.x").as("x"), col("band.y").as("y"))
+    bands.alias("l")
+      .join(bands.alias("r"),
+        col("l.b") === col("r.b") && col("l.x") === col("r.x") &&
+          col("l.y") === col("r.y") && col("l.source") === col("r.source") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"))
+      .distinct()
+  }
+
   // (The former minhashSigFast — xxhash64 signatures straight off the
   // token stream — is superseded by i14's sketch-derived signatures:
   // min of xxhash64(j, rk) over the checkpointed token-hash sets, which
@@ -1283,19 +1306,7 @@ object PipelineOps {
         // signatures rejoin at doc granularity AFTER pair dedup, so the
         // wide columns never ride the quadratic shuffle.
         val sig = minhashSig(t(s, dir, "documents"))
-        val bandCols = (0 until 4).map(b =>
-          struct(lit(b).as("b"), col(s"mh${2 * b}").as("x"), col(s"mh${2 * b + 1}").as("y")))
-        val bands = sig.select(col("doc_id"), col("source"),
-          explode(array(bandCols: _*)).as("band"))
-          .select(col("doc_id"), col("source"),
-            col("band.b").as("b"), col("band.x").as("x"), col("band.y").as("y"))
-        val cand = bands.alias("l")
-          .join(bands.alias("r"),
-            col("l.b") === col("r.b") && col("l.x") === col("r.x") &&
-              col("l.y") === col("r.y") && col("l.source") === col("r.source") &&
-              col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("doc_id1"), col("r.doc_id").as("doc_id2"))
-          .distinct()
+        val cand = bandCandidates(sig)
         val sl = sig.select(
           col("doc_id").as("doc_id1") +: (0 until NumHashes).map(j => col(s"mh$j").as(s"l$j")): _*)
         val sr = sig.select(
@@ -4632,7 +4643,174 @@ object PipelineOps {
                  |   round(CASE WHEN n_types > 1
                  |     THEN (ln(n_tok) - s_q / 1e6 / n_tok) / ln(n_types)
                  |     ELSE 1.0 END, 4) AS norm_entropy
-                 | FROM per ORDER BY source""")))
+                 | FROM per ORDER BY source"""))),
+
+    // LSH banding PRECISION/RECALL eval — the measurement that justifies
+    // a band/row configuration before a 100 TB run trusts it (i71
+    // calibrates the estimator's VALUE; this grades the candidate SET):
+    // raw band-collision candidates vs the exact J ≥ 0.9 pairs under a
+    // full outer join on the pair key → TP/FP/FN counts and the derived
+    // precision/recall. Both inputs are the already-bucketed pipelines
+    // (band-key equi-join, prefix-filtered exact join); the outer join
+    // moves only 16-byte pair keys, and the rollup is one row. This is
+    // the eval a pipeline re-runs on a sample after every tokenizer or
+    // banding change — candidates ⊂ sample² keeps it cheap at any scale.
+    Q("i75_lsh_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cand = bandCandidates(minhashSig(docs)).withColumn("is_cand", lit(1L))
+        val exact = LlmOps.nearDupPairs(docs)
+          .select(col("doc_id1"), col("doc_id2")).withColumn("is_true", lit(1L))
+        cand.join(exact, Seq("doc_id1", "doc_id2"), "full_outer")
+          .agg(
+            sum(when(col("is_cand") === 1 && col("is_true") === 1, 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("is_cand") === 1 && col("is_true").isNull, 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("is_cand").isNull && col("is_true") === 1, 1L)
+              .otherwise(0L)).as("fn"))
+          .select(col("tp"), col("fp"), col("fn"),
+            when(col("tp") + col("fp") > 0,
+              round(col("tp") / (col("tp") + col("fp")), 4)).as("precision"),
+            when(col("tp") + col("fn") > 0,
+              round(col("tp") / (col("tp") + col("fn")), 4)).as("recall"))
+      },
+      Some(sql(s"""WITH $duckSigCte,
+                 | bands AS (
+                 |   SELECT doc_id, source, 0 AS b, mh0 AS x, mh1 AS y FROM sig UNION ALL
+                 |   SELECT doc_id, source, 1, mh2, mh3 FROM sig UNION ALL
+                 |   SELECT doc_id, source, 2, mh4, mh5 FROM sig UNION ALL
+                 |   SELECT doc_id, source, 3, mh6, mh7 FROM sig),
+                 | cand AS (
+                 |   SELECT DISTINCT l.doc_id AS doc_id1, r.doc_id AS doc_id2
+                 |   FROM bands l JOIN bands r
+                 |     ON l.b=r.b AND l.x=r.x AND l.y=r.y AND l.source=r.source
+                 |        AND l.doc_id<r.doc_id),
+                 | xtok AS (
+                 |   SELECT doc_id, source, token,
+                 |     count(*) OVER (PARTITION BY doc_id) AS n_tok
+                 |   FROM (SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS token
+                 |         FROM documents)),
+                 | xpair AS (
+                 |   SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                 |     min(a.n_tok) AS n1, min(b.n_tok) AS n2, count(*) AS inter
+                 |   FROM xtok a JOIN xtok b
+                 |     ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+                 |   GROUP BY 1, 2),
+                 | xnd AS (SELECT doc_id1, doc_id2 FROM xpair
+                 |   WHERE inter * 1.0 / (n1 + n2 - inter) >= 0.9),
+                 | jj AS (
+                 |   SELECT c.doc_id1 IS NOT NULL AS ic, x.doc_id1 IS NOT NULL AS it
+                 |   FROM cand c FULL OUTER JOIN xnd x
+                 |     ON c.doc_id1 = x.doc_id1 AND c.doc_id2 = x.doc_id2),
+                 | k AS (SELECT
+                 |   CAST(count(*) FILTER (WHERE ic AND it) AS BIGINT) AS tp,
+                 |   CAST(count(*) FILTER (WHERE ic AND NOT it) AS BIGINT) AS fp,
+                 |   CAST(count(*) FILTER (WHERE NOT ic AND it) AS BIGINT) AS fn
+                 |   FROM jj)
+                 | SELECT tp, fp, fn,
+                 |   CASE WHEN tp + fp > 0 THEN round(tp * 1.0 / (tp + fp), 4) END AS precision,
+                 |   CASE WHEN tp + fn > 0 THEN round(tp * 1.0 / (tp + fn), 4) END AS recall
+                 | FROM k"""))),
+
+    // Per-label embedding CENTROID DRIFT between two snapshot halves —
+    // the distribution-shift monitor a training pipeline runs between
+    // crawl versions (did class k's semantic mass move?): split by
+    // vec_id parity (SF-independent, both halves non-vacuous at any
+    // scale), per (label, dimension) the micro-quantized component sums
+    // (exact int64, order-free — the i23 rule), means re-quantized to
+    // int micro-units (the i23b cmean_q arithmetic, so the only float
+    // steps are deterministic int-ratio divisions), then cosine between
+    // the two integer mean vectors — dot and norms are int64-exact
+    // (|mq| ≤ 1e6, dim ≤ 64 ⇒ Σ mq² ≤ 6.4e13), one sqrt at the end.
+    // Plan: one narrow posexplode pass + two stacked hash aggregates on
+    // narrowing keys (label, pos) → (label); shuffles carry quantized
+    // longs, never raw vectors.
+    Q("j18_embedding_drift",
+      (s, dir) => {
+        val px = t(s, dir, "embeddings")
+          .select(col("label"), pmod(col("vec_id"), lit(2L)).as("par"),
+            posexplode(col("embedding")))
+          .select(col("label"), col("par"), col("pos").cast("long").as("pos"),
+            round(col("col").cast("double") * 1e6).cast("long").as("vq"))
+        val sums = px.groupBy(col("label"), col("pos"))
+          .agg(
+            sum(when(col("par") === 0, col("vq"))).as("se"),
+            sum(when(col("par") === 1, col("vq"))).as("so"),
+            sum(when(col("par") === 0, 1L).otherwise(0L)).as("ne"),
+            sum(when(col("par") === 1, 1L).otherwise(0L)).as("no"))
+          .select(col("label"), col("ne"), col("no"),
+            round(col("se").cast("double") / col("ne")).cast("long").as("me"),
+            round(col("so").cast("double") / col("no")).cast("long").as("mo"))
+        sums.groupBy(col("label"))
+          .agg(max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
+            sum(col("me") * col("mo")).as("dot"),
+            sum(col("me") * col("me")).as("n2e"),
+            sum(col("mo") * col("mo")).as("n2o"))
+          .select(col("label").cast("long").as("label"),
+            col("n_even"), col("n_odd"),
+            round(col("dot") / (sqrt(col("n2e")) * sqrt(col("n2o"))), 5)
+              .as("cos_drift"))
+          .orderBy("label")
+      },
+      Some(sql("""WITH px AS (
+                 |   SELECT label, vec_id % 2 AS par,
+                 |     unnest(range(0, len(embedding))) AS pos,
+                 |     unnest(list_transform(range(0, len(embedding)),
+                 |       i -> round(embedding[i + 1]::DOUBLE * 1e6)::BIGINT)) AS vq
+                 |   FROM embeddings),
+                 | sums AS (
+                 |   SELECT label, pos,
+                 |     CAST(count(*) FILTER (WHERE par = 0) AS BIGINT) AS ne,
+                 |     CAST(count(*) FILTER (WHERE par = 1) AS BIGINT) AS no,
+                 |     round(CAST(sum(CASE WHEN par = 0 THEN vq END) AS DOUBLE) /
+                 |       count(*) FILTER (WHERE par = 0))::BIGINT AS me,
+                 |     round(CAST(sum(CASE WHEN par = 1 THEN vq END) AS DOUBLE) /
+                 |       count(*) FILTER (WHERE par = 1))::BIGINT AS mo
+                 |   FROM px GROUP BY label, pos)
+                 | SELECT CAST(label AS BIGINT) AS label,
+                 |   max(ne) AS n_even, max(no) AS n_odd,
+                 |   round(CAST(sum(me * mo) AS BIGINT) /
+                 |     (sqrt(CAST(sum(me * me) AS BIGINT)) * sqrt(CAST(sum(mo * mo) AS BIGINT))), 5)
+                 |     AS cos_drift
+                 | FROM sums GROUP BY label ORDER BY label"""))),
+
+    // Modality/storage accounting ROLLUP — the capacity-planning view of
+    // the m1 metadata: assets, total bytes, and the largest payload per
+    // (source, format) with ROLLUP subtotals per source and a grand
+    // total (the report a 100 TB multimodal lake emits per ingest). The
+    // decode stays the m1 stub (no media libs here); the aggregate is
+    // one hash aggregate with map-side combine — Expand replicates each
+    // row ×3 for the grouping sets, all integer arithmetic.
+    Q("m3_modality_rollup",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("source"), encode(col("text"), "UTF-8").as("payload"),
+            conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").as("h"))
+          .select(col("source"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            when(col("h") % 3 === 0, "png")
+              .when(col("h") % 3 === 1, "jpeg").otherwise("webp").as("fmt"))
+          .rollup(col("source"), col("fmt"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("n_bytes")).as("total_bytes"),
+            max(col("n_bytes")).as("max_bytes"))
+          .select(coalesce(col("source"), lit("ALL")).as("source"),
+            coalesce(col("fmt"), lit("ALL")).as("fmt"),
+            col("n_assets"), col("total_bytes"), col("max_bytes"))
+          .orderBy("source", "fmt"),
+      Some(sql("""SELECT coalesce(source, 'ALL') AS source,
+                 |   coalesce(fmt, 'ALL') AS fmt,
+                 |   count(*) AS n_assets,
+                 |   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                 |   max(n_bytes) AS max_bytes
+                 | FROM (SELECT source, octet_length(text::BLOB)::BIGINT AS n_bytes,
+                 |     CASE WHEN h % 3 = 0 THEN 'png' WHEN h % 3 = 1 THEN 'jpeg'
+                 |          ELSE 'webp' END AS fmt
+                 |   FROM (SELECT source, text, ('0x'||substr(md5(text),1,4))::BIGINT AS h
+                 |         FROM documents))
+                 | GROUP BY ROLLUP (source, fmt)
+                 | ORDER BY source, fmt""")))
   )
 
   /** The i60 count-side state as persistable tables: the quantized

@@ -260,6 +260,14 @@ class PlanSpec extends SparkTestBase {
       s"lateral derived table must decorrelate to an equi join:\n$p")
   }
 
+  test("i73: content-addressed thinning is a pure filter — no hash Exchange") {
+    // The weighted sample must stay scan-parallel: the only Exchange in
+    // the plan is the final ORDER BY rangepartitioning.
+    val p = plan(Registry.byId("i73_weighted_sample").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sampling must not shuffle:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
