@@ -1283,6 +1283,34 @@ object PipelineOps {
         round(containment, 3).as("containment"))
   }
 
+  /** i72's old-snapshot fingerprint table: ids < 450, md5 of the text —
+    * in production the persisted i1 artifact of the previous crawl.
+    */
+  private[graft] def snapshotOld(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 450)
+      .select(col("doc_id"), md5(col("text")).as("fp_o"))
+
+  /** i72's new-snapshot fingerprint table: ids ≥ 50, every 7th doc
+    * carrying a deterministic simulated edit.
+    */
+  private[graft] def snapshotNew(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), md5(when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_n"))
+
+  /** Classify arriving new-side fingerprints against the (static,
+    * broadcast) old table: added / changed / same. Stateless per doc —
+    * the property that lets the SAME expression run per micro-batch in
+    * the streaming twin; 'removed' (old ids never seen) is inherently
+    * end-of-stream and stays an anti-join in both paths.
+    */
+  private[graft] def snapshotClassify(nw: DataFrame, old: DataFrame): DataFrame =
+    nw.join(broadcast(old), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("fp_o").isNull, "added")
+          .when(col("fp_o") =!= col("fp_n"), "changed")
+          .otherwise("same").as("status"))
+
   // ------------------------------------------------------------ queries
 
   val qs: Seq[Q] = Seq(
@@ -4575,6 +4603,12 @@ object PipelineOps {
                  |   round(n_agree / 8.0, 3) AS est_jaccard
                  | FROM ag ORDER BY doc_id1, doc_id2"""))),
 
+    // (i72 helpers live below the registry — snapshotOld/snapshotNew/
+    // snapshotClassify — shared with the streaming twin in StreamingSpec:
+    // classification of an arriving new-side doc is STATELESS given the
+    // broadcast old fingerprint table, so a shuffled micro-batch feed
+    // reproduces the batch delta; only 'removed' (old ids never seen)
+    // needs end-of-stream, an anti-join both paths share.)
     // Corpus snapshot diff — the dataset-versioning primitive: two crawl
     // snapshots (old = ids < 450; new = ids ≥ 50, with a deterministic
     // simulated edit on every 7th doc) reconcile into
@@ -4588,17 +4622,11 @@ object PipelineOps {
     Q("i72_snapshot_diff",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val old = docs.filter(col("doc_id") < 450)
-          .select(col("doc_id"), md5(col("text")).as("fp_o"))
-        val nw = docs.filter(col("doc_id") >= 50)
-          .select(col("doc_id"), md5(when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_n"))
-        old.join(nw, Seq("doc_id"), "full_outer")
-          .select(col("doc_id"),
-            when(col("fp_o").isNull, "added")
-              .when(col("fp_n").isNull, "removed")
-              .when(col("fp_o") =!= col("fp_n"), "changed")
-              .otherwise("same").as("status"))
+        val old = snapshotOld(docs)
+        val nw = snapshotNew(docs)
+        snapshotClassify(nw, old)
+          .unionAll(old.join(nw, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), lit("removed").as("status")))
           .groupBy(col("status"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
@@ -4810,7 +4838,49 @@ object PipelineOps {
                  |   FROM (SELECT source, text, ('0x'||substr(md5(text),1,4))::BIGINT AS h
                  |         FROM documents))
                  | GROUP BY ROLLUP (source, fmt)
-                 | ORDER BY source, fmt""")))
+                 | ORDER BY source, fmt"""))),
+
+    // HARD-NEGATIVE mining — the contrastive-training data step (the
+    // highest-similarity pool vectors with a DIFFERENT label are exactly
+    // the negatives a metric-learning loss needs): for each of the 20
+    // sample queries, the top-5 nearest different-label neighbors. The
+    // i28/i69 rule verbatim: query batch BROADCAST against the pool
+    // (|sample|·|corpus| narrow dot products, never an all-pairs corpus
+    // join), the label-exclusion predicate rides the broadcast join (no
+    // post-join re-shuffle), the rank window partitions on the
+    // sample-bounded qid. Production swaps the full pool for i42's
+    // IVF-PQ candidates — the vote/rank stage is unchanged.
+    Q("i76_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("label").as("qlabel"))
+        emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id"), col("label").cast("long").as("neg_label"),
+            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("vec_id"), col("neg_label"), col("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some(sql("""WITH q AS (SELECT vec_id AS qid, embedding AS qemb, label AS qlabel
+                 |   FROM embeddings WHERE vec_id < 20),
+                 | sims AS (SELECT qid, vec_id, min(neg_label) AS neg_label,
+                 |     round(sum(p), 3) AS sim
+                 |   FROM (SELECT q.qid, e.vec_id, CAST(e.label AS BIGINT) AS neg_label,
+                 |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e, q
+                 |         WHERE e.vec_id <> q.qid AND e.label <> q.qlabel)
+                 |   GROUP BY 1, 2)
+                 | SELECT qid, rk, vec_id, neg_label, sim FROM (
+                 |   SELECT qid, vec_id, neg_label, sim,
+                 |     CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+                 |   FROM sims)
+                 | WHERE rk <= 5 ORDER BY qid, rk""")))
   )
 
   /** The i60 count-side state as persistable tables: the quantized

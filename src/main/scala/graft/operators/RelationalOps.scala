@@ -456,7 +456,70 @@ object RelationalOps {
                  | SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
                  | UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
                  | UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM wide
-                 | ORDER BY l_returnflag, metric""")))
+                 | ORDER BY l_returnflag, metric"""))),
+
+    // Robust (median/MAD) outlier screen — the anomaly gate that doesn't
+    // let the anomalies move the threshold (3σ z-scores do; median/MAD
+    // have a 50% breakdown point). BOTH medians run exact over BOUNDED
+    // integer distributions (the c10 grouped-distribution rank-window
+    // form): prices quantize to cents, deviations to half-cents, so the
+    // distinct-value table is bounded by the VALUE RANGE, not the corpus
+    // size — the property that makes an exact MAD survive 100 TB where
+    // an all-values percentile buffer dies. All intermediate doubles are
+    // exact binary fractions (k/4 at worst), so the outlier compare is
+    // deterministic cross-engine.
+    Q("c12_robust_outliers",
+      (s, dir) => {
+        // Continuous (interpolated) median of an integer column via the
+        // value-distribution + cumulative-rank windows — c10's method.
+        def distMedian(df: DataFrame, vc: String, out: String): DataFrame = {
+          val dist = df.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("cnt"))
+          val ranked = dist
+            .withColumn("cum", sum(col("cnt")).over(
+              Window.partitionBy(col("g")).orderBy(col(vc))))
+            .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+          val k = lit(0.5) * (col("n") - lit(1L)).cast("double")
+          def at(r: Column) = min(when(col("cum") - col("cnt") <= r && col("cum") > r, col(vc)))
+          ranked.groupBy(col("g"))
+            .agg(at(floor(k)).as("lo"), at(ceil(k)).as("hi"))
+            .select(col("g"),
+              ((col("lo") + col("hi")).cast("double") / 2.0).as(out))
+        }
+        val cents = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            round(col("l_extendedprice") * 100).cast("long").as("vc"))
+        val med = distMedian(cents, "vc", "m")
+        // 2·|cents − m| is an exact integer (m moves in half-cent steps).
+        val dev = cents.join(broadcast(med), "g")
+          .select(col("g"),
+            abs(lit(2L) * col("vc") - (lit(2.0) * col("m")).cast("long")).as("d2"))
+        val mad = distMedian(dev, "d2", "mad2")
+        dev.join(broadcast(mad), "g")
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum((col("d2") > lit(3.0) * col("mad2")).cast("long")).as("n_outliers"))
+          .join(med, "g").join(mad, "g")
+          .select(col("g").as("l_returnflag"), col("n_rows"),
+            round(col("m") / 100.0, 3).as("med"),
+            round(col("mad2") / 200.0, 3).as("mad"),
+            col("n_outliers"))
+          .orderBy("l_returnflag")
+      },
+      Some(sql("""WITH cents AS (
+                 |   SELECT l_returnflag AS g,
+                 |     CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
+                 |   FROM lineitem),
+                 | med AS (SELECT g, median(vc) AS m FROM cents GROUP BY g),
+                 | dev AS (
+                 |   SELECT c.g, CAST(abs(2 * c.vc - CAST(2 * m.m AS BIGINT)) AS BIGINT) AS d2
+                 |   FROM cents c JOIN med m ON c.g = m.g),
+                 | madt AS (SELECT g, median(d2) AS mad2 FROM dev GROUP BY g)
+                 | SELECT d.g AS l_returnflag, count(*) AS n_rows,
+                 |   round(min(m.m) / 100.0, 3) AS med,
+                 |   round(min(a.mad2) / 200.0, 3) AS mad,
+                 |   CAST(count(*) FILTER (WHERE d.d2 > 3.0 * a.mad2) AS BIGINT) AS n_outliers
+                 | FROM dev d JOIN med m ON d.g = m.g JOIN madt a ON d.g = a.g
+                 | GROUP BY d.g ORDER BY d.g""")))
   )
 
   // -------------------------------------------------------------- windows

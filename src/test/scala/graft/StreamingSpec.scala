@@ -895,6 +895,40 @@ class StreamingSpec extends SparkTestBase {
     assert(want.count() > 0, "the batch slice must be non-empty")
   }
 
+  test("streaming snapshot-diff ingest == batch i72 (stateless classify vs static old table)") {
+    // The dataset-versioning diff at INGEST time: the old crawl's
+    // fingerprint table sits STATIC (the persisted i1 artifact) and each
+    // arriving new-side doc classifies added/changed/same via the SAME
+    // snapshotClassify both paths share — stateless per doc, so a
+    // SHUFFLED feed under any micro-batch split reproduces the batch
+    // per-doc delta; 'removed' is inherently end-of-stream (an old id is
+    // only known missing once the feed drains) and is the same anti-join
+    // the batch registry query runs.
+    val docs = Tables.load(spark, dir, "documents")
+    val old = PipelineOps.snapshotOld(docs).localCheckpoint(true)
+    val feed = new scala.util.Random(53).shuffle(
+      PipelineOps.snapshotNew(docs).as[(Long, String)].collect().toSeq)
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    Replay.runForeach(spark, feed, 4, OutputMode.Append())(ds =>
+      ds.toDF("doc_id", "fp_n")) { (df, _) =>
+      if (!df.isEmpty)
+        statuses ++= PipelineOps.snapshotClassify(df, old).collect()
+    }
+    val seen = statuses.map(_.getLong(0)).toSet
+    val removed = old.collect().map(_.getLong(0)).filterNot(seen)
+      .map(id => org.apache.spark.sql.Row(id, "removed"))
+    val delta = PipelineOps.snapshotClassify(PipelineOps.snapshotNew(docs), old)
+      .unionAll(old.join(PipelineOps.snapshotNew(docs), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("removed").as("status")))
+    val got = spark.createDataFrame(
+      spark.sparkContext.parallelize((statuses ++ removed).toSeq), delta.schema)
+    assertSameRows(got, delta)
+    // And the rolled-up registry form stays non-vacuous in all four states.
+    val counts = Registry.byId("i72_snapshot_diff").build(spark, dir)
+      .select("status").as[String].collect().toSet
+    assert(counts == Set("added", "removed", "changed", "same"))
+  }
+
   test("streaming vocab-coverage screen == batch i50 (stateless broadcast vocab)") {
     // The coverage screen at INGEST time: the top-V vocab sits
     // static in one broadcast row and each arriving doc is scored
