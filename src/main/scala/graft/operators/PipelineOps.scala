@@ -4880,7 +4880,105 @@ object PipelineOps {
                  |   SELECT qid, vec_id, neg_label, sim,
                  |     CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
                  |   FROM sims)
-                 | WHERE rk <= 5 ORDER BY qid, rk""")))
+                 | WHERE rk <= 5 ORDER BY qid, rk"""))),
+
+    // CLUSTER PURITY eval — the label-agreement measurement that tells a
+    // pipeline whether its embedding clustering (the i10/i29 routing
+    // substrate) tracks the semantic classes it will be used to
+    // curate by: per cluster the member count, majority label, and
+    // purity = majority/count. Assignment is the shared shuffle-free
+    // i23 path (broadcast codebook + inline argmax); the label join
+    // moves (vec_id, cid) pairs only; the majority pick is a k-bounded
+    // rank window. All-integer until the final ratio.
+    Q("i77_cluster_purity",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val asg = assignToCentroids(emb, stubCodebook(emb, ivfParams.k))
+          .select(col("vec_id"), col("cid"))
+        val lab = asg
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+          .groupBy(col("cid"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val tot = lab.groupBy(col("cid")).agg(sum(col("c")).as("n_members"))
+        lab
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cid")).orderBy(col("c").desc, col("label"))))
+          .filter(col("rn") === 1)
+          .join(tot, "cid")
+          .select(col("cid"), col("n_members"),
+            col("label").cast("long").as("top_label"), col("c").as("top_count"),
+            round(col("c") / col("n_members"), 4).as("purity"))
+          .orderBy("cid")
+      },
+      Some(sql(s"""WITH $centroidAssignCte,
+                 | lab AS (SELECT a.cid, e.label, count(*)::BIGINT AS c
+                 |   FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+                 |   GROUP BY 1, 2),
+                 | tot AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n_members
+                 |   FROM lab GROUP BY cid),
+                 | top AS (SELECT cid, label AS top_label, c AS top_count FROM (
+                 |     SELECT cid, label, c,
+                 |       row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn
+                 |     FROM lab) WHERE rn = 1)
+                 | SELECT t.cid, t.n_members, CAST(p.top_label AS BIGINT) AS top_label,
+                 |   p.top_count, round(p.top_count * 1.0 / t.n_members, 4) AS purity
+                 | FROM tot t JOIN top p ON t.cid = p.cid ORDER BY t.cid"""))),
+
+    // Mixture REALIZATION — i58 computes the target per-source weights;
+    // this op actually draws the mixture: each source gets an integer
+    // acceptance threshold thr = min(20000, ⌊20000·tot_tok/(K·n_tok)⌋)
+    // (uniform-token-mass target, thinning-only — a weight > 1 caps at
+    // keep-all; upsampling is i34's job), and each doc keeps iff its
+    // content-addressed coin (i73's salted-md5 mod 20000) < thr. ALL
+    // integer — the threshold division is exact int64 (20000·tot_tok
+    // stays < 2^63 for any realistic corpus; the float form would lose
+    // exactness past 2^53), the coin test is the i73 pure filter, so at
+    // scale this is one K-row aggregate + a broadcast threshold join +
+    // a scan-parallel filter. The per-source kept counts are the
+    // shipped report; the kept doc set itself is the same plan minus
+    // the rollup.
+    Q("i78_mixture_apply",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val all = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val thr = docs
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tok"))
+          .withColumn("tot_tok", sum(col("n_tok")).over(all))
+          .withColumn("k", count(lit(1)).over(all))
+          .withColumn("thr",
+            expr("least(20000L, (20000L * tot_tok) div (k * n_tok))"))
+          .select(col("source"), col("n_docs"), col("thr"))
+        val coin = conv(substring(
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 12),
+          16, 10).cast("long") % 20000
+        val kept = docs.join(broadcast(thr.select("source", "thr")), "source")
+          .filter(coin < col("thr"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        thr.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("thr"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(sql("""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 |     sum(len(string_split(text,' ')))::BIGINT AS n_tok
+                 |   FROM documents GROUP BY source),
+                 | tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+                 |     count(*)::BIGINT AS k FROM per),
+                 | thr AS (SELECT source, n_docs,
+                 |     CAST(least(20000, (20000 * tot_tok) // (k * n_tok)) AS BIGINT) AS thr
+                 |   FROM per, tot),
+                 | kept AS (SELECT d.source, count(*)::BIGINT AS n_kept
+                 |   FROM documents d JOIN thr t ON d.source = t.source
+                 |   WHERE ('0x'||substr(md5('mix:'||CAST(d.doc_id AS VARCHAR)),1,12))::BIGINT % 20000
+                 |         < t.thr
+                 |   GROUP BY d.source)
+                 | SELECT t.source, t.n_docs, t.thr,
+                 |   coalesce(k.n_kept, 0)::BIGINT AS n_kept
+                 | FROM thr t LEFT JOIN kept k ON t.source = k.source
+                 | ORDER BY t.source""")))
   )
 
   /** The i60 count-side state as persistable tables: the quantized

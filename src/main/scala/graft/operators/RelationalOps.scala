@@ -720,7 +720,37 @@ object RelationalOps {
                  |   FROM runs GROUP BY shard, grp)
                  | SELECT shard, count(*) AS n_islands, max(run_len) AS max_run,
                  |   max(run_end) - min(run_start) + 1 - CAST(sum(run_len) AS BIGINT) AS missing
-                 | FROM isl GROUP BY shard ORDER BY shard""")))
+                 | FROM isl GROUP BY shard ORDER BY shard"""))),
+
+    // Forward fill (LOCF) — the gap-repair operator every sparse
+    // time-series feed needs (a sensor that reports on change, a
+    // dimension that stamps only deltas): per user, ordered by event
+    // time, each missing reading takes the last observed one. The
+    // IGNORE NULLS window semantics Spark exposes as `last(_, true)` and
+    // ANSI as `last_value(x IGNORE NULLS)` — a surface the d1-d8 battery
+    // otherwise never touches. Missingness is synthesized
+    // deterministically (every 5th event id), never vacuous at any SF.
+    // One shuffle on user_id; the frame is running (no full-partition
+    // buffering); leading nulls stay null on both engines.
+    Q("d9_forward_fill",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value"))
+              .as("raw"))
+          .withColumn("filled", last(col("raw"), ignoreNulls = true).over(w))
+          .drop("ts")
+          .orderBy("user_id", "event_id")
+      },
+      Some(sql("""SELECT user_id, event_id,
+                 |   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS raw,
+                 |   last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END IGNORE NULLS)
+                 |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 |           ROWS UNBOUNDED PRECEDING) AS filled
+                 | FROM events ORDER BY user_id, event_id""")))
   )
 
   // --------------------------------------------------- sort / set / scalar
@@ -791,6 +821,52 @@ object RelationalOps {
                | min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
                | FROM lineitem GROUP BY zone_id ORDER BY zone_id""")
       }),
+
+    // Range-partition boundary planning made EXACT — the primitive under
+    // every repartitionByRange/sort-merge layout decision (Spark samples
+    // to estimate these; the exact form is what you persist as the
+    // canonical shard map for a 100 TB sorted table): the 7 interior
+    // boundaries splitting the price distribution into 8 equi-depth
+    // ranges, each boundary the exact value at integer rank
+    // floor(i·(n−1)/8). Same bounded-distribution rank-window machinery
+    // as c10/c12 — one shuffle on the grouped VALUE table (bounded by
+    // the value range in cents, not the corpus), no all-rows sort, no
+    // per-group buffers. A driver-side sample never guarantees balance;
+    // this does, and it prices at one narrow aggregate.
+    Q("e4_range_bounds",
+      (s, dir) => {
+        val cents = t(s, dir, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("vc"))
+        val dist = cents.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+        val ranked = dist
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("vc"))))
+          .withColumn("n", sum(col("cnt")).over(
+            Window.partitionBy(lit(1))))
+        val bounds = (1 to 7).map { i =>
+          val r = floor(lit(i) * (col("n") - lit(1L)) / lit(8))
+          min(when(col("cum") - col("cnt") <= r && col("cum") > r, col("vc")))
+            .as(s"b$i")
+        }
+        ranked.agg(bounds.head, bounds.tail: _*)
+          .select(posexplode(array((1 to 7).map(i => col(s"b$i")): _*)))
+          .select((col("pos") + 1).cast("long").as("bound_idx"),
+            round(col("col") / 100.0, 2).as("bound_price"))
+          .orderBy("bound_idx")
+      },
+      Some(sql("""WITH cents AS (
+                 |   SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vc FROM lineitem),
+                 | dist AS (SELECT vc, count(*) AS cnt FROM cents GROUP BY vc),
+                 | ranked AS (SELECT vc, cnt,
+                 |     sum(cnt) OVER (ORDER BY vc) AS cum,
+                 |     sum(cnt) OVER () AS n
+                 |   FROM dist),
+                 | b AS (SELECT i, (i * (n - 1)) // 8 AS r, vc, cum, cnt
+                 |   FROM ranked, (SELECT unnest(range(1, 8)) AS i))
+                 | SELECT CAST(i AS BIGINT) AS bound_idx,
+                 |   round(min(CASE WHEN cum - cnt <= r AND cum > r THEN vc END) / 100.0, 2)
+                 |     AS bound_price
+                 | FROM b GROUP BY i ORDER BY bound_idx""")))
+      ,
 
     Q("f1_union_all",
       (s, dir) =>
