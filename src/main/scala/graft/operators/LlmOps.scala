@@ -1264,6 +1264,67 @@ object LlmOps {
                  | FROM documents
                  | LEFT JOIN deg d ON doc_id = d.src
                  | LEFT JOIN contrib c ON doc_id = c.dst
-                 | ORDER BY doc_id""")))
+                 | ORDER BY doc_id"""))),
+
+    // TRIANGLE COUNTING + local clustering coefficient over the near-dup
+    // graph — the motif census that separates boilerplate CLIQUES (near-
+    // copies of one template: high triangle density, coefficient → 1)
+    // from CHAINS of pairwise edits (coefficient → 0), a structure
+    // signal degree (i74) alone can't see. The MapReduce-classic
+    // degree-ordered orientation (Suri & Vassilvitskii WWW'11): each
+    // edge orients from its (deg, id)-smaller endpoint, so every wedge
+    // join fans out from the LOW-degree end — a hub of degree d
+    // generates O(d·d_low) wedges, not O(d²), which is what keeps the
+    // join alive when a viral template has a million near-copies. The
+    // oracle enumerates the same triangles under plain id-orientation —
+    // the triangle SET is orientation-independent, so the per-node
+    // counts agree while each engine uses the orientation that suits it.
+    Q("i79_triangles",
+      (s, dir) => {
+        val nd = nearDupPairs(t(s, dir, "documents"))
+          .select(col("doc_id1").as("u"), col("doc_id2").as("v"))
+        val deg = nd.select(col("u").as("doc_id"))
+          .unionAll(nd.select(col("v").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+        val du = deg.select(col("doc_id").as("u"), col("deg").as("dg_u"))
+        val dv = deg.select(col("doc_id").as("v"), col("deg").as("dg_v"))
+        val ed = nd.join(du, "u").join(dv, "v")
+          .select(
+            when(col("dg_u") < col("dg_v") ||
+              (col("dg_u") === col("dg_v") && col("u") < col("v")),
+              col("u")).otherwise(col("v")).as("src"),
+            when(col("dg_u") < col("dg_v") ||
+              (col("dg_u") === col("dg_v") && col("u") < col("v")),
+              col("v")).otherwise(col("u")).as("dst"))
+        val tri = ed.alias("e1")
+          .join(ed.alias("e2"), col("e1.dst") === col("e2.src"))
+          .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+          .join(ed.alias("e3"),
+            col("x") === col("e3.src") && col("z") === col("e3.dst"))
+          .select(col("x"), col("y"), col("z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+          .join(deg, "doc_id")
+          .select(col("doc_id"), col("deg"), col("n_tri"),
+            round(lit(2.0) * col("n_tri") /
+              (col("deg") * (col("deg") - lit(1L))), 4).as("clust_coef"))
+          .orderBy("doc_id")
+      },
+      Some(sql(s"""WITH $nearDupPairsCte,
+                 | e AS (SELECT doc_id1 AS a, doc_id2 AS b FROM nd),
+                 | tri AS (
+                 |   SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 |   FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 |     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+                 | corners AS (SELECT unnest([x, y, z]) AS doc_id FROM tri),
+                 | per AS (SELECT doc_id, count(*)::BIGINT AS n_tri
+                 |   FROM corners GROUP BY doc_id),
+                 | deg AS (SELECT doc_id, count(*)::BIGINT AS deg
+                 |   FROM (SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e)
+                 |   GROUP BY doc_id)
+                 | SELECT p.doc_id, d.deg, p.n_tri,
+                 |   round(2.0 * p.n_tri / (d.deg * (d.deg - 1)), 4) AS clust_coef
+                 | FROM per p JOIN deg d ON p.doc_id = d.doc_id
+                 | ORDER BY p.doc_id""")))
   )
 }

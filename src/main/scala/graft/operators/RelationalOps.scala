@@ -750,7 +750,57 @@ object RelationalOps {
                  |   last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END IGNORE NULLS)
                  |     OVER (PARTITION BY user_id ORDER BY ts, event_id
                  |           ROWS UNBOUNDED PRECEDING) AS filled
-                 | FROM events ORDER BY user_id, event_id""")))
+                 | FROM events ORDER BY user_id, event_id"""))),
+
+    // Ordered event FUNNEL — the product-analytics chain query (did the
+    // user view, THEN click, THEN purchase — each stage strictly after
+    // the previous one?): per user t1 = first view, t2 = first click
+    // after t1, t3 = first purchase after t2, then stage counts and
+    // stage-to-stage conversion. The three dependent stage minima are
+    // three whole-partition windows on the SAME user_id partitioning —
+    // one Exchange total, no sort (unbounded frames), no self-joins (the
+    // naive 3-way per-user self-join is quadratic in events-per-user;
+    // this is linear). Timestamp compares are exact µs.
+    Q("d10_event_funnel",
+      (s, dir) => {
+        val byU = Window.partitionBy(col("user_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(byU))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(byU))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(byU))
+          .groupBy(col("user_id"))
+          .agg(max(col("t1")).as("u1"), max(col("t2")).as("u2"),
+            max(col("t3")).as("u3"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("u1")).as("s_view"),
+            count(col("u2")).as("s_click"),
+            count(col("u3")).as("s_purchase"))
+          .select(col("n_users"), col("s_view"), col("s_click"), col("s_purchase"),
+            round(col("s_click") / col("s_view"), 4).as("conv_click"),
+            round(col("s_purchase") / col("s_click"), 4).as("conv_purchase"))
+      },
+      Some(sql("""WITH w1 AS (SELECT user_id, event_type, ts,
+                 |     min(CASE WHEN event_type = 'view' THEN ts END)
+                 |       OVER (PARTITION BY user_id) AS t1
+                 |   FROM events),
+                 | w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                 |       OVER (PARTITION BY user_id) AS t2 FROM w1),
+                 | w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                 |       OVER (PARTITION BY user_id) AS t3 FROM w2),
+                 | pu AS (SELECT user_id, max(t1) AS u1, max(t2) AS u2, max(t3) AS u3
+                 |   FROM w3 GROUP BY user_id)
+                 | SELECT count(*)::BIGINT AS n_users,
+                 |   count(u1)::BIGINT AS s_view, count(u2)::BIGINT AS s_click,
+                 |   count(u3)::BIGINT AS s_purchase,
+                 |   round(count(u2) * 1.0 / count(u1), 4) AS conv_click,
+                 |   round(count(u3) * 1.0 / count(u2), 4) AS conv_purchase
+                 | FROM pu""")))
   )
 
   // --------------------------------------------------- sort / set / scalar
@@ -2156,6 +2206,68 @@ object RelationalOps {
                  | len(regexp_extract_all(p_type, '\w+'))::BIGINT AS n_words,
                  | regexp_matches(p_type, '^STANDARD') AS is_standard
                  | FROM part ORDER BY p_partkey"""))),
+
+    // Bitwise AGGREGATE battery — bit_or / bit_and / bit_xor as
+    // aggregation functions (the g3 battery covers scalar bit ops; the
+    // aggregate forms are a separate surface): the bit_or of one-hot
+    // residue masks is a 64-bit presence BITMAP per group — the
+    // bitmap-index primitive (which residue classes of orderkey appear
+    // per status), with bit_count for the cardinality readout; bit_xor
+    // is the order-free parity fingerprint replication checks use. All
+    // integer, map-side combinable (each is associative+commutative —
+    // they partial-aggregate like sums).
+    Q("g11_bitwise_agg",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT o_orderstatus,
+                |  CAST(bit_or(shiftleft(1L, CAST(o_orderkey % 16 AS INT))) AS BIGINT) AS seen_mask,
+                |  CAST(bit_count(bit_or(shiftleft(1L, CAST(o_orderkey % 16 AS INT)))) AS BIGINT) AS n_classes,
+                |  CAST(bit_and(o_custkey) AS BIGINT) AS and_custkey,
+                |  CAST(bit_xor(o_custkey) AS BIGINT) AS xor_custkey
+                |FROM v_orders
+                |GROUP BY o_orderstatus
+                |ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some(sql("""SELECT o_orderstatus,
+                 | CAST(bit_or((1::BIGINT) << ((o_orderkey % 16)::INT)) AS BIGINT) AS seen_mask,
+                 | CAST(bit_count(bit_or((1::BIGINT) << ((o_orderkey % 16)::INT))) AS BIGINT) AS n_classes,
+                 | CAST(bit_and(o_custkey) AS BIGINT) AS and_custkey,
+                 | CAST(bit_xor(o_custkey) AS BIGINT) AS xor_custkey
+                 | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))),
+
+    // Bloom SEMI-JOIN pruning — the runtime-filter pattern that keeps a
+    // 100 TB fact scan from shuffling rows a selective dimension filter
+    // will discard anyway: the urgent-order keys aggregate into a
+    // KB-sized Bloom bitmap (a scalar subquery — one constant per task),
+    // every lineitem probes it INLINE at the scan, and only survivors
+    // enter the exact LEFT SEMI join. False positives cost a lookup,
+    // never a wrong answer — the oracle is the PLAIN semi join, so the
+    // prescreen must be output-invisible (the i68 law, here in its
+    // relational form; Spark's own InjectRuntimeFilter does this
+    // automatically when stats justify it — this is the explicit,
+    // stats-independent spelling).
+    Q("b34_bloom_semi_prune",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+        s.sql("""WITH u AS (SELECT o_orderkey FROM v_orders WHERE o_orderpriority = '1-URGENT'),
+                |pre AS (SELECT l_orderkey, l_extendedprice FROM v_lineitem
+                |  WHERE graft_might_contain(
+                |    (SELECT graft_bloom_agg(o_orderkey, 10000L, 81920L) FROM u), l_orderkey)),
+                |ex AS (SELECT l_orderkey, l_extendedprice
+                |       FROM pre LEFT SEMI JOIN u ON pre.l_orderkey = u.o_orderkey)
+                |SELECT l_orderkey,
+                |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+                |FROM ex GROUP BY l_orderkey
+                |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+      },
+      Some(sql("""WITH u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+                 | ex AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+                 |   WHERE l_orderkey IN (SELECT o_orderkey FROM u))
+                 | SELECT l_orderkey,
+                 |   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+                 | FROM ex GROUP BY l_orderkey
+                 | ORDER BY revenue DESC, l_orderkey LIMIT 20"""))),
 
     Q("g7_case_when",
       (s, dir) =>

@@ -268,6 +268,14 @@ class PlanSpec extends SparkTestBase {
       s"sampling must not shuffle:\n$p")
   }
 
+  test("b34: the Bloom prescreen probes at the fact scan below the semi join") {
+    val p = plan(Registry.byId("b34_bloom_semi_prune").build(spark, dir))
+    assert(p.contains("might_contain"),
+      s"bloom probe must survive into the physical plan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the exact semi join must remain after the prescreen:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
