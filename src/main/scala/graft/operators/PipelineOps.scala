@@ -4978,7 +4978,37 @@ object PipelineOps {
                  | SELECT t.source, t.n_docs, t.thr,
                  |   coalesce(k.n_kept, 0)::BIGINT AS n_kept
                  | FROM thr t LEFT JOIN kept k ON t.source = k.source
-                 | ORDER BY t.source""")))
+                 | ORDER BY t.source"""))),
+
+    // Frame-sample MANIFEST — the m2 rule applied to the video path: the
+    // REAL typed-Dataset mapPartitions frame sampler (`sampleFrames` —
+    // the generator shape a video pipeline decodes through) runs
+    // end-to-end and its per-frame output is hash-checked against a SQL
+    // oracle reproducing the stride arithmetic from octet lengths alone
+    // (nf = min(4, max(1, len div 64)), stride = max(64, len div nf),
+    // frame_len = min(start+64, len) − start — all integer, and
+    // (nf−1)·stride < len always, so every frame is non-empty). Only
+    // the codec is stubbed; the row-explosion plumbing being graded is
+    // real and partition-parallel.
+    Q("m4_frame_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        sampleFrames(payloads, 64, 4).toDF()
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            length(col("frame")).cast("long").as("frame_len"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(sql("""WITH b AS (SELECT doc_id, octet_length(text::BLOB) AS len FROM documents),
+                 | p AS (SELECT doc_id, len, least(4, greatest(1, len // 64)) AS nf FROM b),
+                 | st AS (SELECT doc_id, len, nf, greatest(64, len // nf) AS stride FROM p),
+                 | f AS (SELECT doc_id, unnest(range(0, nf)) AS frame_idx, len, stride FROM st)
+                 | SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                 |   CAST(least(frame_idx * stride + 64, len) - frame_idx * stride AS BIGINT)
+                 |     AS frame_len
+                 | FROM f ORDER BY doc_id, frame_idx""")))
   )
 
   /** The i60 count-side state as persistable tables: the quantized

@@ -191,4 +191,75 @@ class LawSpec extends SparkTestBase {
         s"J≥0.9 pair ($a,$b) missing a containment orientation")
     }
   }
+
+  test("i79 triangle algebra: per-node bound and the mod-3 global identity") {
+    // Each triangle contributes one count to each of its 3 corners, so
+    // the global sum ≡ 0 (mod 3); per node, triangles through v are
+    // edges among v's neighbors, bounded by C(deg, 2). Both hold for
+    // ANY graph — a corner-explode or orientation bug breaks them.
+    val tri = Registry.byId("i79_triangles").build(spark, dir).cache()
+    assert(tri.count() > 0, "fixture graph must contain triangles")
+    assert(tri.filter(
+      col("n_tri") * 2 > col("deg") * (col("deg") - 1)).isEmpty,
+      "n_tri exceeds C(deg, 2)")
+    val total = tri.agg(sum("n_tri")).head.getLong(0)
+    assert(total % 3 == 0, s"corner sum $total not divisible by 3")
+  }
+
+  test("i74 PageRank mass conservation: Σ pr = 0.15·N + 0.85·|V⁺| ± quantization") {
+    // Every node with degree > 0 hands out exactly 1 unit of rank mass
+    // (deg contributions of 1/deg each), so the damped total is
+    // determined by the two node counts alone — up to the declared 1e-9
+    // integer quantization of each contribution.
+    val pr = Registry.byId("i74_pagerank_step").build(spark, dir).cache()
+    val n = pr.count().toDouble
+    val nActive = pr.filter(col("deg") > 0).count().toDouble
+    val total = pr.agg(sum("pr")).head.getDouble(0)
+    val expected = 0.15 * n + 0.85 * nActive
+    assert(math.abs(total - expected) < 1e-2,
+      s"rank mass $total drifted from $expected")
+  }
+
+  test("d10 funnel stages are monotone and bounded by the user count") {
+    val f = Registry.byId("d10_event_funnel").build(spark, dir).head
+    val (nu, s1, s2, s3) =
+      (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3))
+    assert(s1 <= nu && s2 <= s1 && s3 <= s2,
+      s"funnel ($nu, $s1, $s2, $s3) not monotone")
+    assert(s3 > 0, "the purchase stage must be non-vacuous at every SF")
+  }
+
+  test("b34 Bloom prescreen is output-invisible: identical to the plain semi join") {
+    // The i68 law in relational form: false positives may pass the
+    // bitmap but MUST die in the exact semi join.
+    val bloom = Registry.byId("b34_bloom_semi_prune").build(spark, dir)
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("v_orders")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    val plain = spark.sql(
+      """WITH u AS (SELECT o_orderkey FROM v_orders WHERE o_orderpriority = '1-URGENT'),
+        |ex AS (SELECT l_orderkey, l_extendedprice
+        |       FROM v_lineitem LEFT SEMI JOIN u ON l_orderkey = u.o_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM ex GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin)
+    assertSameRows(bloom, plain)
+  }
+
+  test("d9 forward fill: agrees where observed, persists once seen") {
+    val f = Registry.byId("d9_forward_fill").build(spark, dir).cache()
+    assert(f.filter(col("raw").isNotNull && col("filled") =!= col("raw")).isEmpty,
+      "fill must not rewrite observed values")
+    // Once a user has a filled value, later rows never revert to null —
+    // checked in the SAME (ts, event_id) order the fill itself uses
+    // (ts re-joined: the query's output drops it).
+    val ev = Tables.load(spark, dir, "events").select(col("event_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    assert(f.join(ev, "event_id")
+      .withColumn("prev", lag(col("filled"), 1).over(w))
+      .filter(col("prev").isNotNull && col("filled").isNull).isEmpty,
+      "fill reverted to null after a value was seen")
+    assert(f.filter(col("raw").isNull && col("filled").isNotNull).count() > 0,
+      "the fill must actually repair gaps at every SF")
+  }
 }
