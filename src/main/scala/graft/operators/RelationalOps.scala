@@ -952,6 +952,42 @@ object RelationalOps {
       Some(sql("""SELECT c_nationkey AS n_key FROM customer
                  | EXCEPT SELECT s_nationkey AS n_key FROM supplier ORDER BY n_key"""))),
 
+    // BAG-semantics set ops — INTERSECT ALL / EXCEPT ALL (f2-f4 are the
+    // set-semantics forms; the ALL variants preserve MULTIPLICITY:
+    // per key the intersection keeps min(cntA, cntB) copies, the
+    // difference keeps cntA − cntB clamped at 0 — the reconciliation
+    // arithmetic dedup ledgers and inventory diffs run on). Spark plans
+    // both as one aggregate computing per-key counts on each side + a
+    // generate replicating the min/difference — no row-by-row matching.
+    // The grouped-count rollup keeps the output compact and totally
+    // ordered.
+    Q("f5_bag_ops",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val a = li.filter(col("l_quantity") > 25).select(col("l_orderkey"))
+        val b = li.filter(col("l_extendedprice") > 30000).select(col("l_orderkey"))
+        val inter = a.intersectAll(b)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_inter"))
+        val exc = a.exceptAll(b)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_exc"))
+        inter.join(exc, Seq("l_orderkey"), "full_outer")
+          .select(col("l_orderkey"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            coalesce(col("n_exc"), lit(0L)).as("n_exc"))
+          .orderBy("l_orderkey")
+      },
+      Some(sql("""WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 25),
+                 | b AS (SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 30000),
+                 | i AS (SELECT l_orderkey, count(*)::BIGINT AS n_inter
+                 |   FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+                 | e AS (SELECT l_orderkey, count(*)::BIGINT AS n_exc
+                 |   FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+                 | SELECT coalesce(i.l_orderkey, e.l_orderkey) AS l_orderkey,
+                 |   coalesce(n_inter, 0)::BIGINT AS n_inter,
+                 |   coalesce(n_exc, 0)::BIGINT AS n_exc
+                 | FROM i FULL OUTER JOIN e ON i.l_orderkey = e.l_orderkey
+                 | ORDER BY l_orderkey"""))),
+
     // Pure-SQL entry point: the engine's surface is also reachable as SQL
     // text over registered views (a reference user keeps their SQL). The
     // TPC-H Q3 shape: join + filtered agg + ordered top-k; Catalyst plans
@@ -2206,6 +2242,35 @@ object RelationalOps {
                  | len(regexp_extract_all(p_type, '\w+'))::BIGINT AS n_words,
                  | regexp_matches(p_type, '^STANDARD') AS is_standard
                  | FROM part ORDER BY p_partkey"""))),
+
+    // Boolean / conditional AGGREGATE battery — bool_and (ANSI EVERY),
+    // bool_or, count_if, and a width_bucket histogram max: the
+    // predicate-rollup surface (does EVERY order in this status clear a
+    // floor? does ANY carry urgency? how many?) the c-battery's numeric
+    // aggregates don't touch. width_bucket has no DuckDB builtin, so the
+    // oracle spells out its exact ANSI definition (below-range → 0,
+    // ≥ hi → n+1, else ⌊(v−lo)/step⌋+1) — same floor-of-double both
+    // engines. All map-side combinable.
+    Q("c13_bool_agg",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+            expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+            expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"),
+            max(expr("width_bucket(o_totalprice, 0, 500000, 10)"))
+              .as("max_bucket"))
+          .orderBy("o_orderstatus"),
+      Some(sql("""SELECT o_orderstatus,
+                 | bool_and(o_totalprice > 1000) AS all_over_1k,
+                 | bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+                 | count_if(o_orderpriority = '1-URGENT')::BIGINT AS n_urgent,
+                 | max(CASE WHEN o_totalprice < 0 THEN 0
+                 |          WHEN o_totalprice >= 500000 THEN 11
+                 |          ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END)
+                 |   AS max_bucket
+                 | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))),
 
     // Bitwise AGGREGATE battery — bit_or / bit_and / bit_xor as
     // aggregation functions (the g3 battery covers scalar bit ops; the
