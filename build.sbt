@@ -26,9 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the all-registry Bench/Verify runs (126+ queries,
-  // local[32], sf0.1) thrash GC in an 8g heap once a few dedup
-  // pipelines' shuffle+broadcast residue accumulates; the box has
-  // 128 GiB and a real executor would get 16-32g.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default: the all-registry Bench/Verify runs thrash GC once the
+  // suite grows — measured at 193 queries / sf1: the 24g heap inflated
+  // the pair-family in-suite 4-13x (i70 182 s vs 13 s isolated, i67
+  // 30 s vs 1.5 s) purely from accumulated shuffle+broadcast residue;
+  // at 48g the same draw is 0.94x the healthy reference. The box has
+  // 128 GiB; the one-JVM local[32] driver stands in for 32 executors
+  // that would each get their own heap on a real cluster.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
