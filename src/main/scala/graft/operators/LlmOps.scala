@@ -1325,6 +1325,36 @@ object LlmOps {
                  | SELECT p.doc_id, d.deg, p.n_tri,
                  |   round(2.0 * p.n_tri / (d.deg * (d.deg - 1)), 4) AS clust_coef
                  | FROM per p JOIN deg d ON p.doc_id = d.doc_id
-                 | ORDER BY p.doc_id""")))
+                 | ORDER BY p.doc_id"""))),
+
+    // Dup-cluster SIZE PROFILE — the one-page report a curation run
+    // ships about its dedup pass: how many clusters of each size, and
+    // how much removable mass ((size−1) docs per cluster) each size
+    // class carries. Near-dup cluster sizes are heavy-tailed (viral
+    // templates make the tail); the profile is what decides i31-style
+    // caps. Pure rollup over i15's labels: n_clusters = distinct canon
+    // per size (the per-doc label table has size·n rows per class), all
+    // integer. Costs one extra narrow aggregate over the CC output.
+    Q("i80_cluster_profile",
+      (s, dir) =>
+        nearDupClusters(nearDupPairs(t(s, dir, "documents")))
+          .groupBy(col("cluster_size"))
+          .agg(countDistinct(col("canon_id")).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            ((col("cluster_size") - 1) * col("n_clusters")).as("dup_docs"))
+          .orderBy("cluster_size"),
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                  | edges AS (
+                  |   SELECT doc_id1 AS s, doc_id2 AS d FROM nd
+                  |   UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                  | reach(doc_id, r) AS (
+                  |   SELECT DISTINCT s, s FROM edges
+                  |   UNION
+                  |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.doc_id),
+                  | lbl AS (SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id),
+                  | cs AS (SELECT canon_id, count(*) AS cluster_size FROM lbl GROUP BY canon_id)
+                  | SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                  |   CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_docs
+                  | FROM cs GROUP BY cluster_size ORDER BY cluster_size""")))
   )
 }

@@ -1283,6 +1283,27 @@ object PipelineOps {
         round(containment, 3).as("containment"))
   }
 
+  /** The j1 scoring/argmax pipeline with the fixture's TRUE lang carried
+    * alongside: (doc_id, true_lang, pred_lang, s_*). j1 drops the truth
+    * column (the operator is an unsupervised classifier); j19 grades the
+    * prediction against it. One shared factoring so the eval scores the
+    * SAME pipeline the registry ships.
+    */
+  private[graft] def langIdPred(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("true_lang") +:
+        langMarkers.map { case (l, ws) => markerScore(col("text"), ws).as(s"s_$l") }): _*)
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), els) =>
+        val rest = langs.drop(i + 1).map(o => col(s"s_$o"))
+        when(col(s"s_$l") >= rest.reduce((a, b) => greatest(a, b)), lit(l)).otherwise(els)
+    }
+    scored.select(
+      (col("doc_id") +: col("true_lang") +: pred.as("pred_lang") +:
+        langs.map(l => col(s"s_$l"))): _*)
+  }
+
   /** i72's old-snapshot fingerprint table: ids < 450, md5 of the text —
     * in production the persisted i1 artifact of the previous crawl.
     */
@@ -1406,22 +1427,9 @@ object PipelineOps {
     // Language ID: marker-profile scores + fixed-priority argmax. One
     // narrow projection, no shuffle (the HOF filter runs inside codegen).
     Q("j1_lang_id",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val scored = docs.select(
-          (col("doc_id") +:
-            langMarkers.map { case (l, ws) => markerScore(col("text"), ws).as(s"s_$l") }): _*)
-        val langs = langMarkers.map(_._1)
-        val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
-          case ((l, i), els) =>
-            val rest = langs.drop(i + 1).map(o => col(s"s_$o"))
-            when(col(s"s_$l") >= rest.reduce((a, b) => greatest(a, b)), lit(l)).otherwise(els)
-        }
-        scored.select(
-          (col("doc_id") +: pred.as("pred_lang") +:
-            langs.map(l => col(s"s_$l"))): _*)
-          .orderBy("doc_id")
-      },
+      (s, dir) => langIdPred(t(s, dir, "documents"))
+        .drop("true_lang")
+        .orderBy("doc_id"),
       Some {
         val scores = langMarkers.map { case (l, ws) =>
           s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
@@ -5008,7 +5016,43 @@ object PipelineOps {
                  | SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
                  |   CAST(least(frame_idx * stride + 64, len) - frame_idx * stride AS BIGINT)
                  |     AS frame_len
-                 | FROM f ORDER BY doc_id, frame_idx""")))
+                 | FROM f ORDER BY doc_id, frame_idx"""))),
+
+    // Lang-ID CONFUSION MATRIX — the eval the fixture makes possible
+    // (documents carry a TRUE lang column): j1's unsupervised marker
+    // classifier graded cell by cell, with per-true-lang row fractions
+    // (the recall diagonal). The SAME langIdPred factoring feeds j1 and
+    // this eval, so the matrix grades the shipped pipeline, not a
+    // re-derivation. One hash aggregate over (true, pred) + a
+    // bounded post-aggregation window for the row totals.
+    Q("j19_langid_confusion",
+      (s, dir) =>
+        langIdPred(t(s, dir, "documents"))
+          .groupBy(col("true_lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("n_true",
+            sum(col("n_docs")).over(Window.partitionBy(col("true_lang"))))
+          .select(col("true_lang"), col("pred_lang"), col("n_docs"),
+            round(col("n_docs") / col("n_true"), 4).as("frac"))
+          .orderBy("true_lang", "pred_lang"),
+      Some {
+        val scores = langMarkers.map { case (l, ws) =>
+          s"len(list_filter(string_split(text,' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+        }.mkString(", ")
+        val langs = langMarkers.map(_._1)
+        val pred = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+          case ((l, i), els) =>
+            val rest = langs.drop(i + 1).map(o => s"s_$o").mkString(", ")
+            s"CASE WHEN s_$l >= greatest($rest) THEN '$l' ELSE $els END"
+        }
+        sql(s"""WITH p AS (SELECT lang AS true_lang, $pred AS pred_lang
+               |   FROM (SELECT doc_id, lang, $scores FROM documents)),
+               | c AS (SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+               |   FROM p GROUP BY 1, 2)
+               | SELECT true_lang, pred_lang, n_docs,
+               |   round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY true_lang), 4) AS frac
+               | FROM c ORDER BY true_lang, pred_lang""")
+      })
   )
 
   /** The i60 count-side state as persistable tables: the quantized
