@@ -800,7 +800,46 @@ object RelationalOps {
                  |   count(u3)::BIGINT AS s_purchase,
                  |   round(count(u2) * 1.0 / count(u1), 4) AS conv_click,
                  |   round(count(u3) * 1.0 / count(u2), 4) AS conv_purchase
-                 | FROM pu""")))
+                 | FROM pu"""))),
+
+    // Time-spine DENSIFICATION — the reporting pattern every BI layer
+    // needs and GROUP BY can't give: months with NO orders must still
+    // appear as zero rows (a gap in a revenue chart is data, not absence
+    // of a row). The spine generates from the data's own bounds ± a
+    // 6-month margin (so zero-fill rows exist at EVERY SF by
+    // construction), via a 1-row scalar aggregate → `sequence` →
+    // explode — never a driver-side loop; the monthly rollup left-joins
+    // onto it broadcast (a spine is always tiny next to the fact).
+    Q("d11_time_spine",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val b = o.agg(
+          expr("date_trunc('month', min(o_orderdate)) - interval 6 months").as("lo"),
+          expr("date_trunc('month', max(o_orderdate)) + interval 6 months").as("hi"))
+        val spine = b.select(explode(
+          expr("sequence(lo, hi, interval 1 month)")).as("month_start"))
+        val cnt = o.groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+          .agg(count(lit(1)).as("n_orders"),
+            sumMoney(col("o_totalprice")).as("revenue"))
+        spine.join(cnt, Seq("month_start"), "left")
+          .select(col("month_start").cast("timestamp_ntz").as("month_start"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+          .orderBy("month_start")
+      },
+      Some(sql("""WITH b AS (SELECT
+                 |     date_trunc('month', min(o_orderdate)) - INTERVAL 6 MONTH AS lo,
+                 |     date_trunc('month', max(o_orderdate)) + INTERVAL 6 MONTH AS hi
+                 |   FROM orders),
+                 | spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month_start FROM b),
+                 | cnt AS (SELECT date_trunc('month', o_orderdate) AS month_start,
+                 |     count(*)::BIGINT AS n_orders,
+                 |     CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+                 |   FROM orders GROUP BY 1)
+                 | SELECT s.month_start, coalesce(c.n_orders, 0)::BIGINT AS n_orders,
+                 |   coalesce(c.revenue, 0.0) AS revenue
+                 | FROM spine s LEFT JOIN cnt c ON s.month_start = c.month_start
+                 | ORDER BY s.month_start""")))
   )
 
   // --------------------------------------------------- sort / set / scalar
