@@ -68,6 +68,28 @@ object RelationalOps {
       .drop("__salt")
   }
 
+  /** Continuous (interpolated) per-group median of an integer column via
+    * the value-distribution + cumulative-rank windows — c10's method,
+    * shared by c12's two median passes and property-tested against a
+    * sorted-array reference in PropertySpec. Input needs columns
+    * (g, vc); output is (g, out). The window runs over the DISTINCT-
+    * value distribution, so its frame is bounded by the value range,
+    * never the row count.
+    */
+  private[graft] def distMedian(df: DataFrame, vc: String, out: String): DataFrame = {
+    val dist = df.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("cnt"))
+    val ranked = dist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("g")).orderBy(col(vc))))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+    val k = lit(0.5) * (col("n") - lit(1L)).cast("double")
+    def at(r: Column) = min(when(col("cum") - col("cnt") <= r && col("cum") > r, col(vc)))
+    ranked.groupBy(col("g"))
+      .agg(at(floor(k)).as("lo"), at(ceil(k)).as("hi"))
+      .select(col("g"),
+        ((col("lo") + col("hi")).cast("double") / 2.0).as(out))
+  }
+
   // ---------------------------------------------------------------- joins
 
   private val joins: Seq[Q] = Seq(
@@ -470,21 +492,6 @@ object RelationalOps {
     // deterministic cross-engine.
     Q("c12_robust_outliers",
       (s, dir) => {
-        // Continuous (interpolated) median of an integer column via the
-        // value-distribution + cumulative-rank windows — c10's method.
-        def distMedian(df: DataFrame, vc: String, out: String): DataFrame = {
-          val dist = df.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("cnt"))
-          val ranked = dist
-            .withColumn("cum", sum(col("cnt")).over(
-              Window.partitionBy(col("g")).orderBy(col(vc))))
-            .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
-          val k = lit(0.5) * (col("n") - lit(1L)).cast("double")
-          def at(r: Column) = min(when(col("cum") - col("cnt") <= r && col("cum") > r, col(vc)))
-          ranked.groupBy(col("g"))
-            .agg(at(floor(k)).as("lo"), at(ceil(k)).as("hi"))
-            .select(col("g"),
-              ((col("lo") + col("hi")).cast("double") / 2.0).as(out))
-        }
         val cents = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("g"),
             round(col("l_extendedprice") * 100).cast("long").as("vc"))

@@ -276,6 +276,16 @@ class PlanSpec extends SparkTestBase {
       s"the exact semi join must remain after the prescreen:\n$p")
   }
 
+  test("d10: three dependent funnel windows share one user_id Exchange") {
+    // t2 reads t1 and t3 reads t2 — three window stages, but all on the
+    // same partitioning: the only hash Exchange is the initial user_id
+    // shuffle (the final global rollup is a SinglePartition exchange).
+    val p = plan(Registry.byId("d10_event_funnel").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"funnel must reuse one user_id Exchange, got $hashShuffles:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")

@@ -466,4 +466,29 @@ class PropertySpec extends SparkTestBase {
     assertSameRows(LlmOps.nearDupClusters(df.filter(col("doc_id1") =!= col("doc_id2"))),
       expected)
   }
+
+  test("distMedian matches the sorted-array interpolated median on arbitrary groups") {
+    // The rank-window machinery under c10/c12/e4, checked against the
+    // textbook definition on adversarial shapes: singleton groups, heavy
+    // ties, all-equal groups, even/odd counts, negative values.
+    val valGen = Gen.oneOf(Gen.choose(-50L, 50L), Gen.const(7L), Gen.const(-3L))
+    val groupGen = for {
+      n <- Gen.choose(1, 40)
+      vs <- Gen.listOfN(n, valGen)
+    } yield vs
+    val groups = sample(groupGen, 25, seed = 7L).zipWithIndex
+    val rows = groups.flatMap { case (vs, g) => vs.map(v => (g.toLong, v)) }
+    val got = graft.operators.RelationalOps.distMedian(
+      rows.toDF("g", "vc"), "vc", "med")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    groups.foreach { case (vs, g) =>
+      val s = vs.sorted
+      val n = s.length
+      val expected =
+        if (n % 2 == 1) s(n / 2).toDouble
+        else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      assert(got(g.toLong) == expected,
+        s"group $g: got ${got(g.toLong)}, expected $expected of ${s.mkString(",")}")
+    }
+  }
 }
