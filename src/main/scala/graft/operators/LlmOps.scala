@@ -1355,6 +1355,36 @@ object LlmOps {
                   | cs AS (SELECT canon_id, count(*) AS cluster_size FROM lbl GROUP BY canon_id)
                   | SELECT cluster_size, count(*)::BIGINT AS n_clusters,
                   |   CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_docs
-                  | FROM cs GROUP BY cluster_size ORDER BY cluster_size""")))
+                  | FROM cs GROUP BY cluster_size ORDER BY cluster_size"""))),
+
+    // Shard CHECKSUM MANIFEST — the reproducibility receipt a delivery
+    // run ships next to its shards (i49's determinism made auditable):
+    // per content-addressed shard, the doc count, the XOR of 48-bit
+    // content fingerprints (an ORDER-FREE checksum — xor is commutative,
+    // so any task/partition schedule yields the same value; g11's
+    // bit_xor as an artifact, not a demo), and the byte mass. Two runs
+    // of the same corpus compare manifests cell-for-cell; a single
+    // flipped doc flips its shard's xor. One hash aggregate, map-side
+    // combinable, all integer.
+    Q("i81_shard_checksums",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(
+            pmod(conv(substring(
+              md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8),
+              16, 10).cast("long"), lit(16L)).as("shard"),
+            conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("fp48"),
+            col("n_chars"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("bit_xor(fp48)").as("xor_fp"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("shard"),
+      Some(sql("""SELECT
+                 |   ('0x'||substr(md5('shard:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 16 AS shard,
+                 |   count(*) AS n_docs,
+                 |   CAST(bit_xor(('0x'||substr(md5(text),1,12))::BIGINT) AS BIGINT) AS xor_fp,
+                 |   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                 | FROM documents GROUP BY 1 ORDER BY shard""")))
   )
 }

@@ -526,7 +526,49 @@ object RelationalOps {
                  |   round(min(a.mad2) / 200.0, 3) AS mad,
                  |   CAST(count(*) FILTER (WHERE d.d2 > 3.0 * a.mad2) AS BIGINT) AS n_outliers
                  | FROM dev d JOIN med m ON d.g = m.g JOIN madt a ON d.g = a.g
-                 | GROUP BY d.g ORDER BY d.g""")))
+                 | GROUP BY d.g ORDER BY d.g"""))),
+
+    // WEIGHTED median — the statistic Spark has no builtin for (and
+    // DuckDB none either): the median of a value distribution where
+    // each row carries a weight (median price per UNIT SHIPPED, not per
+    // order line — the difference matters whenever line sizes vary).
+    // Lower weighted median: the smallest value whose cumulative weight
+    // reaches half the total — an EXACT integer compare (2·cumw ≥ W, no
+    // float rank), over the same bounded value-distribution rank window
+    // as c10/c12 (distinct cents, not rows). Both engines spell the
+    // same algorithm; the oracle is the independent SQL spelling.
+    Q("c14_weighted_median",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("g"),
+            round(col("l_extendedprice") * 100).cast("long").as("vc"),
+            round(col("l_quantity")).cast("long").as("w"))
+        val dist = li.groupBy(col("g"), col("vc")).agg(sum(col("w")).as("wc"))
+        val ranked = dist
+          .withColumn("cumw", sum(col("wc")).over(
+            Window.partitionBy(col("g")).orderBy(col("vc"))))
+          .withColumn("tw", sum(col("wc")).over(Window.partitionBy(col("g"))))
+        ranked.groupBy(col("g"))
+          .agg(min(when(col("cumw") * 2 >= col("tw"), col("vc"))).as("wmed_c"),
+            max(col("tw")).as("total_weight"))
+          .select(col("g").as("l_returnflag"),
+            round(col("wmed_c") / 100.0, 2).as("weighted_median"),
+            col("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      Some(sql("""WITH d AS (
+                 |   SELECT l_returnflag AS g,
+                 |     CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+                 |     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wc
+                 |   FROM lineitem GROUP BY 1, 2),
+                 | r AS (SELECT g, vc, wc,
+                 |     sum(wc) OVER (PARTITION BY g ORDER BY vc) AS cumw,
+                 |     sum(wc) OVER (PARTITION BY g) AS tw
+                 |   FROM d)
+                 | SELECT g AS l_returnflag,
+                 |   round(min(CASE WHEN cumw * 2 >= tw THEN vc END) / 100.0, 2) AS weighted_median,
+                 |   CAST(max(tw) AS BIGINT) AS total_weight
+                 | FROM r GROUP BY g ORDER BY g""")))
   )
 
   // -------------------------------------------------------------- windows
@@ -846,7 +888,42 @@ object RelationalOps {
                  | SELECT s.month_start, coalesce(c.n_orders, 0)::BIGINT AS n_orders,
                  |   coalesce(c.revenue, 0.0) AS revenue
                  | FROM spine s LEFT JOIN cnt c ON s.month_start = c.month_start
-                 | ORDER BY s.month_start""")))
+                 | ORDER BY s.month_start"""))),
+
+    // RUNNING DISTINCT count — "how many distinct event types has this
+    // user produced so far?" The naive form (collect_set over a running
+    // window) buffers the set per row and dies on high-cardinality
+    // values; the scalable form is FIRST-OCCURRENCE FLAGGING: rank each
+    // (user, type) occurrence, flag rank 1, running-sum the flags. Two
+    // windows on DIFFERENT keys — (user, type) then (user) — is the
+    // honest minimum: the distinct decision needs type in the key once.
+    // State per row is one bit, not a set; all integer.
+    Q("d12_running_distinct",
+      (s, dir) => {
+        val byUT = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val byU = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("first_seen",
+            (row_number().over(byUT) === 1).cast("long"))
+          .withColumn("n_distinct_so_far", sum(col("first_seen")).over(byU))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("first_seen"), col("n_distinct_so_far"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(sql("""WITH f AS (SELECT user_id, event_id, ts, event_type,
+                 |     CASE WHEN row_number() OVER
+                 |       (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                 |       THEN 1 ELSE 0 END AS first_seen
+                 |   FROM events)
+                 | SELECT user_id, event_id, event_type,
+                 |   CAST(first_seen AS BIGINT) AS first_seen,
+                 |   CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_so_far
+                 | FROM f ORDER BY user_id, event_id""")))
   )
 
   // --------------------------------------------------- sort / set / scalar
