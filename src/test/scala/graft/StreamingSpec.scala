@@ -80,6 +80,51 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, batchDF)
   }
 
+  test("dropDuplicatesWithinWatermark: same output as h4's dedup, BOUNDED state (TTL eviction)") {
+    // The 100 TB distinction between dropDuplicates and its
+    // WithinWatermark variant is not the OUTPUT (both emit each key
+    // once) — it is the STATE: plain dropDuplicates keeps every key
+    // forever (state grows with the corpus), the watermark variant
+    // evicts a key once the watermark passes its event time + delay, so
+    // steady-state memory is bounded by the delay window. Asserted via
+    // the state-operator metrics: after the watermark sails past both
+    // early keys, their rows LEAVE the store.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ts: String): Event =
+      Event(id, Timestamp.valueOf(ts), 1L, "t", 0.0, null)
+    val ms = MemoryStream[Event]
+    val q = ms.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("ttl_dedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ttl").toString)
+      .start()
+    // Batch 1: two keys + an in-batch duplicate → 2 state rows.
+    ms.addData(Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"),
+      ev(1, "2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // Batch 2: a cross-batch duplicate while state is alive → dropped;
+    // plus a far row pushing the watermark to 11:50 (> both 10:10/10:15
+    // expirations).
+    ms.addData(Seq(ev(1, "2024-01-01 10:00:00"), ev(3, "2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // Batch 3: any row; eviction applies with the advanced watermark.
+    ms.addData(Seq(ev(4, "2024-01-01 12:01:00")))
+    q.processAllAvailable()
+    val state = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal)
+    q.stop(); q.awaitTermination()
+    val out = spark.table("ttl_dedup")
+    assert(out.count() == 4 &&
+      out.select("event_id").as[Long].collect().sorted.sameElements(Array(1L, 2L, 3L, 4L)),
+      "output must be exactly one row per key — duplicates in- and cross-batch dropped")
+    assert(state.last < state.max,
+      s"watermark must evict expired dedup state, saw ${state.mkString(",")}")
+  }
+
   test("h5 watermark drops a late row into a closed window") {
     def ev(id: Long, ts: String): Event =
       Event(id, Timestamp.valueOf(ts), 1L, "t", 0.0, null)
