@@ -1075,6 +1075,32 @@ object RelationalOps {
       Some(sql("""SELECT c_nationkey AS n_key FROM customer
                  | EXCEPT SELECT s_nationkey AS n_key FROM supplier ORDER BY n_key"""))),
 
+    // NULL-SAFE equi join — `<=>` / ANSI IS NOT DISTINCT FROM: the join
+    // a nullable dimension key needs (plain `=` silently drops every
+    // null-keyed row from BOTH sides; null-safe treats NULL as a value
+    // that equals itself). Keys are made nullable deterministically
+    // (nullif on a BUILDING segment), so the null bucket is non-vacuous
+    // at every SF. Catalyst plans `<=>` as a HASH join (EqualNullSafe is
+    // a valid equi-key) — not the nested-loop a theta join would get.
+    Q("b35_nullsafe_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+            col("c_custkey"))
+        val segs = c.groupBy(col("seg")).agg(count(lit(1)).as("n_cust"))
+          .withColumnRenamed("seg", "seg_r")
+        c.join(segs, col("seg") <=> col("seg_r"))
+          .groupBy(col("seg_r").as("seg"))
+          .agg(count(lit(1)).as("n_joined"), max(col("n_cust")).as("n_cust"))
+          .orderBy(col("seg").asc_nulls_first)
+      },
+      Some(sql("""WITH c AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_custkey
+                 |   FROM customer),
+                 | segs AS (SELECT seg, count(*)::BIGINT AS n_cust FROM c GROUP BY seg)
+                 | SELECT s.seg, count(*)::BIGINT AS n_joined, max(s.n_cust) AS n_cust
+                 | FROM c JOIN segs s ON c.seg IS NOT DISTINCT FROM s.seg
+                 | GROUP BY s.seg ORDER BY s.seg NULLS FIRST"""))),
+
     // BAG-semantics set ops — INTERSECT ALL / EXCEPT ALL (f2-f4 are the
     // set-semantics forms; the ALL variants preserve MULTIPLICITY:
     // per key the intersection keeps min(cntA, cntB) copies, the
@@ -2365,6 +2391,34 @@ object RelationalOps {
                  | len(regexp_extract_all(p_type, '\w+'))::BIGINT AS n_words,
                  | regexp_matches(p_type, '^STANDARD') AS is_standard
                  | FROM part ORDER BY p_partkey"""))),
+
+    // try_* ERROR-SAFE function battery — Spark 4 runs ANSI mode by
+    // default, so a bad cast or a division by zero THROWS mid-job; the
+    // try_* family is the per-expression escape hatch that turns the
+    // error into NULL instead of killing a 1000-executor stage 9 hours
+    // in. Probed on real poison values: non-numeric strings through
+    // try_cast, literal zero denominators through try_divide, and a
+    // guaranteed-overflow long product through try_multiply. DuckDB has
+    // TRY_CAST natively; divide/multiply are spelled as their exact
+    // NULL-guard CASE equivalents.
+    Q("g12_try_funcs",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+            expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+            expr("try_divide(o_totalprice, o_orderkey % 3)").as("div_or_null"),
+            expr("try_multiply(o_orderkey, 9223372036854775807L)").as("overflow_null"))
+          .orderBy("o_orderkey"),
+      Some(sql("""SELECT o_orderkey,
+                 | TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+                 | TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+                 | CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                 |      ELSE o_totalprice / (o_orderkey % 3) END AS div_or_null,
+                 | CASE WHEN o_orderkey = 0 THEN CAST(0 AS BIGINT)
+                 |      WHEN o_orderkey = 1 THEN CAST(9223372036854775807 AS BIGINT)
+                 |      ELSE NULL END AS overflow_null
+                 | FROM orders ORDER BY o_orderkey"""))),
 
     // Boolean / conditional AGGREGATE battery — bool_and (ANSI EVERY),
     // bool_or, count_if, and a width_bucket histogram max: the
