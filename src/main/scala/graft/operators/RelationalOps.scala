@@ -2397,10 +2397,15 @@ object RelationalOps {
     // try_* family is the per-expression escape hatch that turns the
     // error into NULL instead of killing a 1000-executor stage 9 hours
     // in. Probed on real poison values: non-numeric strings through
-    // try_cast, literal zero denominators through try_divide, and a
-    // guaranteed-overflow long product through try_multiply. DuckDB has
-    // TRY_CAST natively; divide/multiply are spelled as their exact
-    // NULL-guard CASE equivalents.
+    // try_cast, zero denominators through try_divide, and long-overflow
+    // products through try_multiply. Poison rows are RARE by
+    // construction (every 1000th key overflows): each caught error
+    // costs a thrown JVM exception, so an always-overflowing probe
+    // would measure exception throughput, not the operator (first
+    // draw: 18 s flat across SFs — ~0.1 ms/throw × every row; the
+    // realistic rare-poison form is the honest benchmark AND the honest
+    // production shape). DuckDB has TRY_CAST natively; divide/multiply
+    // are spelled as their exact NULL-guard CASE equivalents.
     Q("g12_try_funcs",
       (s, dir) =>
         t(s, dir, "orders")
@@ -2408,16 +2413,18 @@ object RelationalOps {
             expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
             expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
             expr("try_divide(o_totalprice, o_orderkey % 3)").as("div_or_null"),
-            expr("try_multiply(o_orderkey, 9223372036854775807L)").as("overflow_null"))
+            expr("""try_multiply(o_orderkey,
+              CASE WHEN o_orderkey % 1000 = 1 THEN 9223372036854775807L ELSE 2L END)""")
+              .as("overflow_null"))
           .orderBy("o_orderkey"),
       Some(sql("""SELECT o_orderkey,
                  | TRY_CAST(o_orderpriority AS INT) AS bad_cast,
                  | TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
                  | CASE WHEN o_orderkey % 3 = 0 THEN NULL
                  |      ELSE o_totalprice / (o_orderkey % 3) END AS div_or_null,
-                 | CASE WHEN o_orderkey = 0 THEN CAST(0 AS BIGINT)
+                 | CASE WHEN o_orderkey % 1000 = 1 AND o_orderkey > 1 THEN NULL
                  |      WHEN o_orderkey = 1 THEN CAST(9223372036854775807 AS BIGINT)
-                 |      ELSE NULL END AS overflow_null
+                 |      ELSE CAST(o_orderkey * 2 AS BIGINT) END AS overflow_null
                  | FROM orders ORDER BY o_orderkey"""))),
 
     // Boolean / conditional AGGREGATE battery — bool_and (ANSI EVERY),
