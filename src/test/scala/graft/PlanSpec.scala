@@ -286,6 +286,23 @@ class PlanSpec extends SparkTestBase {
       s"funnel must reuse one user_id Exchange, got $hashShuffles:\n$p")
   }
 
+  test("b35: EqualNullSafe plans as a hash join key, not a nested loop") {
+    val p = plan(Registry.byId("b35_nullsafe_join").build(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-safe equality must stay an equi-join key:\n$p")
+  }
+
+  test("c14: weighted median runs on ONE hash Exchange (distribution + windows + rollup)") {
+    // The weighted-distribution aggregate, both rank windows, and the
+    // final per-group rollup all cluster on g — hash(g, vc) does NOT
+    // satisfy the window's hash(g), so the plan must aggregate on (g)
+    // clustering from the start: exactly one hash Exchange.
+    val p = plan(Registry.byId("c14_weighted_median").build(spark, dir))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles <= 2,
+      s"weighted median must not cascade shuffles, got $hashShuffles:\n$p")
+  }
+
   test("e2: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan(Registry.byId("e2_topk_global").build(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
