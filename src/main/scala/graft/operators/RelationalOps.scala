@@ -568,7 +568,40 @@ object RelationalOps {
                  | SELECT g AS l_returnflag,
                  |   round(min(CASE WHEN cumw * 2 >= tw THEN vc END) / 100.0, 2) AS weighted_median,
                  |   CAST(max(tw) AS BIGINT) AS total_weight
-                 | FROM r GROUP BY g ORDER BY g""")))
+                 | FROM r GROUP BY g ORDER BY g"""))),
+
+    // min_by / max_by OHLC — the argmin/argmax AGGREGATE surface (value
+    // at the extremal of ANOTHER column) that otherwise costs a window
+    // + filter pass: the time-series candlestick (open = value at first
+    // event, close = at last, high/low = extremes) per user-hour in ONE
+    // hash aggregate. Determinism: the ordering column is the UNIQUE
+    // event_id (min_by/max_by on a tied ordering column is
+    // engine-arbitrary — the classic correctness trap this query's
+    // ordering choice dodges by construction). Cents-exact money.
+    Q("c15_minby_ohlc",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"),
+            date_trunc("hour", col("ts")).as("hour0"))
+          .agg(
+            expr("min_by(value, event_id)").as("open_v"),
+            expr("max_by(value, event_id)").as("close_v"),
+            max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("hour0").cast("timestamp_ntz").as("hour_start"),
+            round(col("open_v") * 100).cast("long").as("open_c"),
+            round(col("close_v") * 100).cast("long").as("close_c"),
+            round(col("high_v") * 100).cast("long").as("high_c"),
+            round(col("low_v") * 100).cast("long").as("low_c"),
+            col("n_events"))
+          .orderBy("user_id", "hour_start"),
+      Some(sql("""SELECT user_id, date_trunc('hour', ts) AS hour_start,
+                 |   CAST(round(min_by(value, event_id) * 100) AS BIGINT) AS open_c,
+                 |   CAST(round(max_by(value, event_id) * 100) AS BIGINT) AS close_c,
+                 |   CAST(round(max(value) * 100) AS BIGINT) AS high_c,
+                 |   CAST(round(min(value) * 100) AS BIGINT) AS low_c,
+                 |   count(*) AS n_events
+                 | FROM events GROUP BY 1, 2 ORDER BY user_id, hour_start""")))
   )
 
   // -------------------------------------------------------------- windows
