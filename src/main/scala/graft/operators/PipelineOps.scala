@@ -1002,9 +1002,14 @@ object PipelineOps {
     * collapsed → 0) on crafted corpora through the registry's code path.
     */
   def tokenEntropy(docs: DataFrame): DataFrame = {
+    // Token counts group the RAW token string, exactly as the DuckDB
+    // oracle does (ADVICE r13): an xxhash64 pre-hash would be the same
+    // shuffle width (~8-byte tokens) but a 64-bit collision would
+    // silently merge two types and shift n_types/entropy off-oracle.
+    // Same rule in tokenGini/sourceTvd below.
     val cnt = docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .select(col("source"), xxhash64(col("w")).as("tk"))
+      .select(col("source"), col("w").as("tk"))
       .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
     val hNats = log(col("n_tok").cast("double")) -
       col("s_q") / lit(1e6) / col("n_tok")
@@ -1023,7 +1028,7 @@ object PipelineOps {
   def tokenGini(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .select(col("source"), xxhash64(col("w")).as("tk"))
+      .select(col("source"), col("w").as("tk"))
       .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tok"),
@@ -1041,7 +1046,7 @@ object PipelineOps {
   def sourceTvd(docs: DataFrame): DataFrame = {
     val cnt = docs
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .select(col("source"), xxhash64(col("w")).as("tk"))
+      .select(col("source"), col("w").as("tk"))
       .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
@@ -4519,12 +4524,21 @@ object PipelineOps {
             xxhash64(col("z.0"), col("z.1"), col("z.2")).as("sh"))
           .distinct()
           .createOrReplaceTempView("v_i68_sh")
-        s.sql("""WITH ev AS (SELECT DISTINCT sh FROM v_i68_sh WHERE doc_id < 50),
+        // Size the bitmap from the BUILD side (ADVICE r13, same rule as
+        // b34): the eval set is a fixed 50 docs but its shingle count
+        // still grows with document length across SFs, and a saturated
+        // bloom is a silent no-op prescreen. The count pass re-derives
+        // only the 50 eval docs' shingles — bounded at any corpus size.
+        val nEval = math.max(10000L,
+          s.sql("SELECT count(DISTINCT sh) FROM v_i68_sh WHERE doc_id < 50")
+            .head().getLong(0))
+        val nBits = math.min(nEval * 8L, 67108864L)
+        s.sql(s"""WITH ev AS (SELECT DISTINCT sh FROM v_i68_sh WHERE doc_id < 50),
                 |tr AS (SELECT doc_id, sh FROM v_i68_sh WHERE doc_id >= 50),
                 |sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
                 |pre AS (SELECT doc_id, sh FROM tr
                 |  WHERE graft_might_contain(
-                |    (SELECT graft_bloom_agg(sh, 10000L, 81920L) FROM ev), sh)),
+                |    (SELECT graft_bloom_agg(sh, ${nEval}L, ${nBits}L) FROM ev), sh)),
                 |shd AS (SELECT doc_id, count(*) AS n_shared
                 |  FROM pre LEFT SEMI JOIN ev ON pre.sh = ev.sh GROUP BY doc_id)
                 |SELECT sz.doc_id, n_shared,

@@ -2532,10 +2532,20 @@ object RelationalOps {
       (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("v_orders")
         t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
-        s.sql("""WITH u AS (SELECT o_orderkey FROM v_orders WHERE o_orderpriority = '1-URGENT'),
+        // Size the bitmap from the BUILD side, not a fixture constant
+        // (ADVICE r13): fixed (10000, 81920) saturates ~30x over at sf1+
+        // and the prescreen silently degrades to pass-everything. The
+        // exact count is one narrow column scan of the dimension side —
+        // the stand-in for the table stats a warehouse deployment reads
+        // for free — and 8 bits/key (~2% fpp) keeps the bitmap a scalar
+        // broadcast: 300k urgent keys at sf10 is still only 300 KB.
+        val nUrgent = math.max(10000L,
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT").count())
+        val nBits = math.min(nUrgent * 8L, 67108864L)
+        s.sql(s"""WITH u AS (SELECT o_orderkey FROM v_orders WHERE o_orderpriority = '1-URGENT'),
                 |pre AS (SELECT l_orderkey, l_extendedprice FROM v_lineitem
                 |  WHERE graft_might_contain(
-                |    (SELECT graft_bloom_agg(o_orderkey, 10000L, 81920L) FROM u), l_orderkey)),
+                |    (SELECT graft_bloom_agg(o_orderkey, ${nUrgent}L, ${nBits}L) FROM u), l_orderkey)),
                 |ex AS (SELECT l_orderkey, l_extendedprice
                 |       FROM pre LEFT SEMI JOIN u ON pre.l_orderkey = u.o_orderkey)
                 |SELECT l_orderkey,

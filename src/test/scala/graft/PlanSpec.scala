@@ -292,11 +292,16 @@ class PlanSpec extends SparkTestBase {
       s"null-safe equality must stay an equi-join key:\n$p")
   }
 
-  test("c14: weighted median runs on ONE hash Exchange (distribution + windows + rollup)") {
-    // The weighted-distribution aggregate, both rank windows, and the
-    // final per-group rollup all cluster on g — hash(g, vc) does NOT
-    // satisfy the window's hash(g), so the plan must aggregate on (g)
-    // clustering from the start: exactly one hash Exchange.
+  test("c14: weighted median runs on TWO hash Exchanges — distribution then rollup") {
+    // Two is the SCALE-CORRECT count, not a concession (ADVICE r13 made
+    // the old one-Exchange title match what was asserted): the first
+    // Exchange moves map-side-combined (g, vc) partials — high
+    // cardinality, evenly spread — and the second moves only the
+    // compacted per-(g, vc) distribution onto hash(g) for the rank
+    // windows + rollup. Forcing a single hash(g) Exchange up front WOULD
+    // satisfy the aggregate's (g, vc) clustering (subset key), but it
+    // shuffles raw lineitem rows into |g|=3 partitions — a skew funnel
+    // at 100 TB. Anything beyond these two is a cascade regression.
     val p = plan(Registry.byId("c14_weighted_median").build(spark, dir))
     val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashShuffles <= 2,
