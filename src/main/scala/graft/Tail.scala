@@ -59,7 +59,9 @@ object Tail {
        |    {{.Timestamp}} -- The timestamp when the log was sent to the stream.
        |    {{.SequenceNumber}} -- The record's per-shard sequence number.
        |    {{.LogEntry}} -- The log entry in string format.
-       |    {{.Log}} -- JSON field access via {{.Log.FieldName}}.
+       |    {{.Log}} -- JSON field access via {{.Log.FieldName}} (any depth:
+       |                {{.Log.a.b.c}}); printf pipelines are supported
+       |                ({{.Log.k | printf "%05d"}}).
        |
        |Options:
        |  -h, --help               Show this usage information.

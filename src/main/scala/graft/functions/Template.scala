@@ -14,58 +14,267 @@ import org.apache.spark.sql.functions._
   * stays inside whole-stage codegen — the per-row interpreter loop of the
   * reference becomes a vectorized projection.
   *
-  * Supported syntax (the subset the reference's README documents):
+  * Supported syntax (the forms the reference's README/usage text
+  * documents, plus the printf/pipeline idiom of Go's template library):
   *   - literal text, passed through unchanged
   *   - `{{.Field}}` — envelope/JSON field access, resolved via `fields`
-  *   - `{{.Field.Sub}}` — nested access into a JSON-string field
-  *     (the reference's `{{.Log.FieldName}}`, `main.go:50-51` /
-  *     README.md:19), compiled to `get_json_object(field, "$.Sub")`
+  *   - `{{.Field.A.B…}}` — MULTI-LEVEL navigation into a JSON-string
+  *     field (Go navigates struct/map fields to arbitrary depth; the
+  *     reference's `{{.Log.FieldName}}`, `main.go:50-51` / README.md:19),
+  *     compiled to `get_json_object(field, "$.A.B…")`
   *   - `{{strftime "%fmt" .Field}}` — timestamp formatting through
   *     [[Strftime]] (the reference registers the same function at
   *     `main.go:104-107`)
   *   - `{{.Field.Format "go-layout"}}` — Go's `time.Time.Format` method
   *     syntax, documented as the supported alternative in the
   *     reference's usage text (`main.go:53-54`); the Go reference layout
-  *     is translated to a java.time pattern ([[Strftime.formatGo]]),
-  *     with the same RFC3339 fallback as strftime
+  *     is translated to a java.time pattern ([[Strftime.formatGo]])
+  *   - `{{printf "fmt" args…}}` and pipelines `{{expr | printf "fmt"}}`
+  *     — Go's `fmt`-verb formatting, compiled to `format_string` with
+  *     per-verb argument casts (verb dialect translated: `%v`→`%s`,
+  *     `%t`→`%b`; the pipeline value becomes the LAST argument, exactly
+  *     Go's pipeline rule)
   *
-  * Unknown fields fail at compile time (the reference fails template
-  * parse at startup with exit code 2 — same fail-fast contract). A field
-  * that is NULL at runtime renders as the empty string (Go's template
-  * would print a placeholder; rendering must not null out the whole line,
-  * which Spark's `concat` would otherwise do).
+  * Everything else — `{{if}}`/`{{range}}`/`{{with}}` control structures,
+  * `$variables`, other functions — fails at COMPILE time with a message
+  * naming the construct: the reference fails template parse at startup
+  * with exit code 2 (`main.go:110-114`), and a construct that silently
+  * rendered as literal text would be worse than the honest error. A
+  * field that is NULL at runtime renders as the empty string (rendering
+  * must not null out the whole line, which Spark's `concat` would
+  * otherwise do).
   */
 object Template {
-  // The `.Field.Format "layout"` alternative must come FIRST: the generic
-  // `.Field.Sub` alternative would otherwise consume `.Timestamp.Format`
-  // and leave the quoted layout dangling. A JSON field literally named
-  // `Format` without a following quoted string still falls through to the
-  // generic nested case.
-  private val Token =
-    raw"""\{\{\s*(?:\.(\w+)\.Format\s+"([^"]*)"|\.(\w+)(?:\.(\w+))?|strftime\s+"([^"]*)"\s+\.(\w+))\s*\}\}""".r
 
-  def compile(template: String, fields: Map[String, Column]): Column = {
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  // ------------------------------------------------------------- lexer
+  private sealed trait Tok
+  private final case class TField(path: List[String]) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TNum(n: Long) extends Tok
+  private final case class TIdent(name: String) extends Tok
+  private case object TPipe extends Tok
+
+  /** Tokenizes the inside of one `{{ … }}` action. Anything outside the
+    * supported grammar fails here, naming the offending construct.
+    */
+  private def lex(action: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    val n = action.length
+    while (i < n) {
+      val c = action(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '.') {
+        var k = i + 1
+        while (k < n && (action(k).isLetterOrDigit || action(k) == '_' || action(k) == '.')) k += 1
+        val body = action.substring(i + 1, k)
+        if (body.isEmpty)
+          fail("the bare '.' cursor is not supported (name a field: {{.Field}})")
+        val segs = body.split('.').toList
+        if (segs.exists(_.isEmpty))
+          fail(s"malformed field path .$body in {{$action}}")
+        out += TField(segs)
+        i = k
+      } else if (c == '"') {
+        val sb = new StringBuilder
+        var k = i + 1
+        var closed = false
+        while (k < n && !closed) {
+          action(k) match {
+            case '\\' if k + 1 < n =>
+              sb.append(action(k + 1) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case other => other
+              })
+              k += 2
+            case '"' => closed = true; k += 1
+            case other => sb.append(other); k += 1
+          }
+        }
+        if (!closed) fail(s"unterminated string literal in {{$action}}")
+        out += TStr(sb.toString)
+        i = k
+      } else if (c == '|') { out += TPipe; i += 1 }
+      else if (c.isDigit || (c == '-' && i + 1 < n && action(i + 1).isDigit)) {
+        var k = i + 1
+        while (k < n && action(k).isDigit) k += 1
+        out += TNum(action.substring(i, k).toLong)
+        i = k
+      } else if (c.isLetter || c == '_') {
+        var k = i + 1
+        while (k < n && (action(k).isLetterOrDigit || action(k) == '_')) k += 1
+        out += TIdent(action.substring(i, k))
+        i = k
+      } else if (c == '$') {
+        fail(s"template variables ($$…) are not supported (in {{$action}})")
+      } else {
+        fail(s"unsupported template syntax '$c' in {{$action}}")
+      }
+    }
+    out.toList
+  }
+
+  // ------------------------------------------------------------ parser
+
+  /** Go control keywords: genuinely unsupported (the engine renders
+    * per-record projections — a conditional render would need per-row
+    * branching the CLI contract doesn't cover). Named explicitly in the
+    * error, matching the reference's parse-fail contract (main.go:110-114).
+    */
+  private val ControlKeywords = Set(
+    "if", "else", "end", "range", "with", "define", "template", "block",
+    "break", "continue", "and", "or", "not")
+
+  /** Go fmt verb → (java.util.Formatter verb, argument cast type). */
+  private def verbSpec(v: Char, fmt: String): (String, String) = v match {
+    case 's' | 'v' => ("s", "string") // %v = Go default formatting ≅ string
+    case 'd' => ("d", "long")
+    case 'o' | 'x' | 'X' => (v.toString, "long")
+    case 'c' => ("c", "int")
+    case 'f' | 'e' | 'E' | 'g' | 'G' => (v.toString, "double")
+    case 't' => ("b", "boolean") // Go %t ↔ java %b
+    case other =>
+      fail(s"""printf verb %$other is not supported in "$fmt" """ +
+        "(supported: %s %v %d %o %x %X %c %f %e %g %t %%)")
+  }
+
+  // A fmt verb: flags, width, precision, verb letter (or %%).
+  private val Verb = raw"%[#0\- +]*\d*(?:\.\d+)?([a-zA-Z%])".r
+
+  /** Compiles one `printf "fmt" args…` into `format_string`: the Go fmt
+    * string is rewritten verb-by-verb to the java.util.Formatter dialect
+    * and every argument gets the verb's cast (format_string is strict
+    * about JVM types where Go's fmt is reflective).
+    */
+  private def printfCol(fmt: String, args: Seq[Column]): Column = {
+    val sb = new StringBuilder
+    val casts = Seq.newBuilder[Column]
+    var last = 0
+    var ai = 0
+    for (m <- Verb.findAllMatchIn(fmt)) {
+      sb.append(fmt.substring(last, m.start))
+      val v = m.group(1).head
+      if (v == '%') sb.append(m.matched)
+      else {
+        if (ai >= args.length)
+          fail(s"""printf "$fmt" has more verbs than arguments (${args.length} given)""")
+        val (jv, castTo) = verbSpec(v, fmt)
+        sb.append(m.matched.dropRight(1)).append(jv)
+        casts += args(ai).cast(castTo)
+        ai += 1
+      }
+      last = m.end
+    }
+    if (ai < args.length)
+      fail(s"""printf "$fmt" has fewer verbs ($ai) than arguments (${args.length})""")
+    sb.append(fmt.substring(last))
+    format_string(sb.toString, casts.result(): _*)
+  }
+
+  private def compileAction(action: String, fields: Map[String, Column]): Column = {
     def field(name: String): Column =
       fields.getOrElse(
         name,
-        throw new IllegalArgumentException(
-          s"template references unknown field .$name (known: ${fields.keys.mkString(", ")})"))
+        fail(s"template references unknown field .$name (known: ${fields.keys.mkString(", ")})"))
 
-    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
-    var last = 0
-    for (m <- Token.findAllMatchIn(template)) {
-      if (m.start > last) parts += lit(template.substring(last, m.start))
-      val rendered =
-        if (m.group(1) != null)
-          Strftime.formatGo(field(m.group(1)), m.group(2))
-        else if (m.group(3) != null && m.group(4) != null)
-          get_json_object(field(m.group(3)), "$." + m.group(4))
-        else if (m.group(3) != null) field(m.group(3)).cast("string")
-        else Strftime.format(field(m.group(6)), m.group(5))
-      parts += coalesce(rendered, lit(""))
-      last = m.end
+    /** `.A.B.C` → resolve `.A` in scope, navigate the rest as a JSON
+      * path into it (multi-level, the Go field-navigation depth rule).
+      */
+    def resolve(path: List[String]): Column = {
+      val base = field(path.head)
+      if (path.tail.isEmpty) base
+      else get_json_object(base, "$." + path.tail.mkString("."))
     }
-    if (last < template.length) parts += lit(template.substring(last))
+
+    def arg(t: Tok): Column = t match {
+      case TField(p) => resolve(p)
+      case TStr(s) => lit(s)
+      case TNum(v) => lit(v)
+      case TPipe | TIdent(_) =>
+        fail(s"unexpected token in printf arguments (in {{$action}})")
+    }
+
+    // Split the token stream on '|' into pipeline stages.
+    val stages: List[List[Tok]] = {
+      val toks = lex(action)
+      val acc = scala.collection.mutable.ListBuffer.empty[List[Tok]]
+      val cur = scala.collection.mutable.ListBuffer.empty[Tok]
+      toks.foreach {
+        case TPipe =>
+          if (cur.isEmpty) fail(s"empty pipeline stage in {{$action}}")
+          acc += cur.toList; cur.clear()
+        case t => cur += t
+      }
+      if (cur.isEmpty) fail(s"empty action or trailing '|' in {{$action}}")
+      acc += cur.toList
+      acc.toList
+    }
+
+    def evalStage(stage: List[Tok], piped: Option[Column]): Column = stage match {
+      // {{.Field.Format "layout"}} — Go time method syntax; the path up
+      // to `.Format` resolves, the quoted Go reference layout translates.
+      case TField(path) :: TStr(layout) :: Nil
+          if path.length >= 2 && path.last == "Format" && piped.isEmpty =>
+        Strftime.formatGo(resolve(path.init), layout)
+      case TField(path) :: Nil if piped.isEmpty =>
+        resolve(path)
+      case TStr(s) :: Nil if piped.isEmpty => lit(s)
+      case TNum(v) :: Nil if piped.isEmpty => lit(v)
+      case TIdent("strftime") :: TStr(fmt) :: TField(path) :: Nil if piped.isEmpty =>
+        Strftime.format(resolve(path), fmt)
+      case TIdent("strftime") :: TStr(fmt) :: Nil if piped.nonEmpty =>
+        Strftime.format(piped.get, fmt) // {{.Ts | strftime "%Y"}}
+      case TIdent("printf") :: TStr(fmt) :: rest =>
+        // Go's pipeline rule: the piped value is the FINAL argument.
+        printfCol(fmt, rest.map(arg) ++ piped.toSeq)
+      case TIdent(kw) :: _ if ControlKeywords(kw) =>
+        fail(s"{{$kw}} is not supported (control structures do not apply to " +
+          "per-record rendering; supported: {{.Field.A.B}}, strftime, " +
+          ".Field.Format, printf pipelines)")
+      case TIdent(fn) :: _ =>
+        fail(s"""unknown template function "$fn" (supported: strftime, printf)""")
+      case _ =>
+        fail(s"unsupported template action {{$action}}")
+    }
+
+    stages.tail.foldLeft(evalStage(stages.head, None)) { (value, stage) =>
+      evalStage(stage, Some(value))
+    }
+  }
+
+  def compile(template: String, fields: Map[String, Column]): Column = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var i = 0
+    while (i < template.length) {
+      val open = template.indexOf("{{", i)
+      if (open < 0) {
+        parts += lit(template.substring(i))
+        i = template.length
+      } else {
+        if (open > i) parts += lit(template.substring(i, open))
+        // Find the matching }} OUTSIDE string literals (a layout string
+        // may contain '}'; Go's lexer has the same quote rule).
+        var k = open + 2
+        var inStr = false
+        var close = -1
+        while (k < template.length && close < 0) {
+          template(k) match {
+            case '\\' if inStr && k + 1 < template.length => k += 1
+            case '"' => inStr = !inStr
+            case '}' if !inStr && k + 1 < template.length && template(k + 1) == '}' =>
+              close = k
+            case _ => ()
+          }
+          k += 1
+        }
+        if (close < 0) fail(s"unclosed {{ action in template: ${template.substring(open)}")
+        val action = template.substring(open + 2, close)
+        parts += coalesce(compileAction(action, fields).cast("string"), lit(""))
+        i = close + 2
+      }
+    }
     if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
   }
 

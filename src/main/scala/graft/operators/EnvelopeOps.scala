@@ -78,6 +78,8 @@ object EnvelopeOps {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
 
+  private def sql(s: String): String = s.stripMargin.replace("\n", " ").trim
+
   val qs: Seq[Q] = Seq(
     Q("a1_source_scan",
       (s, dir) =>
@@ -132,6 +134,36 @@ object EnvelopeOps {
       Some(s"""SELECT event_id, concat($duckShort, ' k=', coalesce(json_extract_string(props, '$$.k'), '')) AS line
               | FROM (SELECT event_id, props, $duckHostId AS host_id FROM events)
               | ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // The round-14 template-language surface under the hash gate:
+    // MULTI-LEVEL JSON navigation ({{.Env.outer.inner.k}} — Go fields
+    // recurse arbitrarily, main.go:50-51 documents one level and the Go
+    // library the rest), printf verb formatting, and the pipeline form
+    // ({{.X | printf "fmt"}} appends the piped value LAST, Go's rule).
+    // The nested JSON is synthesized identically on both engines by
+    // wrapping the flat props payload two levels deep.
+    Q("a4c_template_deep",
+      (s, dir) => {
+        val nested = ev(s, dir).withColumn("env",
+          concat(lit("""{"outer": {"inner": """), col("props"), lit(""", "tag": "x"}}""")))
+        nested.select(
+          col("event_id"),
+          Template.compile(
+            """k={{.Env.outer.inner.k}} tag={{.Env.outer.tag}} n={{printf "%05d" .SequenceNumber}} {{.User | printf "u-%s"}}""",
+            Map(
+              "Env" -> col("env"),
+              "SequenceNumber" -> col("event_id"),
+              "User" -> col("user_id"))).as("line"))
+          .orderBy("event_id")
+      },
+      Some(sql("""SELECT event_id,
+                 | concat('k=', coalesce(json_extract_string(env, '$.outer.inner.k'), ''),
+                 |   ' tag=', coalesce(json_extract_string(env, '$.outer.tag'), ''),
+                 |   ' n=', printf('%05d', event_id),
+                 |   ' ', printf('u-%s', CAST(user_id AS VARCHAR))) AS line
+                 | FROM (SELECT event_id, user_id,
+                 |   concat('{"outer": {"inner": ', props, ', "tag": "x"}}') AS env FROM events)
+                 | ORDER BY event_id"""))),
 
     Q("a5_strftime",
       (s, dir) =>

@@ -87,4 +87,82 @@ class TemplateSpec extends SparkTestBase {
       .as[(String, String)].collect()
     assert(lines(0) == ("plain text", "1h-1"))
   }
+
+  // ---- round-14 surface: multi-level navigation, printf, pipelines ----
+
+  private val deepDf = Seq(
+    (1L, """{"a":{"b":{"c":"deep","n":42}},"top":"t"}"""),
+    (2L, null.asInstanceOf[String])
+  ).toDF("seq", "props")
+
+  private def deepFields = Map(
+    "Log" -> col("props"), "SequenceNumber" -> col("seq"))
+
+  test("multi-level {{.Log.A.B.C}} navigates arbitrary JSON depth") {
+    val lines = deepDf.orderBy("seq")
+      .select(Template.compile("c={{.Log.a.b.c}} n={{.Log.a.b.n}} t={{.Log.top}}",
+        deepFields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == "c=deep n=42 t=t")
+    assert(lines(1) == "c= n= t=") // NULL payload renders empty per level
+  }
+
+  test("""{{printf "fmt" args}} renders Go verbs through format_string""") {
+    val lines = deepDf.orderBy("seq")
+      .select(Template.compile(
+        """{{printf "%05d" .SequenceNumber}}|{{printf "%s/%d" .Log.top 7}}|{{printf "%x" 255}}|{{printf "100%%"}}""",
+        deepFields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == "00001|t/7|ff|100%")
+  }
+
+  test("""pipeline {{.Field | printf "fmt"}} appends the piped value last (Go rule)""") {
+    val lines = deepDf.orderBy("seq")
+      .select(Template.compile(
+        """{{.SequenceNumber | printf "seq=%03d"}} {{.Log.a.b.n | printf "%s:%d" "n"}}""",
+        deepFields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == "seq=001 n:42")
+  }
+
+  test("""pipeline into strftime: {{.Timestamp | strftime "%Y"}}""") {
+    val lines = df.orderBy("seq")
+      .select(Template.compile("""{{.Timestamp | strftime "%Y/%m"}}""", fields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == "2024/01")
+  }
+
+  test("{{if}}/{{range}}/variables fail at compile time naming the construct (main.go:110-114)") {
+    val eIf = intercept[IllegalArgumentException] {
+      Template.compile("{{if .Log}}x{{end}}", deepFields)
+    }
+    assert(eIf.getMessage.contains("if"))
+    val eRange = intercept[IllegalArgumentException] {
+      Template.compile("{{range .Log}}x{{end}}", deepFields)
+    }
+    assert(eRange.getMessage.contains("range"))
+    val eVar = intercept[IllegalArgumentException] {
+      Template.compile("{{$x := .Log}}", deepFields)
+    }
+    assert(eVar.getMessage.contains("variables"))
+    val eFn = intercept[IllegalArgumentException] {
+      Template.compile("{{len .Log}}", deepFields)
+    }
+    assert(eFn.getMessage.toLowerCase.contains("len"))
+  }
+
+  test("printf arity and verb errors fail at compile time") {
+    val eArity = intercept[IllegalArgumentException] {
+      Template.compile("""{{printf "%s %s" .Log}}""", deepFields)
+    }
+    assert(eArity.getMessage.contains("more verbs"))
+    val eVerb = intercept[IllegalArgumentException] {
+      Template.compile("""{{printf "%q" .Log}}""", deepFields)
+    }
+    assert(eVerb.getMessage.contains("%q"))
+    val eUnclosed = intercept[IllegalArgumentException] {
+      Template.compile("{{.Log", deepFields)
+    }
+    assert(eUnclosed.getMessage.contains("unclosed"))
+  }
 }
