@@ -80,7 +80,6 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // Self-contained artifact: the FULL-precision line is also written to
@@ -95,6 +94,19 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    println(line)
+    // The driver's per-round artifact keeps only the LAST ~2000 chars of
+    // stdout and json-parses what it finds there; at 200+ queries the
+    // contract line above is ~5 KB, so its head truncates out of the
+    // window and the round records `parsed: null` (VERDICT r12 #8 /
+    // r13 #3). No complete per-query map can fit that window at this
+    // registry size, so the LAST line is a compact trailer that always
+    // parses — total, errors, the 10 slowest queries, and a pointer to
+    // the committed full-precision artifact written above.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":$errJson,"queries_file":"$outFile","slowest10":$slowest}""")
     spark.stop()
   }
 }

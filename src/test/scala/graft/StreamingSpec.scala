@@ -193,6 +193,35 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("h6c transformWithState under a SHUFFLED feed == batch agg (VERDICT r13 #8)") {
+    // The fold is order-free by construction (sums + max for
+    // last_event_id), so ANY arrival order across ANY micro-batch split
+    // must reproduce the batch Catalyst aggregate — the property that
+    // makes the running aggregate safe on a real stream, where per-key
+    // cross-shard order is not guaranteed.
+    val want = StreamingOps.statefulRunning(batchDF)
+      .select(col("user_id"), col("n_events"), col("sum_cents"), col("last_event_id"))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = new scala.util.Random(97).shuffle(eventSeq)
+      val latest = TrieMap.empty[Long, Running]
+      Replay.runForeach(spark, feed, 7, OutputMode.Update())(
+        ds => StatefulRunning.transformWithStateVariant(ds).toDF()) { (df, _) =>
+        df.as[Running].collect().foreach(r => latest(r.user_id) = r)
+      }
+      val got = latest.values.toSeq.toDF()
+        .select(col("user_id"), col("n_events"), col("sum_cents"), col("last_event_id"))
+      assertSameRows(got, want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("offset-log recovery: restart from checkpoint, no loss, no reprocessing") {
     // The engine form of the reference's resume-from-sequence-number
     // (expired-iterator renewal, main.go:332-351): stop a file-source
