@@ -196,7 +196,99 @@ object RelationalOps {
       Some(sql("""SELECT p.event_id, p.user_id, p.ts,
                  | (SELECT max(e.ts) FROM events e
                  |  WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts) AS last_error_ts
-                 | FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""")))
+                 | FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"""))),
+
+    // Pair-free range-join AGGREGATE — the scale path for b6's shape.
+    // b6 RETURNS the matching pairs, so its output (and any engine's
+    // wall, DuckDB included) grows with |part|·|supplier|: at the 100×
+    // clone the pair set is 10,000× (742M rows), and no plan can emit
+    // 10,000× the rows in <200× the time. When the caller wants per-row
+    // AGGREGATES over the range matches — the common ask at 100 TB
+    // ("how many suppliers fall in each part's price band, and their
+    // total balance") — the pairs never need to exist. Method: CDF
+    // differencing over a binned value spine, all in the exact integer
+    // millidollar domain (cross-engine float-safe):
+    //   - supplier balances land in width-20 bins; a per-bin (count,
+    //     cents-sum) aggregate cumulated over the DENSE bin spine gives
+    //     F(b) = totals over all bins ≤ b;
+    //   - a part's ±2000md interval covers ~201 bins, every one but the
+    //     two boundary bins FULLY — that interior contribution is
+    //     F(binHi−1) − F(binLo), two broadcast lookups;
+    //   - only the two boundary bins are scanned row-level (exact
+    //     BETWEEN residual), so per-part candidate work is 2×(bin
+    //     occupancy), not (selectivity × |supplier|).
+    // Work: O(|part| + |supplier| + |part|·occupancy). The spine is
+    // bounded by VALUE RANGE / bin width — constant in corpus size — so
+    // its unpartitioned cumulative window and its broadcast cost the
+    // same at 100 TB as here. The dense spine (explode(sequence)) is
+    // what makes the two CDF lookups inner joins: probe bins are always
+    // within [min,max] of the union of supplier and probe bins, and
+    // empty bins carry the running totals forward.
+    Q("b8_range_agg_cdf",
+      (s, dir) => {
+        val binw = 20L
+        // Exact integer domain: s_acctbal has 2 decimals, so *100 is an
+        // integer up to one ulp — round() snaps it identically in both
+        // engines; p_retailprice*1000 likewise. pmod-based floor
+        // division stays exact for negative balances.
+        def fdiv(c: Column): Column =
+          ((c - pmod(c, lit(binw))) / binw).cast("long")
+        val sup = t(s, dir, "supplier")
+          .select(round(col("s_acctbal") * 100).cast("long").as("sm"))
+          .withColumn("sbin", fdiv(col("sm")))
+        val prt = t(s, dir, "part")
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 1000).cast("long").as("pm"))
+          .withColumn("lo", col("pm") - 2000L)
+          .withColumn("hi", col("pm") + 2000L)
+          .withColumn("binLo", fdiv(col("lo")))
+          .withColumn("binHi", fdiv(col("hi")))
+        val bounds = sup.select(col("sbin").as("b"))
+          .unionByName(prt.select(col("binLo").as("b")))
+          .unionByName(prt.select(col("binHi").as("b")))
+          .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+        val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("bin"))
+        val binAgg = sup.groupBy(col("sbin").as("bin"))
+          .agg(count(lit(1)).as("cnt"), sum(col("sm")).as("sumc"))
+        // Cumulative over the spine: an unpartitioned window, bounded by
+        // the value range (≤ (mx−mn) rows), never by the corpus.
+        val wcum = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = spine.join(binAgg, Seq("bin"), "left")
+          .select(col("bin"),
+            sum(coalesce(col("cnt"), lit(0L))).over(wcum).as("ccnt"),
+            sum(coalesce(col("sumc"), lit(0L))).over(wcum).as("csum"))
+        val fLo = cdf.select(col("bin").as("binLo"),
+          col("ccnt").as("cntLo"), col("csum").as("sumLo"))
+        // F(binHi−1), keyed by binHi so the probe joins directly; the
+        // shift stays in-range because binHi ≥ binLo+200 > mn.
+        val fHi = cdf.select((col("bin") + 1L).as("binHi"),
+          col("ccnt").as("cntHi"), col("csum").as("sumHi"))
+        val probe = prt
+          .join(broadcast(fLo), Seq("binLo"))
+          .join(broadcast(fHi), Seq("binHi"))
+          .select(col("p_partkey"), col("lo"), col("hi"),
+            (col("cntHi") - col("cntLo")).as("icnt"),
+            (col("sumHi") - col("sumLo")).as("isum"),
+            explode(array(col("binLo"), col("binHi"))).as("bin"))
+        // Boundary residual: left join keeps zero-match parts; count(sm)
+        // counts only real matches (null on miss).
+        val bj = probe.join(broadcast(sup),
+          probe("bin") === sup("sbin") &&
+            col("sm").between(col("lo"), col("hi")), "left")
+        bj.groupBy(col("p_partkey"))
+          .agg((min(col("icnt")) + count(col("sm"))).as("n_match"),
+            (min(col("isum")) + coalesce(sum(col("sm")), lit(0L))).as("sum_acctbal_cents"))
+          .orderBy("p_partkey")
+      },
+      Some(sql("""SELECT p.p_partkey,
+                 | count(s.sm) AS n_match,
+                 | CAST(coalesce(sum(s.sm), 0) AS BIGINT) AS sum_acctbal_cents
+                 | FROM part p LEFT JOIN
+                 |   (SELECT CAST(round(s_acctbal*100) AS BIGINT) AS sm FROM supplier) s
+                 |   ON s.sm BETWEEN CAST(round(p.p_retailprice*1000) AS BIGINT) - 2000
+                 |              AND CAST(round(p.p_retailprice*1000) AS BIGINT) + 2000
+                 | GROUP BY p.p_partkey ORDER BY p.p_partkey""")))
   )
 
   // ----------------------------------------------------------- aggregates

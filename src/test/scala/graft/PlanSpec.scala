@@ -81,6 +81,16 @@ class PlanSpec extends SparkTestBase {
       s"range join must not fall back to nested loop:\n$p")
   }
 
+  test("b8: CDF range aggregate plans hash joins only and never builds the pair set") {
+    val p = plan(Registry.byId("b8_range_agg_cdf").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast CDF lookups:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range aggregate must not fall back to a pair scan:\n$p")
+    // The only SortMergeJoin-eligible join is the boundary residual, and
+    // it must stay broadcast too — the supplier side is the small side.
+    assert(!p.contains("SortMergeJoin"), s"boundary residual must broadcast:\n$p")
+  }
+
   test("b10: the Q5 join tree broadcasts its dimension chain") {
     // supplier/nation/region are dimensions — each must plan as a
     // BroadcastHashJoin so the lineitem/orders fact side shuffles only
