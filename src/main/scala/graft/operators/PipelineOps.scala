@@ -178,6 +178,27 @@ object PipelineOps {
   final case class IvfParams(k: Int, nprobe: Int, nQueries: Int)
   private[graft] val ivfParams: IvfParams = IvfParams(k = 8, nprobe = 2, nQueries = 20)
 
+  /** The PRODUCTION SIZING RULE above, promoted into the two registry
+    * entries whose within-bucket pair stage is quadratic in bucket DEPTH
+    * (i24 near-dup, i29 semdedup): k = max(8, N/250) holds the expected
+    * bucket at the sf0.1 fixture depth — 2000/250 = 8, so the fixture k
+    * IS this rule evaluated at the gate SF, and at every driver-gate SF
+    * (N ≤ 2000) the clamp reproduces k = 8 bit-for-bit. As the corpus
+    * scales, buckets stay ~250 deep and the pair stage grows LINEARLY
+    * instead of with N²/k. The count is a one-column scan at build time
+    * (the b34 build-side Bloom-sizing precedent). The linear-stage ANN
+    * consumers (i10/i20/i23/i28/i33/i46/i65/i77) keep the fixed fixture
+    * k — their cost is N·k, so scaling k with N would MAKE them
+    * quadratic, the exact inversion of the problem here; a production
+    * deployment that scales their k recovers the probed-fraction
+    * contract by scaling nprobe with it (see IvfParams scaladoc).
+    */
+  private[graft] def scaledK(emb: DataFrame): Int =
+    math.max(8, (emb.count() / 250).toInt)
+
+  /** SQL twin of [[scaledK]] for the DuckDB oracles. */
+  private val scaledKSql = "greatest(8, (SELECT count(*) // 250 FROM embeddings))"
+
   /** The deterministic stub codebook: the first `k` corpus vectors as
     * (cid, cemb). The training path that replaces it is [[trainCodebook]]
     * (iterated i23 Lloyd steps); both produce the same shape, so every
@@ -248,8 +269,8 @@ object PipelineOps {
     * [[assignToCentroids]], interpolated verbatim into the i10/i20/i23/
     * i24 oracles so the assignment contract has exactly ONE SQL source.
     */
-  private val centroidAssignCte: String =
-    """cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+  private def centroidAssignCte(k: String = "8"): String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $k),
       | adot AS (
       |   SELECT vec_id, cid, round(sum(p), 6) AS cd
       |   FROM (SELECT e.vec_id, c.cid,
@@ -268,7 +289,7 @@ object PipelineOps {
     * graded plan and its evaluation have one SQL source.
     */
   private val annBatchCte: String =
-    s"""$centroidAssignCte,
+    s"""${centroidAssignCte()},
       | q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 20),
       | qdot AS (
       |   SELECT qid, cid, round(sum(p), 6) AS qd
@@ -1893,7 +1914,7 @@ object PipelineOps {
           .orderBy(col("sim").desc, col("vec_id")).limit(10)
       },
       Some(sql(s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
-                 | $centroidAssignCte,
+                 | ${centroidAssignCte()},
                  | probe AS (
                  |   SELECT cid FROM (
                  |     SELECT cid, round(sum(p), 6) AS qd
@@ -2485,7 +2506,7 @@ object PipelineOps {
             round(col("sq").cast("double") / col("n_members") / 1e6, 6).as("cmean"))
           .orderBy("cid", "pos")
       },
-      Some(sql(s"""WITH $centroidAssignCte,
+      Some(sql(s"""WITH ${centroidAssignCte()},
                  | px AS (
                  |   SELECT a.cid,
                  |     unnest(range(0, len(e.embedding))) AS pos,
@@ -2533,7 +2554,7 @@ object PipelineOps {
             round(col("sq").cast("double") / col("n_members")).cast("long").as("cmean_q"))
           .orderBy("cid", "pos")
       },
-      Some(sql(s"""WITH $centroidAssignCte,
+      Some(sql(s"""WITH ${centroidAssignCte()},
                  | q1 AS (
                  |   SELECT a.cid,
                  |     unnest(range(0, len(e.embedding))) AS pos,
@@ -3145,7 +3166,7 @@ object PipelineOps {
     Q("i46_ann_ingest_screen",
       (s, dir) => annIngestScreen(t(s, dir, "embeddings"), 400, 0.4)
         .orderBy("vec_id"),
-      Some(sql(s"""WITH $centroidAssignCte,
+      Some(sql(s"""WITH ${centroidAssignCte()},
                  | corpus AS (SELECT a.cid, a.vec_id AS cvid, e.embedding AS cemb
                  |   FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
                  |   WHERE a.vec_id < 400),
@@ -3256,7 +3277,7 @@ object PipelineOps {
           .select(col("vec_id"), col("cid"), col("best_sim"))
           .orderBy("vec_id")
       },
-      Some(sql(s"""WITH $centroidAssignCte,
+      Some(sql(s"""WITH ${centroidAssignCte()},
                  | best AS (SELECT vec_id, max(cd) AS best_sim
                  |   FROM adot GROUP BY vec_id)
                  | SELECT a.vec_id, a.cid, b.best_sim
@@ -3274,7 +3295,10 @@ object PipelineOps {
     // caller — same machinery either way, and the oracle checks the full
     // candidate-rank pipeline rather than a vacuously-empty filter.
     // Scale: the within-cluster self-join bounds the quadratic term by
-    // cluster size, so k must grow with the corpus (k ≈ N/target_bucket);
+    // cluster size, so k must grow with the corpus — and here it DOES:
+    // the codebook sizes by the scaledK rule (k = max(8, N/250), = the
+    // fixture 8 at every gate SF), holding bucket depth ~constant so the
+    // pair stage grows linearly with the corpus instead of with N²/k;
     // a hot cluster SALTS via saltedSelfPairs — the cid self-join spreads
     // a hot cluster's pairs over 16 salt buckets (cold clusters plan the
     // plain join), so one semantically-hot cluster can no longer pin the
@@ -3285,7 +3309,7 @@ object PipelineOps {
     Q("i24_embed_near_dup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cent = stubCodebook(emb, ivfParams.k)
+        val cent = stubCodebook(emb, scaledK(emb))
         val assigned = assignToCentroids(emb, cent).localCheckpoint(true)
         saltedSelfPairs(
             assigned.select(col("cid"), col("vec_id"), col("embedding")), "cid")
@@ -3293,7 +3317,7 @@ object PipelineOps {
             round(VectorFunctions.dot(col("ea"), col("eb")), 3).as("sim"))
           .orderBy(col("sim").desc, col("i"), col("j")).limit(20)
       },
-      Some(sql(s"""WITH $centroidAssignCte,
+      Some(sql(s"""WITH ${centroidAssignCte(scaledKSql)},
                  | pairs AS (
                  |   SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
                  |     round((SELECT sum(x * y) FROM (SELECT
@@ -3316,7 +3340,9 @@ object PipelineOps {
     // fixture's cosine range so every stage runs non-vacuously (the
     // random-vector fixture tops out ≈0.51; a production run sets θ to
     // its dup band, the machinery is θ-independent). Scale: candidates
-    // are bounded by IVF cluster size exactly like i24, and a hot
+    // are bounded by IVF cluster size exactly like i24 (codebook sized
+    // by the same scaledK rule — bucket depth pinned ~250, pair stage
+    // linear in the corpus), and a hot
     // cluster SALTS via the shared saltedSelfPairs helper (asserted ≡
     // unsalted under a manufactured hot cluster in SkewSpec); the
     // assignment is materialized ONCE for its four consumers (hot-count
@@ -3326,9 +3352,9 @@ object PipelineOps {
     Q("i29_semdedup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        semDedup(emb, stubCodebook(emb, ivfParams.k), 0.4).orderBy("vec_id")
+        semDedup(emb, stubCodebook(emb, scaledK(emb)), 0.4).orderBy("vec_id")
       },
-      Some(sql(s"""WITH RECURSIVE $centroidAssignCte,
+      Some(sql(s"""WITH RECURSIVE ${centroidAssignCte(scaledKSql)},
                   | pairs AS (
                   |   SELECT a.vec_id AS i, b.vec_id AS j,
                   |     round((SELECT sum(x * y) FROM (SELECT
@@ -4276,7 +4302,7 @@ object PipelineOps {
           .orderBy(col("sim").desc, col("vec_id")).limit(10)
       },
       Some(sql(s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
-                 | $centroidAssignCte,
+                 | ${centroidAssignCte()},
                  | probe AS (
                  |   SELECT cid FROM (
                  |     SELECT cid, round(sum(p), 6) AS qd
@@ -4932,7 +4958,7 @@ object PipelineOps {
             round(col("c") / col("n_members"), 4).as("purity"))
           .orderBy("cid")
       },
-      Some(sql(s"""WITH $centroidAssignCte,
+      Some(sql(s"""WITH ${centroidAssignCte()},
                  | lab AS (SELECT a.cid, e.label, count(*)::BIGINT AS c
                  |   FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
                  |   GROUP BY 1, 2),

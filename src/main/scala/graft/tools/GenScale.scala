@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   *     replicated corpus without perturbation would instead manufacture
   *     10-copy duplicate cliques and measure a fixture artifact);
   *     n_chars is recomputed from the perturbed text;
-  *   - embeddings get vec_id block-shifted, vectors and labels
-  *     UNCHANGED: a 10× corpus has 10× vectors per label/cluster, so
-  *     the label/cluster-bucketed quadratic family (i12/i24/i29) is
-  *     MEANT to show its bucket-size dependence here — that is the
-  *     measurement the fixture-bound k=8 discussion in BASELINE.md
-  *     needs;
+  *   - embeddings: vec_id block-shifts, and every copy c>0 is an EXACT
+  *     ISOMETRY of the original — a per-copy seeded permutation of the
+  *     dimensions with per-dim sign flips (float values bit-preserved,
+  *     norms and intra-copy pairwise dots exact up to summation order)
+  *     — with labels block-shifted per copy. Cross-copy cosines drop to
+  *     noise (~N(0, 1/dim) for unit vectors), so the corpus's clusters
+  *     and label buckets MULTIPLY with the copy count instead of
+  *     deepening: a replicated-identical corpus manufactures quadratic
+  *     bucket growth no real corpus has (r13 verdict ask #2), while a
+  *     real 10× corpus adds clusters of the same depth — exactly what
+  *     the isometry copies produce;
   *   - events keep their timestamps untouched in whatever form the
   *     installed Spark reads them (int64 raw nanos under the legacy
   *     conf, TIMESTAMP_NTZ natively on 4.1.2 — Tables.load normalizes
@@ -37,6 +42,13 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/root/repo/data/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // Optional 4th arg: comma-separated table subset (regenerate one
+    // table without rewriting the rest — e.g. after an embeddings-rule
+    // change, `... data/sf10 100 embeddings`).
+    val onlyTables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    def want(n: String): Boolean = onlyTables.isEmpty || onlyTables(n)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,6 +78,7 @@ object GenScale {
     // tables are written range-partitioned by their natural key, sorted
     // within each file.
     def write(name: String, df: DataFrame, sortKey: String): Unit = {
+      if (!want(name)) { println(s"[genscale] $name: skipped (table filter)"); return }
       df.repartitionByRange(cpus.toInt, col(sortKey))
         .sortWithinPartitions(sortKey)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
@@ -113,10 +126,29 @@ object GenScale {
           length(txt).cast("long").as("n_chars"))
       }
     }
+    // Embeddings: copy 0 verbatim; copy c>0 = exact isometry (seeded
+    // per-copy dim permutation + sign flips — float values reordered and
+    // negated, never recomputed) with block-shifted ids and labels. The
+    // per-copy Random seed is fixed, so re-running reproduces the clone
+    // bit-wise like every other table.
     val nVecs = read("embeddings").count()
-    requireDense("embeddings", "vec_id", nVecs)
+    if (want("embeddings")) requireDense("embeddings", "vec_id", nVecs)
+    val emb0 = read("embeddings")
+    val dim = emb0.select(max(size(col("embedding")))).head.getInt(0)
+    val nLabels = emb0.agg(max(col("label"))).head.getInt(0) + 1
+    def isometry(c: Int): org.apache.spark.sql.Column = {
+      val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ c.toLong)
+      val perm = rnd.shuffle((0 until dim).toVector)
+      val sign = Vector.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      array((0 until dim).map(i =>
+        (element_at(col("embedding"), perm(i) + 1) * lit(sign(i))).cast("float")): _*)
+    }
     scaled("embeddings", "vec_id")((d, c) =>
-      d.withColumn("vec_id", col("vec_id") + c * nVecs))
+      if (c == 0) d
+      else d.select(
+        (col("vec_id") + c * nVecs).as("vec_id"),
+        isometry(c).as("embedding"),
+        (col("label") + lit(c * nLabels)).as("label")))
 
     spark.stop()
   }

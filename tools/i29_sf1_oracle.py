@@ -37,8 +37,12 @@ vec_id, emb = vec_id[order], emb[order]
 n, dim = emb.shape
 print('vectors', n, 'dim', dim)
 
-# stub codebook: vec_id < 8
-cmask = vec_id < 8
+# stub codebook sized by the scaledK rule (PipelineOps.scaledK):
+# k = max(8, N // 250) — the fixture 8 at every gate SF, bucket depth
+# pinned ~250 as the corpus scales.
+k = max(8, n // 250)
+print('codebook k', k)
+cmask = vec_id < k
 cents = emb[cmask]; cids = vec_id[cmask]
 d = emb @ cents.T                       # n x 8 dots, float64
 rd = np.round(d, 6)                     # boundary audit below makes mode irrelevant
