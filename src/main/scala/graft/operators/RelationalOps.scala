@@ -90,6 +90,79 @@ object RelationalOps {
         ((col("lo") + col("hi")).cast("double") / 2.0).as(out))
   }
 
+  /** Pair-free range-join aggregate by CDF differencing (b8's engine),
+    * generalized over any integer probe/value domain: for each probe row
+    * (key, pm), the count and sum of `values.sm` with
+    * sm ∈ [pm−halfWidth, pm+halfWidth] — WITHOUT materializing the
+    * matching pairs. Values land in width-`binw` bins; a per-bin
+    * (count, sum) aggregate cumulated over the DENSE bin spine gives
+    * F(b) = totals over bins ≤ b; a probe's interval covers all its
+    * interior bins FULLY (their contribution is F(binHi−1) − F(binLo),
+    * two broadcast lookups) and only the two boundary bins are scanned
+    * row-level against the exact BETWEEN. Work:
+    * O(|probes| + |values| + |probes|·occupancy); the spine is bounded
+    * by VALUE RANGE / binw — constant in corpus size — so its
+    * unpartitioned cumulative window and broadcasts cost the same at
+    * 100 TB. The dense spine (explode(sequence)) makes both CDF lookups
+    * inner joins: probe bins always lie within the union min/max, and
+    * empty bins carry the running totals forward. Property-tested ≡ the
+    * naive pair-join model (PropertySpec) incl. negative values.
+    * Output: (key, n_match, sum_v), one row per probe, unordered.
+    */
+  private[graft] def rangeAggCdf(probes: DataFrame, values: DataFrame,
+      halfWidth: Long, binw: Long): DataFrame = {
+    // With 2·halfWidth < binw the interval could sit inside ONE bin and
+    // the F(binHi−1) lookup would leave the spine — not a shape this
+    // aggregate is for (a sub-bin interval is a plain banded join).
+    require(2 * halfWidth >= binw,
+      s"interval 2*$halfWidth must span at least one bin ($binw)")
+    // pmod-based floor division stays exact for negative values.
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(binw))) / binw).cast("long")
+    val sup = values.withColumn("sbin", fdiv(col("sm")))
+    val prt = probes
+      .withColumn("lo", col("pm") - halfWidth)
+      .withColumn("hi", col("pm") + halfWidth)
+      .withColumn("binLo", fdiv(col("lo")))
+      .withColumn("binHi", fdiv(col("hi")))
+    val bounds = sup.select(col("sbin").as("b"))
+      .unionByName(prt.select(col("binLo").as("b")))
+      .unionByName(prt.select(col("binHi").as("b")))
+      .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("bin"))
+    val binAgg = sup.groupBy(col("sbin").as("bin"))
+      .agg(count(lit(1)).as("cnt"), sum(col("sm")).as("sumc"))
+    // Cumulative over the spine: an unpartitioned window, bounded by
+    // the value range (≤ mx−mn rows), never by the corpus.
+    val wcum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = spine.join(binAgg, Seq("bin"), "left")
+      .select(col("bin"),
+        sum(coalesce(col("cnt"), lit(0L))).over(wcum).as("ccnt"),
+        sum(coalesce(col("sumc"), lit(0L))).over(wcum).as("csum"))
+    val fLo = cdf.select(col("bin").as("binLo"),
+      col("ccnt").as("cntLo"), col("csum").as("sumLo"))
+    // F(binHi−1), keyed by binHi so the probe joins directly; the shift
+    // stays in-range because binHi ≥ binLo+1 (the require above).
+    val fHi = cdf.select((col("bin") + 1L).as("binHi"),
+      col("ccnt").as("cntHi"), col("csum").as("sumHi"))
+    val probe = prt
+      .join(broadcast(fLo), Seq("binLo"))
+      .join(broadcast(fHi), Seq("binHi"))
+      .select(col("key"), col("lo"), col("hi"),
+        (col("cntHi") - col("cntLo")).as("icnt"),
+        (col("sumHi") - col("sumLo")).as("isum"),
+        explode(array(col("binLo"), col("binHi"))).as("bin"))
+    // Boundary residual: left join keeps zero-match probes; count(sm)
+    // counts only real matches (null on miss).
+    val bj = probe.join(broadcast(sup),
+      probe("bin") === sup("sbin") &&
+        col("sm").between(col("lo"), col("hi")), "left")
+    bj.groupBy(col("key"))
+      .agg((min(col("icnt")) + count(col("sm"))).as("n_match"),
+        (min(col("isum")) + coalesce(sum(col("sm")), lit(0L))).as("sum_v"))
+  }
+
   // ---------------------------------------------------------------- joins
 
   private val joins: Seq[Q] = Seq(
@@ -225,62 +298,16 @@ object RelationalOps {
     // within [min,max] of the union of supplier and probe bins, and
     // empty bins carry the running totals forward.
     Q("b8_range_agg_cdf",
-      (s, dir) => {
-        val binw = 20L
-        // Exact integer domain: s_acctbal has 2 decimals, so *100 is an
-        // integer up to one ulp — round() snaps it identically in both
-        // engines; p_retailprice*1000 likewise. pmod-based floor
-        // division stays exact for negative balances.
-        def fdiv(c: Column): Column =
-          ((c - pmod(c, lit(binw))) / binw).cast("long")
-        val sup = t(s, dir, "supplier")
-          .select(round(col("s_acctbal") * 100).cast("long").as("sm"))
-          .withColumn("sbin", fdiv(col("sm")))
-        val prt = t(s, dir, "part")
-          .select(col("p_partkey"),
-            round(col("p_retailprice") * 1000).cast("long").as("pm"))
-          .withColumn("lo", col("pm") - 2000L)
-          .withColumn("hi", col("pm") + 2000L)
-          .withColumn("binLo", fdiv(col("lo")))
-          .withColumn("binHi", fdiv(col("hi")))
-        val bounds = sup.select(col("sbin").as("b"))
-          .unionByName(prt.select(col("binLo").as("b")))
-          .unionByName(prt.select(col("binHi").as("b")))
-          .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
-        val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("bin"))
-        val binAgg = sup.groupBy(col("sbin").as("bin"))
-          .agg(count(lit(1)).as("cnt"), sum(col("sm")).as("sumc"))
-        // Cumulative over the spine: an unpartitioned window, bounded by
-        // the value range (≤ (mx−mn) rows), never by the corpus.
-        val wcum = Window.orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cdf = spine.join(binAgg, Seq("bin"), "left")
-          .select(col("bin"),
-            sum(coalesce(col("cnt"), lit(0L))).over(wcum).as("ccnt"),
-            sum(coalesce(col("sumc"), lit(0L))).over(wcum).as("csum"))
-        val fLo = cdf.select(col("bin").as("binLo"),
-          col("ccnt").as("cntLo"), col("csum").as("sumLo"))
-        // F(binHi−1), keyed by binHi so the probe joins directly; the
-        // shift stays in-range because binHi ≥ binLo+200 > mn.
-        val fHi = cdf.select((col("bin") + 1L).as("binHi"),
-          col("ccnt").as("cntHi"), col("csum").as("sumHi"))
-        val probe = prt
-          .join(broadcast(fLo), Seq("binLo"))
-          .join(broadcast(fHi), Seq("binHi"))
-          .select(col("p_partkey"), col("lo"), col("hi"),
-            (col("cntHi") - col("cntLo")).as("icnt"),
-            (col("sumHi") - col("sumLo")).as("isum"),
-            explode(array(col("binLo"), col("binHi"))).as("bin"))
-        // Boundary residual: left join keeps zero-match parts; count(sm)
-        // counts only real matches (null on miss).
-        val bj = probe.join(broadcast(sup),
-          probe("bin") === sup("sbin") &&
-            col("sm").between(col("lo"), col("hi")), "left")
-        bj.groupBy(col("p_partkey"))
-          .agg((min(col("icnt")) + count(col("sm"))).as("n_match"),
-            (min(col("isum")) + coalesce(sum(col("sm")), lit(0L))).as("sum_acctbal_cents"))
-          .orderBy("p_partkey")
-      },
+      (s, dir) =>
+        rangeAggCdf(
+          t(s, dir, "part").select(col("p_partkey").as("key"),
+            round(col("p_retailprice") * 1000).cast("long").as("pm")),
+          t(s, dir, "supplier")
+            .select(round(col("s_acctbal") * 100).cast("long").as("sm")),
+          halfWidth = 2000L, binw = 20L)
+          .select(col("key").as("p_partkey"), col("n_match"),
+            col("sum_v").as("sum_acctbal_cents"))
+          .orderBy("p_partkey"),
       Some(sql("""SELECT p.p_partkey,
                  | count(s.sm) AS n_match,
                  | CAST(coalesce(sum(s.sm), 0) AS BIGINT) AS sum_acctbal_cents

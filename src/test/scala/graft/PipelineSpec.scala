@@ -1426,4 +1426,15 @@ class PipelineSpec extends SparkTestBase {
     // H(3/4, 1/4) = 2 - 0.75·log2(3) = 0.8113 bits; |V|=2 so norm == H.
     assert(got("M") == ((0.8113, 0.8113)), s"split: ${got("M")}")
   }
+
+  test("scaledK pins bucket depth: fixture k at every gate SF, N/250 beyond") {
+    def embOf(n: Long) = spark.range(n).toDF("vec_id")
+    // Gate SFs (N ≤ 2000) must reproduce the fixture k = 8 bit-for-bit —
+    // the sf0.1 fixture depth IS the rule's target bucket (2000/250 = 8).
+    assert(PipelineOps.scaledK(embOf(500)) == 8)    // sf0.001 / sf0.01
+    assert(PipelineOps.scaledK(embOf(2000)) == 8)   // sf0.1
+    // Scaled clones: bucket depth stays ~250, so k grows with the corpus.
+    assert(PipelineOps.scaledK(embOf(20000)) == 80)  // sf1
+    assert(PipelineOps.scaledK(embOf(200000)) == 800) // sf10
+  }
 }

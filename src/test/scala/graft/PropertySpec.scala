@@ -341,6 +341,34 @@ class PropertySpec extends SparkTestBase {
     assert(once.select("doc_id").as[Long].collect().toSet == minIds)
   }
 
+  test("CDF range aggregate == naive pair-join model on adversarial integer values") {
+    // Values deliberately include negatives, exact bin edges (multiples
+    // of binw), interval endpoints (pm ± halfWidth), duplicates, and a
+    // spread much wider than one interval — every branch of the
+    // interior/boundary decomposition fires. Two (halfWidth, binw)
+    // shapes: binw dividing 2·halfWidth and not.
+    val vGen = Gen.oneOf(
+      Gen.choose(-400L, 400L),
+      Gen.choose(-400L, 400L).map(_ * 20),        // bin edges
+      Gen.oneOf(-2000L, -37L, 0L, 37L, 2000L))
+    val vals = sample(vGen, 300, seed = 8L)
+    val probes = sample(vGen, 120, seed = 9L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val valsDf = vals.toDF("sm")
+    val probesDf = probes.toDF("key", "pm")
+    for ((hw, bw) <- Seq((200L, 20L), (170L, 60L), (30L, 60L))) {
+      val got = graft.operators.RelationalOps
+        .rangeAggCdf(probesDf, valsDf, hw, bw)
+        .orderBy("key")
+        .as[(Long, Long, Long)].collect().toSeq
+      val want = probes.map { case (k, pm) =>
+        val hit = vals.filter(v => v >= pm - hw && v <= pm + hw)
+        (k, hit.size.toLong, hit.sum)
+      }
+      assert(got == want, s"hw=$hw binw=$bw")
+    }
+  }
+
   test("cluster resolution survives a 500-node adversarial chain in O(log n) rounds") {
     // A path graph is the worst case star contraction exists for: its
     // diameter is n-1, so min-label propagation needs one round per hop
