@@ -2175,7 +2175,19 @@ object RelationalOps {
     // independent recursion engine.
     Q("b32_recursive_cte",
       (s, dir) => {
-        t(s, dir, "documents").createOrReplaceTempView("v_documents")
+        val docs = t(s, dir, "documents")
+        docs.createOrReplaceTempView("v_documents")
+        // Spark's recursion row-limit valve (1M default) is sized for
+        // runaway-fixpoint mistakes, not corpus walks: this recursion
+        // emits exactly Σ(depth+1) ≈ N·log₂(maxId) rows (9.5M at the
+        // 100× clone), so the default silently caps scale-up while the
+        // REAL termination guard is structural (anc_id strictly halves).
+        // Size the valve from the corpus with 2× margin — the b34/scaledK
+        // build-side sizing rule applied to a safety limit.
+        val st = docs.agg(count(lit(1)), max(col("doc_id"))).head
+        val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, st.getLong(1)))
+        s.conf.set("spark.sql.cteRecursionRowLimit",
+          math.max(1000000L, st.getLong(0) * (bitlen + 2) * 2).toString)
         s.sql("""WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
                 |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM v_documents
                 |  UNION ALL
