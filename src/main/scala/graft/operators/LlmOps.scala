@@ -528,6 +528,71 @@ object LlmOps {
     deleteCascadeFor(docs,
       docs.filter(saltedBucket("del:") < 5).select(col("doc_id")))
 
+  /** Symmetrized near-dup edge list: each J ≥ 0.9 pair in both
+    * orientations, so per-node aggregates (degree, votes) are one
+    * groupBy on the source endpoint. Shared by i74/i82/i83.
+    */
+  private def nearDupEdges(docs: DataFrame): DataFrame = {
+    val nd = nearDupPairs(docs).select(col("doc_id1"), col("doc_id2"))
+    nd.unionAll(
+      nd.select(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2")))
+  }
+
+  /** One label-propagation step (i82): majority neighbor `lang` over
+    * the near-dup graph, ties to the lexicographically smallest lang,
+    * isolated docs keep their own. See the i82 registry commentary.
+    */
+  private[graft] def labelPropagateStep(docs: DataFrame): DataFrame = {
+    val edges = nearDupEdges(docs)
+    val lab = docs.select(col("doc_id"), col("lang"))
+    val votes = edges
+      .join(lab.select(col("doc_id").as("doc_id2"), col("lang").as("nb_lang")), "doc_id2")
+      .groupBy(col("doc_id1").as("doc_id"), col("nb_lang"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_votes").desc, col("nb_lang").asc)
+    val winner = votes
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("nb_lang"), col("n_votes"))
+    lab.join(winner, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("nb_lang"), col("lang")).as("new_lang"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"),
+        (coalesce(col("nb_lang"), col("lang")) =!= col("lang")).cast("long").as("flipped"))
+      .orderBy("doc_id")
+  }
+
+  /** Two k-core peel rounds at k = 2 (i83): degree, drop deg < k,
+    * residual degree among survivors, drop again, residual. Output is
+    * one row per node of the near-dup graph with the degree after each
+    * round (0 = peeled). See the i83 registry commentary.
+    */
+  private[graft] def kcorePeel(docs: DataFrame): DataFrame = {
+    val edges = nearDupEdges(docs)
+    val deg0 = edges.groupBy(col("doc_id1").as("doc_id"))
+      .agg(count(lit(1)).as("deg0"))
+    val alive1 = deg0.filter(col("deg0") >= 2).select(col("doc_id"))
+    val ed1 = edges
+      .join(alive1.select(col("doc_id").as("doc_id1")), "doc_id1", "left_semi")
+      .join(alive1.select(col("doc_id").as("doc_id2")), "doc_id2", "left_semi")
+    val deg1 = ed1.groupBy(col("doc_id1").as("doc_id"))
+      .agg(count(lit(1)).as("deg1"))
+    val alive2 = deg1.filter(col("deg1") >= 2).select(col("doc_id"))
+    val ed2 = ed1
+      .join(alive2.select(col("doc_id").as("doc_id1")), "doc_id1", "left_semi")
+      .join(alive2.select(col("doc_id").as("doc_id2")), "doc_id2", "left_semi")
+    val deg2 = ed2.groupBy(col("doc_id1").as("doc_id"))
+      .agg(count(lit(1)).as("deg2"))
+    deg0
+      .join(deg1, Seq("doc_id"), "left")
+      .join(deg2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg0"),
+        coalesce(col("deg1"), lit(0L)).as("deg1"),
+        coalesce(col("deg2"), lit(0L)).as("deg2"))
+      .orderBy("doc_id")
+  }
+
   /** Core of [[deleteCascade]] over an EXPLICIT delete list — the
     * production entry point (a legal removal request arrives as ids,
     * not as a hash rule; the registry form derives its list from the
@@ -1385,6 +1450,80 @@ object LlmOps {
                  |   count(*) AS n_docs,
                  |   CAST(bit_xor(('0x'||substr(md5(text),1,12))::BIGINT) AS BIGINT) AS xor_fp,
                  |   CAST(sum(n_chars) AS BIGINT) AS sum_chars
-                 | FROM documents GROUP BY 1 ORDER BY shard""")))
+                 | FROM documents GROUP BY 1 ORDER BY shard"""))),
+
+    // LABEL PROPAGATION step over the near-dup graph — the cheap
+    // community/metadata-repair pass a curation run uses to fix
+    // per-field noise (a mislabeled `lang` on one member of a template
+    // cluster): every doc takes the MAJORITY lang among its near-dup
+    // neighbors, ties broken by the lexicographically smallest lang
+    // (deterministic — LPA's random tie-break is the one part that
+    // doesn't survive a distributed rerun), isolated docs keep their
+    // own. One oracled step pins the iterated algorithm's arithmetic
+    // (the i74 rule). Scale: votes are an 8-byte-id equi-join + hash
+    // aggregate; the argmax is a per-doc window over the VOTE table
+    // (bounded by degree, not corpus size); the final left join keeps
+    // the corpus scan narrow (doc_id, lang only).
+    Q("i82_label_propagation",
+      (s, dir) => labelPropagateStep(t(s, dir, "documents")),
+      Some(sql(s"""WITH $nearDupPairsCte,
+                 | edges AS (SELECT doc_id1, doc_id2 FROM nd
+                 |           UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                 | votes AS (
+                 |   SELECT e.doc_id1 AS doc_id, l.lang AS nb_lang, count(*) AS n_votes
+                 |   FROM edges e JOIN documents l ON e.doc_id2 = l.doc_id
+                 |   GROUP BY 1, 2),
+                 | winner AS (
+                 |   SELECT doc_id, nb_lang, n_votes FROM (
+                 |     SELECT doc_id, nb_lang, n_votes,
+                 |       row_number() OVER (PARTITION BY doc_id
+                 |         ORDER BY n_votes DESC, nb_lang ASC) AS rn
+                 |     FROM votes) WHERE rn = 1)
+                 | SELECT d.doc_id, d.lang,
+                 |   coalesce(w.nb_lang, d.lang) AS new_lang,
+                 |   CAST(coalesce(w.n_votes, 0) AS BIGINT) AS n_votes,
+                 |   CAST(CASE WHEN coalesce(w.nb_lang, d.lang) <> d.lang
+                 |     THEN 1 ELSE 0 END AS BIGINT) AS flipped
+                 | FROM documents d LEFT JOIN winner w ON d.doc_id = w.doc_id
+                 | ORDER BY d.doc_id"""))),
+
+    // k-CORE PEELING over the near-dup graph — the density filter that
+    // separates a TEMPLATE CORE (every member near-dups ≥ k others —
+    // boilerplate worth one representative) from PERIPHERAL pairwise
+    // edits the i31 cap should spare. Two oracled peel rounds at k = 2
+    // pin the fixpoint's arithmetic (the i23b 2-step rule: one round
+    // shows the shape, the second proves the iteration composes):
+    // degrees → drop deg < k → residual degrees among survivors → drop
+    // again → residual. Each round is one hash aggregate on 8-byte ids
+    // plus two semi joins that shrink the edge table monotonically; at
+    // 100 TB the full peel iterates the same round to fixpoint with the
+    // edge table as the only shuffled state (checked-fixpoint, the i15
+    // contraction discipline — never a driver-side adjacency).
+    Q("i83_kcore_peel",
+      (s, dir) => kcorePeel(t(s, dir, "documents")),
+      Some(sql(s"""WITH $nearDupPairsCte,
+                 | edges AS (SELECT doc_id1, doc_id2 FROM nd
+                 |           UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                 | deg0 AS (SELECT doc_id1 AS doc_id, count(*) AS deg0
+                 |          FROM edges GROUP BY 1),
+                 | a1 AS (SELECT doc_id FROM deg0 WHERE deg0 >= 2),
+                 | ed1 AS (SELECT e.doc_id1, e.doc_id2 FROM edges e
+                 |         WHERE e.doc_id1 IN (SELECT doc_id FROM a1)
+                 |           AND e.doc_id2 IN (SELECT doc_id FROM a1)),
+                 | deg1 AS (SELECT doc_id1 AS doc_id, count(*) AS deg1
+                 |          FROM ed1 GROUP BY 1),
+                 | a2 AS (SELECT doc_id FROM deg1 WHERE deg1 >= 2),
+                 | ed2 AS (SELECT e.doc_id1, e.doc_id2 FROM ed1 e
+                 |         WHERE e.doc_id1 IN (SELECT doc_id FROM a2)
+                 |           AND e.doc_id2 IN (SELECT doc_id FROM a2)),
+                 | deg2 AS (SELECT doc_id1 AS doc_id, count(*) AS deg2
+                 |          FROM ed2 GROUP BY 1)
+                 | SELECT d0.doc_id, d0.deg0,
+                 |   CAST(coalesce(d1.deg1, 0) AS BIGINT) AS deg1,
+                 |   CAST(coalesce(d2.deg2, 0) AS BIGINT) AS deg2
+                 | FROM deg0 d0
+                 | LEFT JOIN deg1 d1 ON d0.doc_id = d1.doc_id
+                 | LEFT JOIN deg2 d2 ON d0.doc_id = d2.doc_id
+                 | ORDER BY d0.doc_id""")))
   )
 }

@@ -1075,7 +1075,158 @@ object RelationalOps {
                  |   CAST(first_seen AS BIGINT) AS first_seen,
                  |   CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_so_far
-                 | FROM f ORDER BY user_id, event_id""")))
+                 | FROM f ORDER BY user_id, event_id"""))),
+
+    // Cohort retention — the product-analytics staple over the multi-year
+    // orders history: customers cohorted by FIRST-order year, activity
+    // counted per (cohort, year-offset). Entirely hash aggregates on
+    // customer-cardinality keys: distinct (custkey, year) pairs, a
+    // min-year cohort table, one co-partitioned equi-join (both sides
+    // already keyed on custkey — at scale the distinct and the min
+    // aggregate reuse one Exchange), and a final agg on the tiny
+    // (cohort, offset) grid. cohort_n rides a window over that grid
+    // (dozens of rows), never the fact table. All counts are exact
+    // integers; the retention ratio divides two small int64s — the same
+    // double on both engines.
+    Q("d13_retention_cohort",
+      (s, dir) => {
+        val yr = t(s, dir, "orders")
+          .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+          .distinct()
+        val cohort = yr.groupBy(col("o_custkey")).agg(min(col("yr")).as("cohort_yr"))
+        val act = yr.join(cohort, "o_custkey")
+          .groupBy(col("cohort_yr"), (col("yr") - col("cohort_yr")).as("offset_yr"))
+          .agg(count(lit(1)).as("n_active"))
+        val wC = Window.partitionBy(col("cohort_yr"))
+        act
+          .withColumn("cohort_n",
+            max(when(col("offset_yr") === 0, col("n_active"))).over(wC))
+          .select(col("cohort_yr"), col("offset_yr"), col("n_active"), col("cohort_n"),
+            round(col("n_active") / col("cohort_n"), 4).as("retention"))
+          .orderBy("cohort_yr", "offset_yr")
+      },
+      Some(sql("""WITH yr AS (
+                 |   SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+                 | cohort AS (SELECT o_custkey, min(yr) AS cohort_yr FROM yr GROUP BY 1),
+                 | act AS (
+                 |   SELECT cohort_yr, yr - cohort_yr AS offset_yr, count(*) AS n_active
+                 |   FROM yr JOIN cohort USING (o_custkey) GROUP BY 1, 2),
+                 | g AS (
+                 |   SELECT cohort_yr, offset_yr, n_active,
+                 |     max(CASE WHEN offset_yr = 0 THEN n_active END)
+                 |       OVER (PARTITION BY cohort_yr) AS cohort_n
+                 |   FROM act)
+                 | SELECT cohort_yr, offset_yr, n_active, cohort_n,
+                 |   round(n_active / cohort_n, 4) AS retention
+                 | FROM g ORDER BY cohort_yr, offset_yr"""))),
+
+    // Interval union (merged coverage) — the "total monitored time"
+    // operator: each event opens a 12 h activity interval; overlaps must
+    // count ONCE, so per user the classic sweep merges them — running
+    // max of interval-end over STRICTLY PRECEDING rows, a new block
+    // wherever the current start clears it, then two hash aggregates
+    // (block extents, per-user rollup). One shuffle on user_id, one
+    // per-user sort, all-integer microsecond arithmetic (no float, no
+    // timestamp subtraction semantics to reconcile). The ordering chains
+    // the unique event_id so the sweep is a total order on both engines.
+    Q("d14_interval_coverage",
+      (s, dir) => {
+        val usPerInterval = 43200L * 1000000L // 12 h
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("st").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"))
+          .withColumn("en", col("st") + lit(usPerInterval))
+          .withColumn("prev_en",
+            max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("is_new",
+            when(col("prev_en").isNull || col("st") > col("prev_en"), 1L).otherwise(0L))
+          .withColumn("blk",
+            sum(col("is_new")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("blk"))
+          .agg(min(col("st")).as("bst"), max(col("en")).as("ben"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("ben") - col("bst")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some(sql("""WITH iv AS (
+                 |   SELECT user_id, event_id, epoch_us(ts) AS st,
+                 |     epoch_us(ts) + 43200000000 AS en
+                 |   FROM events),
+                 | sweep AS (
+                 |   SELECT user_id, st, en,
+                 |     CASE WHEN max(en) OVER w IS NULL OR st > max(en) OVER w
+                 |       THEN 1 ELSE 0 END AS is_new,
+                 |     event_id
+                 |   FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY st, event_id
+                 |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+                 | blks AS (
+                 |   SELECT user_id, st, en,
+                 |     sum(is_new) OVER (PARTITION BY user_id ORDER BY st, event_id
+                 |       ROWS UNBOUNDED PRECEDING) AS blk
+                 |   FROM sweep),
+                 | ext AS (
+                 |   SELECT user_id, blk, min(st) AS bst, max(en) AS ben
+                 |   FROM blks GROUP BY 1, 2)
+                 | SELECT user_id, count(*) AS n_blocks,
+                 |   CAST(sum(ben - bst) AS BIGINT) AS covered_us
+                 | FROM ext GROUP BY user_id ORDER BY user_id"""))),
+
+    // Exponentially-weighted moving value — the streaming-feature
+    // smoother, spelled EXACTLY: α = 1/2 over the last 8 observations,
+    // so every weight is a dyadic 2^(7−i) and the weighted sum stays in
+    // int64 cents — no float recurrence to diverge cross-engine, no
+    // order-of-summation hazard. A lag chain (one window pass, running
+    // frame) beats the recursive definition because the recursion is
+    // inherently sequential while the 8-term window is one codegen'd
+    // projection; the truncation error vs the infinite EWMA is ≤ 2⁻⁸ of
+    // the oldest mass — below any feature-pipeline tolerance. Numerator
+    // and denominator ship as exact longs; the quotient of two exact
+    // int64s is the same double on both engines.
+    Q("d15_ewma_decay",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val base = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val lags = (1 until 8).map(i => coalesce(lag(col("cents"), i).over(w), lit(0L)) * lit(1L << (7 - i)))
+        val dens = (1 until 8).map(i =>
+          when(lag(col("cents"), i).over(w).isNotNull, lit(1L << (7 - i))).otherwise(lit(0L)))
+        base
+          .withColumn("ewma_num", lags.foldLeft(col("cents") * lit(128L))(_ + _))
+          .withColumn("ewma_den", dens.foldLeft(lit(128L))(_ + _))
+          .select(col("user_id"), col("event_id"), col("cents"),
+            col("ewma_num"), col("ewma_den"),
+            round(col("ewma_num") / col("ewma_den"), 4).as("ewma_cents"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(sql("""WITH lagged AS (
+                 |   SELECT user_id, event_id,
+                 |     CAST(round(value * 100) AS BIGINT) AS cents,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS c1,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS c2,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS c3,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 4) OVER w AS c4,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 5) OVER w AS c5,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 6) OVER w AS c6,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 7) OVER w AS c7
+                 |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+                 | SELECT user_id, event_id, cents,
+                 |   cents*128 + coalesce(c1,0)*64 + coalesce(c2,0)*32 + coalesce(c3,0)*16
+                 |     + coalesce(c4,0)*8 + coalesce(c5,0)*4 + coalesce(c6,0)*2
+                 |     + coalesce(c7,0) AS ewma_num,
+                 |   128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                 |       + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                 |       + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                 |       + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                 |       + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                 |       + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                 |       + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS ewma_den,
+                 |   round(ewma_num / ewma_den, 4) AS ewma_cents
+                 | FROM lagged ORDER BY user_id, event_id""")))
   )
 
   // --------------------------------------------------- sort / set / scalar

@@ -262,4 +262,78 @@ class LawSpec extends SparkTestBase {
     assert(f.filter(col("raw").isNull && col("filled").isNotNull).count() > 0,
       "the fill must actually repair gaps at every SF")
   }
+
+  test("d13 cohort retention: offset-0 is total, activity never exceeds the cohort") {
+    val r = Registry.byId("d13_retention_cohort").build(spark, dir).cache()
+    // offset 0 IS the cohort definition year: full retention by construction
+    assert(r.filter(col("offset_yr") === 0 &&
+      (col("n_active") =!= col("cohort_n") || col("retention") =!= 1.0)).isEmpty,
+      "offset-0 must be the whole cohort")
+    // activity is a subset of the cohort at every offset
+    assert(r.filter(col("n_active") > col("cohort_n")).isEmpty,
+      "a cohort-year's active count exceeded its cohort size")
+    // cohort sizes partition the customer base: Σ cohort_n = |distinct custkey|
+    val total = r.filter(col("offset_yr") === 0)
+      .agg(sum("cohort_n")).head.getLong(0)
+    val nCust = Tables.load(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(total == nCust, s"cohorts sum to $total, customers $nCust")
+    assert(r.filter(col("offset_yr") > 0).count() > 0,
+      "multi-year history must produce non-zero offsets")
+  }
+
+  test("d14 interval coverage matches a per-user driver-side merge") {
+    val got = Registry.byId("d14_interval_coverage").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val len = 43200L * 1000000L
+    val want = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, rows) =>
+        val ivs = rows.map(_._2).sorted.map(s => (s, s + len))
+        // classic sequential merge — the oracle the sweep must reproduce
+        val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+          case (Nil, iv) => iv :: Nil
+          case ((s0, e0) :: rest, (s, e)) =>
+            if (s > e0) (s, e) :: (s0, e0) :: rest
+            else (s0, math.max(e0, e)) :: rest
+        }
+        u -> (merged.size.toLong, merged.map(b => b._2 - b._1).sum)
+      }
+    assert(got == want, s"sweep disagrees with sequential merge")
+    assert(got.values.exists(_._1 > 1), "coverage must split into blocks")
+  }
+
+  test("d15 EWMA: dyadic weights reproduce the direct per-row fold; full rows weigh 255") {
+    val got = Registry.byId("d15_ewma_decay").build(spark, dir).cache()
+    // after 7 predecessors the denominator saturates at Σ 2^i = 255
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withIdx = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w))
+    assert(got.join(withIdx.select("event_id", "rn"), "event_id")
+      .filter(col("rn") >= 8 && col("ewma_den") =!= 255L).isEmpty,
+      "saturated rows must weigh 255")
+    // driver-side direct fold over each user's (ts, event_id)-ordered
+    // sequence (rn carries that order down to the driver)
+    val orderedByRn = withIdx.select("user_id", "rn", "event_id", "c")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val wantNum = orderedByRn.flatMap { case (_, rows) =>
+      val ord = rows.sortBy(_._2)
+      ord.indices.map { i =>
+        val num = (0 until 8).collect {
+          case k if i - k >= 0 => ord(i - k)._4 * (1L << (7 - k))
+        }.sum
+        ord(i)._3 -> num
+      }
+    }
+    val gotNum = got.select("event_id", "ewma_num")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    wantNum.foreach { case (id, n) =>
+      assert(gotNum(id) == n, s"event $id: num ${gotNum(id)} != direct $n")
+    }
+    assert(wantNum.nonEmpty)
+  }
 }

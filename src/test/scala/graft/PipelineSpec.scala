@@ -1437,4 +1437,54 @@ class PipelineSpec extends SparkTestBase {
     assert(PipelineOps.scaledK(embOf(20000)) == 80)  // sf1
     assert(PipelineOps.scaledK(embOf(200000)) == 800) // sf10
   }
+
+  // Shared crafted near-dup geometry for the graph operators: a sliding
+  // 20-token window over a 23-token stream chains P1–P4 into a PATH
+  // (adjacent windows share 19/21 tokens → J = 0.9047 ≥ 0.9; two apart
+  // share 18/22 → J = 0.818 < 0.9), and three IDENTICAL docs form a
+  // TRIANGLE on a disjoint vocabulary.
+  private def graphDocs = {
+    val stream = (0 until 23).map(i => s"w$i")
+    val path = (0 until 4).map(i =>
+      (i.toLong, stream.slice(i, i + 20).mkString(" ")))
+    val triText = (0 until 20).map(i => s"t$i").mkString(" ")
+    val tri = (10 until 13).map(i => (i.toLong, triText))
+    (path ++ tri).toDF("doc_id", "text")
+      .withColumn("source", lit("s0"))
+  }
+
+  test("i83 k-core peel: the second round fires on a path, spares the triangle") {
+    val got = LlmOps.kcorePeel(graphDocs.withColumn("lang", lit("xx")))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // Path endpoints: degree 1, gone in round 1.
+    assert(got(0L) == ((0L, 1L, 0L, 0L)) && got(3L) == ((3L, 1L, 0L, 0L)),
+      s"endpoints: ${got(0L)}, ${got(3L)}")
+    // Path interior: degree 2 survives round 1 but drops to 1 once the
+    // endpoints go — round 2 peels it (deg2 = 0). This is the case the
+    // fixture graph never exercises (no sf has a deg1 = 1 node).
+    assert(got(1L) == ((1L, 2L, 1L, 0L)) && got(2L) == ((2L, 2L, 1L, 0L)),
+      s"interior: ${got(1L)}, ${got(2L)}")
+    // Triangle: 2-core, untouched by both rounds.
+    (10L until 13L).foreach(i =>
+      assert(got(i) == ((i, 2L, 2L, 2L)), s"triangle $i: ${got(i)}"))
+  }
+
+  test("i82 label propagation: majority wins, ties go to the smallest lang, isolated keep") {
+    // Triangle with langs (bb, aa, bb): the aa member flips to the
+    // neighbor-majority bb; each bb member sees one aa + one bb vote —
+    // a TIE, resolved to the lexicographically smaller aa.
+    val docs = graphDocs.withColumn("lang",
+      when(col("doc_id") === 11L, lit("aa"))
+        .when(col("doc_id").isin(10L, 12L), lit("bb"))
+        .otherwise(lit("zz")))
+      // keep only the triangle + one isolated doc (path doc 0 loses its
+      // neighbors, so it is edge-free and must keep its own label)
+      .filter(col("doc_id").isin(0L, 10L, 11L, 12L))
+    val got = LlmOps.labelPropagateStep(docs)
+      .as[(Long, String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(11L) == ((11L, "aa", "bb", 2L, 1L)), s"majority: ${got(11L)}")
+    assert(got(10L) == ((10L, "bb", "aa", 1L, 1L)), s"tie->min: ${got(10L)}")
+    assert(got(12L) == ((12L, "bb", "aa", 1L, 1L)), s"tie->min: ${got(12L)}")
+    assert(got(0L) == ((0L, "zz", "zz", 0L, 0L)), s"isolated: ${got(0L)}")
+  }
 }
