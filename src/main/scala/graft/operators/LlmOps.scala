@@ -569,7 +569,13 @@ object LlmOps {
     * round (0 = peeled). See the i83 registry commentary.
     */
   private[graft] def kcorePeel(docs: DataFrame): DataFrame = {
-    val edges = nearDupEdges(docs)
+    // Materialize the edge list once: the peel cascade references it
+    // through THREE degree aggregates (deg0, deg1 via ed1, deg2 via
+    // ed2), and without a checkpoint each one re-runs the whole pair
+    // pipeline from the corpus scan (measured 2× the query at sf0.1).
+    // The 100 TB form persists the edge table between peel iterations —
+    // it IS the loop state (see the registry commentary).
+    val edges = nearDupEdges(docs).localCheckpoint(true)
     val deg0 = edges.groupBy(col("doc_id1").as("doc_id"))
       .agg(count(lit(1)).as("deg0"))
     val alive1 = deg0.filter(col("deg0") >= 2).select(col("doc_id"))

@@ -1404,6 +1404,41 @@ object RelationalOps {
                  | FROM c JOIN segs s ON c.seg IS NOT DISTINCT FROM s.seg
                  | GROUP BY s.seg ORDER BY s.seg NULLS FIRST"""))),
 
+    // FULL OUTER join — the reconciliation shape (two independently
+    // produced daily ledgers, neither side authoritative): per-day order
+    // money vs per-day shipped-line money, full-outer on the date so
+    // days present in only ONE ledger surface as explicit null rows
+    // instead of silently dropping (the audit failure an inner join
+    // bakes in). Both sides PRE-AGGREGATE to date grain before the join
+    // — the join input is days, not facts, so the full-outer shuffle
+    // (which cannot broadcast: both sides must retain unmatched rows)
+    // moves thousands of rows at any corpus size. Money in DECIMAL,
+    // mismatch flag integer.
+    Q("b36_join_full_outer",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").as("d"))
+          .agg(sumMoney(col("o_totalprice")).as("ordered"))
+        val l = t(s, dir, "lineitem")
+          .groupBy(col("l_shipdate").as("d"))
+          .agg(sumMoney(col("l_extendedprice")).as("shipped"))
+        o.join(l, Seq("d"), "full_outer")
+          .select(col("d"), col("ordered"), col("shipped"),
+            (col("ordered").isNull || col("shipped").isNull).cast("long").as("one_sided"))
+          .orderBy("d")
+      },
+      Some(sql(s"""WITH o AS (SELECT o_orderdate AS d,
+                 |     ${duckSumMoney("o_totalprice")} AS ordered
+                 |   FROM orders GROUP BY 1),
+                 | l AS (SELECT l_shipdate AS d,
+                 |     ${duckSumMoney("l_extendedprice")} AS shipped
+                 |   FROM lineitem GROUP BY 1)
+                 | SELECT coalesce(o.d, l.d) AS d, o.ordered, l.shipped,
+                 |   CAST(CASE WHEN o.ordered IS NULL OR l.shipped IS NULL
+                 |     THEN 1 ELSE 0 END AS BIGINT) AS one_sided
+                 | FROM o FULL OUTER JOIN l ON o.d = l.d
+                 | ORDER BY d"""))),
+
     // BAG-semantics set ops — INTERSECT ALL / EXCEPT ALL (f2-f4 are the
     // set-semantics forms; the ALL variants preserve MULTIPLICITY:
     // per key the intersection keeps min(cntA, cntB) copies, the
