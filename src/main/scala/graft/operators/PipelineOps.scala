@@ -5058,6 +5058,66 @@ object PipelineOps {
                  |     AS frame_len
                  | FROM f ORDER BY doc_id, frame_idx"""))),
 
+    // SHOT SEGMENTATION over the m4 frame stream — the video-pipeline
+    // shape after frame sampling (PySceneDetect's content detector):
+    // per-frame feature, cut where the feature jumps, consecutive
+    // frames between cuts grouped into shots, one manifest row per
+    // shot. The REAL plumbing is graded end-to-end: the typed
+    // mapPartitions sampler explodes frames, the per-frame feature is a
+    // codegen'd projection, the cut detection is a per-doc lag window
+    // (bounded by maxFrames, never corpus-wide), and the shot rollup is
+    // a hash aggregate. Only the FEATURE is a codec stand-in (first
+    // md5 byte of the frame octets — a real pipeline plugs a frame
+    // histogram in the same column). The oracle rebuilds frames from
+    // octet arithmetic and slices the VARCHAR — equal to the engine's
+    // octet slice because the fixture corpus is ASCII (verified
+    // octet_length == length at every SF); a non-ASCII corpus would
+    // need a blob-capable oracle, the Spark side already slices bytes.
+    Q("m5_shot_segments",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        sampleFrames(payloads, 64, 4).toDF()
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            conv(substring(md5(col("frame")), 1, 2), 16, 10).cast("long").as("feat"))
+          .withColumn("prev", lag(col("feat"), 1).over(w))
+          .withColumn("cut",
+            when(col("prev").isNull || abs(col("feat") - col("prev")) > 96, 1L)
+              .otherwise(0L))
+          .withColumn("shot_idx",
+            sum(col("cut")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("shot_idx"))
+          .agg(min(col("frame_idx")).as("start_frame"),
+            count(lit(1)).as("n_frames"),
+            min(col("feat")).as("feat_min"),
+            max(col("feat")).as("feat_max"))
+          .orderBy("doc_id", "shot_idx")
+      },
+      Some(sql("""WITH b AS (SELECT doc_id, text, octet_length(text::BLOB) AS len FROM documents),
+                 | p AS (SELECT doc_id, text, len, least(4, greatest(1, len // 64)) AS nf FROM b),
+                 | st AS (SELECT doc_id, text, len, nf, greatest(64, len // nf) AS stride FROM p),
+                 | f AS (SELECT doc_id, unnest(range(0, nf)) AS frame_idx, text, len, stride FROM st),
+                 | feat AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                 |     ('0x'||substr(md5(substr(text, CAST(frame_idx*stride + 1 AS BIGINT),
+                 |        CAST(least(frame_idx*stride + 64, len) - frame_idx*stride AS BIGINT))),1,2))::BIGINT AS feat
+                 |   FROM f),
+                 | cut AS (SELECT doc_id, frame_idx, feat,
+                 |     CASE WHEN lag(feat) OVER w IS NULL
+                 |       OR abs(feat - lag(feat) OVER w) > 96 THEN 1 ELSE 0 END AS cut
+                 |   FROM feat WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+                 | sh AS (SELECT doc_id, frame_idx, feat,
+                 |     sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                 |       ROWS UNBOUNDED PRECEDING) AS shot_idx
+                 |   FROM cut)
+                 | SELECT doc_id, CAST(shot_idx AS BIGINT) AS shot_idx,
+                 |   min(frame_idx) AS start_frame, count(*) AS n_frames,
+                 |   min(feat) AS feat_min, max(feat) AS feat_max
+                 | FROM sh GROUP BY 1, 2 ORDER BY doc_id, shot_idx"""))),
+
     // Lang-ID CONFUSION MATRIX — the eval the fixture makes possible
     // (documents carry a TRUE lang column): j1's unsupervised marker
     // classifier graded cell by cell, with per-true-lang row fractions
