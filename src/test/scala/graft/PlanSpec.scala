@@ -1132,4 +1132,45 @@ class PlanSpec extends SparkTestBase {
       s"the ratio/normalizer state must read the materialized tables:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("b36: both ledgers pre-aggregate BELOW the full-outer join") {
+    // The reconciliation join must move day-grain rows, not facts: each
+    // join input is a HashAggregate over its own scan, and the join
+    // itself is the sort-merge FullOuter (a broadcast variant cannot
+    // retain unmatched build-side rows).
+    val p = plan(Registry.byId("b36_join_full_outer").build(spark, dir))
+    assert(p.contains("FullOuter"), s"join must be FullOuter:\n$p")
+    val aggBeforeJoin = p.linesIterator.toSeq
+    val joinLine = aggBeforeJoin.indexWhere(_.contains("FullOuter"))
+    val aggsBelow = aggBeforeJoin.drop(joinLine)
+      .count(_.contains("HashAggregate"))
+    assert(aggsBelow >= 2,
+      s"both sides must aggregate to date grain below the join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested loop:\n$p")
+  }
+
+  test("d14/d15: one user_id Exchange feeds the whole sweep — no extra shuffle") {
+    // Sweep + block rollup (d14) and the 8-term lag chain (d15) must
+    // each cluster every window/aggregate on the ONE user_id hash
+    // Exchange; a second corpus-wide shuffle means a window or agg key
+    // drifted off the partitioning.
+    for (id <- Seq("d14_interval_coverage", "d15_ewma_decay")) {
+      val p = plan(Registry.byId(id).build(spark, dir))
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles == 1, s"$id: expected ONE hash Exchange, got $shuffles:\n$p")
+    }
+  }
+
+  test("i83: the peel cascade reuses the checkpointed edge list — one corpus scan chain") {
+    // deg0/deg1/deg2 all derive from the SAME materialized edge table
+    // (ExistingRDD); a plan that re-runs the pair pipeline per degree
+    // pass would show three parquet scan chains.
+    val p = plan(Registry.byId("i83_kcore_peel").build(spark, dir))
+    assert(p.contains("ExistingRDD"),
+      s"edges must read the localCheckpoint, not recompute:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"no degree pass may rescan the corpus (edges are materialized), got $scans:\n$p")
+  }
 }
