@@ -76,8 +76,17 @@ object RelationalOps {
     * value distribution, so its frame is bounded by the value range,
     * never the row count.
     */
-  private[graft] def distMedian(df: DataFrame, vc: String, out: String): DataFrame = {
-    val dist = df.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("cnt"))
+  private[graft] def distMedian(df: DataFrame, vc: String, out: String): DataFrame =
+    distMedianW(
+      df.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("cnt")), vc, out)
+
+  /** [[distMedian]] over an ALREADY-COUNTED distribution (g, vc, cnt) —
+    * the form a caller uses when it derives several statistics from one
+    * distinct-value table (c12 computes the deviation distribution from
+    * the value distribution without a second corpus pass: the deviation
+    * is a per-group function of the value, so counts transfer).
+    */
+  private[graft] def distMedianW(dist: DataFrame, vc: String, out: String): DataFrame = {
     val ranked = dist
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("g")).orderBy(col(vc))))
@@ -614,17 +623,31 @@ object RelationalOps {
         val cents = t(s, dir, "lineitem")
           .select(col("l_returnflag").as("g"),
             round(col("l_extendedprice") * 100).cast("long").as("vc"))
-        val med = distMedian(cents, "vc", "m")
+        // ONE corpus-wide shuffle: the distinct-value distribution.
+        // Every later stage — both medians, the deviation distribution,
+        // the outlier count — derives from it, because the deviation
+        // |2·vc − 2m| is a per-group FUNCTION of the value: counts
+        // transfer to the deviation domain by re-keying, no second pass
+        // over rows. Materialized once (three consumers would otherwise
+        // re-run the corpus aggregate each).
+        val dist = cents.groupBy(col("g"), col("vc"))
+          .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+        val med = distMedianW(dist, "vc", "m")
         // 2·|cents − m| is an exact integer (m moves in half-cent steps).
-        val dev = cents.join(broadcast(med), "g")
-          .select(col("g"),
+        val devDist = dist.join(broadcast(med), "g")
+          .select(col("g"), col("cnt"), col("m"),
             abs(lit(2L) * col("vc") - (lit(2.0) * col("m")).cast("long")).as("d2"))
-        val mad = distMedian(dev, "d2", "mad2")
-        dev.join(broadcast(mad), "g")
+          .groupBy(col("g"), col("d2"))
+          .agg(sum(col("cnt")).as("cnt"), min(col("m")).as("m"))
+        val mad = distMedianW(devDist, "d2", "mad2")
+        // m/mad2 are per-group constants riding the aggregate (min) —
+        // no re-join of the median tables after the rollup.
+        devDist.join(broadcast(mad), "g")
           .groupBy(col("g"))
-          .agg(count(lit(1)).as("n_rows"),
-            sum((col("d2") > lit(3.0) * col("mad2")).cast("long")).as("n_outliers"))
-          .join(med, "g").join(mad, "g")
+          .agg(sum(col("cnt")).as("n_rows"),
+            sum(when(col("d2") > lit(3.0) * col("mad2"), col("cnt"))
+              .otherwise(lit(0L))).as("n_outliers"),
+            min(col("m")).as("m"), min(col("mad2")).as("mad2"))
           .select(col("g").as("l_returnflag"), col("n_rows"),
             round(col("m") / 100.0, 3).as("med"),
             round(col("mad2") / 200.0, 3).as("mad"),
