@@ -1530,6 +1530,72 @@ object LlmOps {
                  | FROM deg0 d0
                  | LEFT JOIN deg1 d1 ON d0.doc_id = d1.doc_id
                  | LEFT JOIN deg2 d2 ON d0.doc_id = d2.doc_id
-                 | ORDER BY d0.doc_id""")))
+                 | ORDER BY d0.doc_id"""))),
+
+    // Dedup SURVIVORSHIP report — the before/after audit a curation run
+    // ships next to its keep-list (i18): per source, mean quality of
+    // the full corpus vs the kept set. Dedup is not quality-neutral
+    // (template boilerplate clusters harder than organic text), and
+    // this is the number that says which way each source moved. The
+    // mean runs on MILLI-QUALITY int64s (quality is already 3-decimal,
+    // so ×1000 is exact): sums are order-free exact integers, and the
+    // final divisions of int64 pairs give identical doubles on both
+    // engines — the i23 micro-quantization rule applied to a float
+    // metric column. One corpus pass for quality, ids-only anti-join
+    // flag, one source-keyed rollup.
+    Q("i84_dedup_quality_shift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = PipelineOps.docTokQuality(docs)
+          .select(col("doc_id"),
+            round(col("quality") * 1000).cast("long").as("qm"))
+        val drop = clusterLabels(nearDupPairs(docs))
+          .filter(col("doc_id") =!= col("lbl"))
+          .select(col("doc_id"), lit(0L).as("kept0"))
+        docs.select(col("doc_id"), col("source"))
+          .join(q, "doc_id")
+          .join(drop, Seq("doc_id"), "left")
+          .withColumn("kept", coalesce(col("kept0"), lit(1L)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("n_kept"),
+            sum(col("qm")).as("sum_qm"),
+            sum(col("kept") * col("qm")).as("sum_qm_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            round(col("sum_qm") / col("n_docs") / 1000.0, 4).as("mq_before"),
+            round(col("sum_qm_kept") / col("n_kept") / 1000.0, 4).as("mq_after"),
+            round((col("sum_qm_kept") / col("n_kept")
+              - col("sum_qm") / col("n_docs")) / 1000.0, 4).as("shift"))
+          .orderBy("source")
+      },
+      Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,
+                 | edges AS (
+                 |   SELECT doc_id1 AS s, doc_id2 AS d FROM nd
+                 |   UNION ALL SELECT doc_id2, doc_id1 FROM nd),
+                 | reach(doc_id, r) AS (
+                 |   SELECT DISTINCT s, s FROM edges
+                 |   UNION
+                 |   SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.doc_id),
+                 | lbl AS (SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id),
+                 | drp AS (SELECT doc_id FROM lbl WHERE doc_id <> canon_id),
+                 | st AS (SELECT doc_id,
+                 |     len(string_split(text,' '))::BIGINT AS n_tok,
+                 |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |   FROM documents),
+                 | qq AS (SELECT doc_id,
+                 |     CAST(round(round(least(n_tok/100.0, 1.0)*0.4 + (n_uniq/n_tok)*0.3
+                 |       + (1.0 - n_stop/n_tok)*0.3, 3) * 1000) AS BIGINT) AS qm
+                 |   FROM st),
+                 | fl AS (SELECT d.source, qq.qm,
+                 |     CASE WHEN d.doc_id IN (SELECT doc_id FROM drp) THEN 0 ELSE 1 END AS kept
+                 |   FROM documents d JOIN qq ON d.doc_id = qq.doc_id)
+                 | SELECT source, count(*) AS n_docs,
+                 |   CAST(sum(kept) AS BIGINT) AS n_kept,
+                 |   round(CAST(sum(qm) AS BIGINT) / count(*) / 1000.0, 4) AS mq_before,
+                 |   round(CAST(sum(kept * qm) AS BIGINT) / CAST(sum(kept) AS BIGINT) / 1000.0, 4) AS mq_after,
+                 |   round((CAST(sum(kept * qm) AS BIGINT) / CAST(sum(kept) AS BIGINT)
+                 |     - CAST(sum(qm) AS BIGINT) / count(*)) / 1000.0, 4) AS shift
+                 | FROM fl GROUP BY source ORDER BY source""")))
   )
 }
