@@ -1986,6 +1986,79 @@ object PipelineOps {
                  | FROM q LEFT JOIN hits ON q.qid = hits.qid
                  | ORDER BY q.qid"""))),
 
+    // MATRYOSHKA truncation evaluation — the dimension-budget curve a
+    // pipeline measures before shipping truncated embeddings (MRL-style
+    // models promise prefix dims carry most of the signal; the promise
+    // must be MEASURED per corpus, like i28 measures IVF): recall@3 of
+    // brute-force search under the first {8, 16, 32} dims against the
+    // full 64-dim ranking, per query. Same scale shape as i28's exact
+    // side — the query batch BROADCASTS onto one corpus sweep per
+    // truncation level (each a narrower dot product, prefix-sliced
+    // before the multiply), never an all-pairs corpus join; the rank
+    // windows are query-bounded. recall = n_hit/3 exact cross-engine.
+    Q("i85_mrl_recall",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val q = queryBatch(emb, ivfParams.nQueries)
+        def top3(d: Int) = emb.crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.dot(
+              slice(col("embedding"), 1, d), slice(col("qemb"), 1, d)), 3).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val full = top3(64)
+        val overlaps = Seq(8, 16, 32).map { d =>
+          top3(d).join(full, Seq("qid", "vec_id"))
+            .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+            .withColumn("dim", lit(d.toLong))
+        }.reduce(_ unionAll _)
+        val spine = q.select(col("qid"))
+          .crossJoin(broadcast(Seq(8L, 16L, 32L).toDF("dim")))
+        spine.join(overlaps, Seq("qid", "dim"), "left")
+          .select(col("qid"), col("dim"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)) / 3.0, 4).as("recall"))
+          .orderBy("qid", "dim")
+      },
+      Some(sql(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb
+                 |     FROM embeddings WHERE vec_id < ${ivfParams.nQueries}),
+                 | dims AS (SELECT unnest([8, 16, 32]) AS dim),
+                 | sim64 AS (
+                 |   SELECT qid, vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT q.qid, e.vec_id,
+                 |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e, q)
+                 |   GROUP BY 1, 2),
+                 | top64 AS (SELECT qid, vec_id FROM (
+                 |     SELECT qid, vec_id,
+                 |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                 |     FROM sim64) WHERE rn <= 3),
+                 | simd AS (
+                 |   SELECT dim, qid, vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT d.dim, q.qid, e.vec_id,
+                 |           unnest(e.embedding[1:d.dim])::DOUBLE
+                 |             * unnest(q.qemb[1:d.dim])::DOUBLE AS p
+                 |         FROM embeddings e, q, dims d)
+                 |   GROUP BY 1, 2, 3),
+                 | topd AS (SELECT dim, qid, vec_id FROM (
+                 |     SELECT dim, qid, vec_id,
+                 |       row_number() OVER (PARTITION BY dim, qid
+                 |         ORDER BY sim DESC, vec_id) AS rn
+                 |     FROM simd) WHERE rn <= 3),
+                 | hits AS (
+                 |   SELECT t.dim, t.qid, count(*) AS n_hit
+                 |   FROM topd t JOIN top64 x ON t.qid = x.qid AND t.vec_id = x.vec_id
+                 |   GROUP BY 1, 2)
+                 | SELECT q.qid, CAST(d.dim AS BIGINT) AS dim,
+                 |   coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+                 |   round(coalesce(h.n_hit, 0) / 3.0, 4) AS recall
+                 | FROM q CROSS JOIN dims d
+                 | LEFT JOIN hits h ON h.qid = q.qid AND h.dim = d.dim
+                 | ORDER BY q.qid, dim"""))),
+
     // Shingle MinHash (the shingle→minhash→band pipeline's sketch step):
     // 3-token shingles capture local word ORDER (unigram sets — i7 —
     // cannot tell "a b c" from "c b a"), then 4 seeded minhashes over the
