@@ -1249,7 +1249,78 @@ object RelationalOps {
                  |       + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
                  |       + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS ewma_den,
                  |   round(ewma_num / ewma_den, 4) AS ewma_cents
-                 | FROM lagged ORDER BY user_id, event_id""")))
+                 | FROM lagged ORDER BY user_id, event_id"""))),
+
+    // Rolling least-squares TREND — drift detection as a window feature
+    // (is this user's spend rising?): the regression slope over the last
+    // 8 observations, computed EXACTLY by integer cross-multiplication
+    // (the j15 rule inside a window): x = position in frame (oldest 0),
+    // y = cents, num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)² stay in
+    // int64 (n ≤ 8, x ≤ 7, y cents), so both engines agree bit-for-bit
+    // and the only float is the final division. The lag chain is one
+    // window pass like d15; den = 0 exactly when n = 1 (x's are
+    // distinct) → slope null. regr_slope-as-a-window would float-drift
+    // cross-engine; this is the exact spelling.
+    Q("d16_rolling_trend",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val base = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        def y(k: Int) = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+        def pres(k: Int) = when(y(k).isNotNull, 1L).otherwise(0L)
+        def x(k: Int) = lit((7 - k).toLong)
+        val n = (0 until 8).map(pres).reduce(_ + _)
+        val sx = (0 until 8).map(k => pres(k) * x(k)).reduce(_ + _)
+        val sy = (0 until 8).map(k => coalesce(y(k), lit(0L))).reduce(_ + _)
+        val sxy = (0 until 8).map(k => coalesce(y(k), lit(0L)) * x(k)).reduce(_ + _)
+        val sxx = (0 until 8).map(k => pres(k) * x(k) * x(k)).reduce(_ + _)
+        base
+          .withColumn("n_obs", n)
+          .withColumn("num", n * sxy - sx * sy)
+          .withColumn("den", n * sxx - sx * sx)
+          .select(col("user_id"), col("event_id"), col("cents"),
+            col("n_obs"), col("num"), col("den"),
+            when(col("den") > 0, round(col("num") / col("den"), 4)).as("slope"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(sql("""WITH lg AS (
+                 |   SELECT user_id, event_id,
+                 |     CAST(round(value * 100) AS BIGINT) AS c0,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 1) OVER w AS c1,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 2) OVER w AS c2,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 3) OVER w AS c3,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 4) OVER w AS c4,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 5) OVER w AS c5,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 6) OVER w AS c6,
+                 |     lag(CAST(round(value * 100) AS BIGINT), 7) OVER w AS c7
+                 |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                 | s AS (SELECT user_id, event_id, c0,
+                 |     (CASE WHEN c0 IS NULL THEN 0 ELSE 1 END) + (CASE WHEN c1 IS NULL THEN 0 ELSE 1 END)
+                 |       + (CASE WHEN c2 IS NULL THEN 0 ELSE 1 END) + (CASE WHEN c3 IS NULL THEN 0 ELSE 1 END)
+                 |       + (CASE WHEN c4 IS NULL THEN 0 ELSE 1 END) + (CASE WHEN c5 IS NULL THEN 0 ELSE 1 END)
+                 |       + (CASE WHEN c6 IS NULL THEN 0 ELSE 1 END) + (CASE WHEN c7 IS NULL THEN 0 ELSE 1 END) AS n,
+                 |     (CASE WHEN c0 IS NULL THEN 0 ELSE 7 END) + (CASE WHEN c1 IS NULL THEN 0 ELSE 6 END)
+                 |       + (CASE WHEN c2 IS NULL THEN 0 ELSE 5 END) + (CASE WHEN c3 IS NULL THEN 0 ELSE 4 END)
+                 |       + (CASE WHEN c4 IS NULL THEN 0 ELSE 3 END) + (CASE WHEN c5 IS NULL THEN 0 ELSE 2 END)
+                 |       + (CASE WHEN c6 IS NULL THEN 0 ELSE 1 END) AS sx,
+                 |     coalesce(c0,0) + coalesce(c1,0) + coalesce(c2,0) + coalesce(c3,0)
+                 |       + coalesce(c4,0) + coalesce(c5,0) + coalesce(c6,0) + coalesce(c7,0) AS sy,
+                 |     coalesce(c0,0)*7 + coalesce(c1,0)*6 + coalesce(c2,0)*5 + coalesce(c3,0)*4
+                 |       + coalesce(c4,0)*3 + coalesce(c5,0)*2 + coalesce(c6,0)*1 AS sxy,
+                 |     (CASE WHEN c0 IS NULL THEN 0 ELSE 49 END) + (CASE WHEN c1 IS NULL THEN 0 ELSE 36 END)
+                 |       + (CASE WHEN c2 IS NULL THEN 0 ELSE 25 END) + (CASE WHEN c3 IS NULL THEN 0 ELSE 16 END)
+                 |       + (CASE WHEN c4 IS NULL THEN 0 ELSE 9 END) + (CASE WHEN c5 IS NULL THEN 0 ELSE 4 END)
+                 |       + (CASE WHEN c6 IS NULL THEN 0 ELSE 1 END) AS sxx
+                 |   FROM lg)
+                 | SELECT user_id, event_id, c0 AS cents,
+                 |   CAST(n AS BIGINT) AS n_obs,
+                 |   CAST(n*sxy - sx*sy AS BIGINT) AS num,
+                 |   CAST(n*sxx - sx*sx AS BIGINT) AS den,
+                 |   CASE WHEN n*sxx - sx*sx > 0
+                 |     THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) END AS slope
+                 | FROM s ORDER BY user_id, event_id""")))
   )
 
   // --------------------------------------------------- sort / set / scalar

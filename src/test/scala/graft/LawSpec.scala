@@ -336,4 +336,39 @@ class LawSpec extends SparkTestBase {
     }
     assert(wantNum.nonEmpty)
   }
+
+  test("d16 rolling trend: num/den reproduce a driver-side least squares; den=0 only at n=1") {
+    val got = Registry.byId("d16_rolling_trend").build(spark, dir).cache()
+    assert(got.filter(col("den") === 0 && col("n_obs") =!= 1).isEmpty,
+      "den=0 must mean a single observation (x's are distinct)")
+    assert(got.filter(col("den") === 0 && col("slope").isNotNull).isEmpty,
+      "no slope without variance")
+    // direct least squares over each user's (ts, event_id)-ordered tail
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seqd = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w))
+      .select("user_id", "event_id", "c", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    val want = seqd.flatMap { case (_, rows) =>
+      val ord = rows.sortBy(_._4)
+      ord.indices.map { i =>
+        val tail = (math.max(0, i - 7) to i).map(j => ord(j)._3)
+        val n = tail.size.toLong
+        val xs = (8 - n until 8).map(_.toLong) // oldest x, ..., current x=7
+        val sx = xs.sum; val sy = tail.sum
+        val sxy = xs.zip(tail).map { case (x, y) => x * y }.sum
+        val sxx = xs.map(x => x * x).sum
+        ord(i)._2 -> (n * sxy - sx * sy, n * sxx - sx * sx)
+      }
+    }
+    val gotNd = got.select("event_id", "num", "den")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    want.foreach { case (id, nd) =>
+      assert(gotNd(id) == nd, s"event $id: ${gotNd(id)} != direct $nd")
+    }
+    assert(want.nonEmpty)
+  }
 }
