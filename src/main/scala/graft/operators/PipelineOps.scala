@@ -5191,6 +5191,67 @@ object PipelineOps {
                  |   min(feat) AS feat_min, max(feat) AS feat_max
                  | FROM sh GROUP BY 1, 2 ORDER BY doc_id, shot_idx"""))),
 
+    // Length×quality CORRELATION per source — the metadata diagnostic
+    // behind every "filter by length" debate: does document length
+    // predict quality in THIS source, or is the correlation an artifact
+    // of one boilerplate cluster? Pearson r spelled EXACTLY by integer
+    // cross-multiplication (the j15/d16 rule at aggregate scope): x =
+    // n_tok, y = milli-quality, the six sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    // are order-free int64s in ONE map-side-combinable aggregate, and
+    // the only floats are two sqrt's of exact int64s (< 2^53 through
+    // sf10 — the sumMoney bound discipline) and one division —
+    // bit-identical cross-engine. corr() as a builtin float-drifts under
+    // re-partition; this is the deterministic spelling.
+    Q("j20_len_quality_corr",
+      (s, dir) => {
+        val st = t(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+            markerScore(col("text"), Seq("a", "the")).as("n_stop"))
+          .select(col("source"), col("n_tok"),
+            round(qualityExpr * 1000).cast("long").as("qm"))
+        st.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sx"), sum(col("qm")).as("sy"),
+            sum(col("n_tok") * col("qm")).as("sxy"),
+            sum(col("n_tok") * col("n_tok")).as("sxx"),
+            sum(col("qm") * col("qm")).as("syy"))
+          .select(col("source"), col("n_docs"),
+            (col("n_docs") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n_docs") * col("sxx") - col("sx") * col("sx")).as("dx"),
+            (col("n_docs") * col("syy") - col("sy") * col("sy")).as("dy"))
+          .select(col("source"), col("n_docs"), col("num"), col("dx"), col("dy"),
+            when(col("dx") > 0 && col("dy") > 0,
+              round(col("num") / sqrt(col("dx").cast("double"))
+                / sqrt(col("dy").cast("double")), 4)).as("corr"))
+          .orderBy("source")
+      },
+      Some(sql("""WITH st AS (SELECT source,
+                 |     len(string_split(text,' '))::BIGINT AS n_tok,
+                 |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |   FROM documents),
+                 | v AS (SELECT source, n_tok,
+                 |     CAST(round(round(least(n_tok/100.0,1.0)*0.4 + (n_uniq/n_tok)*0.3
+                 |       + (1.0-n_stop/n_tok)*0.3, 3)*1000) AS BIGINT) AS qm
+                 |   FROM st),
+                 | a AS (SELECT source, count(*) AS n_docs,
+                 |     CAST(sum(n_tok) AS BIGINT) AS sx, CAST(sum(qm) AS BIGINT) AS sy,
+                 |     CAST(sum(n_tok*qm) AS BIGINT) AS sxy,
+                 |     CAST(sum(n_tok*n_tok) AS BIGINT) AS sxx,
+                 |     CAST(sum(qm*qm) AS BIGINT) AS syy
+                 |   FROM v GROUP BY source)
+                 | SELECT source, n_docs,
+                 |   CAST(n_docs*sxy - sx*sy AS BIGINT) AS num,
+                 |   CAST(n_docs*sxx - sx*sx AS BIGINT) AS dx,
+                 |   CAST(n_docs*syy - sy*sy AS BIGINT) AS dy,
+                 |   CASE WHEN n_docs*sxx - sx*sx > 0 AND n_docs*syy - sy*sy > 0
+                 |     THEN round((n_docs*sxy - sx*sy)
+                 |       / sqrt(CAST(n_docs*sxx - sx*sx AS DOUBLE))
+                 |       / sqrt(CAST(n_docs*syy - sy*sy AS DOUBLE)), 4) END AS corr
+                 | FROM a ORDER BY source"""))),
+
     // Lang-ID CONFUSION MATRIX — the eval the fixture makes possible
     // (documents carry a TRUE lang column): j1's unsupervised marker
     // classifier graded cell by cell, with per-true-lang row fractions

@@ -743,7 +743,46 @@ object RelationalOps {
                  |   CAST(round(max(value) * 100) AS BIGINT) AS high_c,
                  |   CAST(round(min(value) * 100) AS BIGINT) AS low_c,
                  |   count(*) AS n_events
-                 | FROM events GROUP BY 1, 2 ORDER BY user_id, hour_start""")))
+                 | FROM events GROUP BY 1, 2 ORDER BY user_id, hour_start"""))),
+
+    // MODE aggregate — most frequent value per group, spelled as the
+    // deterministic two-level form: (group, value) counts, then a
+    // count-desc/value-asc argmax window. Both engines SHIP a mode()
+    // aggregate and both leave its tie arbitrary — the one-line builtin
+    // is exactly the thing a cross-engine (or cross-run: any
+    // re-partition reorders ties) pipeline must NOT use, so the
+    // registry entry is the deterministic spelling. Scale: the first
+    // aggregate is map-side combinable on (group, value) — bounded by
+    // the DISTINCT pair count, not rows; the argmax window runs on that
+    // bounded table. Ties are REAL in the fixture (ship months are
+    // near-uniform per priority), so the tiebreak is exercised at
+    // every SF.
+    Q("c16_mode_agg",
+      (s, dir) => {
+        val cnt = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"),
+            month(col("l_shipdate")).cast("long").as("ship_month"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("n").desc, col("ship_month").asc)
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderpriority"), col("ship_month").as("mode_month"),
+            col("n").as("n_mode"))
+          .orderBy("o_orderpriority")
+      },
+      Some(sql("""WITH cnt AS (
+                 |   SELECT o_orderpriority,
+                 |     CAST(month(l_shipdate) AS BIGINT) AS ship_month, count(*) AS n
+                 |   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                 |   GROUP BY 1, 2)
+                 | SELECT o_orderpriority, ship_month AS mode_month, n AS n_mode
+                 | FROM (SELECT o_orderpriority, ship_month, n,
+                 |     row_number() OVER (PARTITION BY o_orderpriority
+                 |       ORDER BY n DESC, ship_month ASC) AS rn
+                 |   FROM cnt) WHERE rn = 1
+                 | ORDER BY o_orderpriority""")))
   )
 
   // -------------------------------------------------------------- windows

@@ -1155,7 +1155,7 @@ class PlanSpec extends SparkTestBase {
     // each cluster every window/aggregate on the ONE user_id hash
     // Exchange; a second corpus-wide shuffle means a window or agg key
     // drifted off the partitioning.
-    for (id <- Seq("d14_interval_coverage", "d15_ewma_decay")) {
+    for (id <- Seq("d14_interval_coverage", "d15_ewma_decay", "d16_rolling_trend")) {
       val p = plan(Registry.byId(id).build(spark, dir))
       val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(shuffles == 1, s"$id: expected ONE hash Exchange, got $shuffles:\n$p")
