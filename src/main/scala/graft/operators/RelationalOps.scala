@@ -782,7 +782,57 @@ object RelationalOps {
                  |     row_number() OVER (PARTITION BY o_orderpriority
                  |       ORDER BY n DESC, ship_month ASC) AS rn
                  |   FROM cnt) WHERE rn = 1
-                 | ORDER BY o_orderpriority""")))
+                 | ORDER BY o_orderpriority"""))),
+
+    // EQUI-DEPTH histogram — B buckets with (as-equal-as-possible) row
+    // counts plus per-bucket value stats, EXACTLY and without a global
+    // row_number: the corpus collapses to its VALUE DISTRIBUTION
+    // ((vc, cnt) — bounded by the value range, not rows, so the
+    // cumulative window is over a bounded table, the c10/c12 rule), each
+    // value-run knows its exact rank interval [cum−cnt+1, cum], and a
+    // run contributes to bucket b exactly |run ∩ rankspan(b)| rows —
+    // an arithmetic interval intersection after exploding the (≤ B per
+    // run, ≤ |dist|+B total) touched buckets. bucket(r) =
+    // ⌊(r−1)·B/n⌋, so rankspan(b) = [⌈bn/B⌉+1, ⌈(b+1)n/B⌉]; all
+    // divisions are exact-integer ⌊/⌉ via pmod (the fdiv rule). The
+    // oracle spells the same histogram the naive way (global
+    // row_number) — agreement proves the CDF decomposition.
+    Q("c17_equidepth_hist",
+      (s, dir) => {
+        val B = 12L
+        def idivF(x: Column, d: Column): Column = // exact floor(x/d), x>=0
+          ((x - pmod(x, d)) / d).cast("long")
+        def idivC(x: Column, d: Column): Column = // exact ceil(x/d), x>=0
+          idivF(x + d - 1, d)
+        val cents = t(s, dir, "events")
+          .select(round(col("value") * 100).cast("long").as("vc"))
+        val dist = cents.groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+        val ranked = dist
+          .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("vc"))))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(lit(1))))
+          .withColumn("lo_r", col("cum") - col("cnt") + 1)
+        val exploded = ranked.select(col("vc"), col("n"), col("lo_r"), col("cum"),
+            explode(sequence(
+              idivF((col("lo_r") - 1) * B, col("n")),
+              idivF((col("cum") - 1) * B, col("n")))).as("bucket"))
+          .withColumn("rb_lo", idivC(col("bucket") * col("n"), lit(B)) + 1)
+          .withColumn("rb_hi", idivC((col("bucket") + 1) * col("n"), lit(B)))
+          .withColumn("ov",
+            least(col("cum"), col("rb_hi")) - greatest(col("lo_r"), col("rb_lo")) + 1)
+        exploded.groupBy(col("bucket"))
+          .agg(sum(col("ov")).as("n_rows"),
+            min(col("vc")).as("lo_vc"), max(col("vc")).as("hi_vc"),
+            sum(col("vc") * col("ov")).as("sum_vc"))
+          .orderBy("bucket")
+      },
+      Some(sql("""WITH c AS (
+                 |   SELECT CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+                 | r AS (SELECT vc, row_number() OVER (ORDER BY vc) AS rn,
+                 |     count(*) OVER () AS n FROM c)
+                 | SELECT ((rn - 1) * 12) // n AS bucket, count(*) AS n_rows,
+                 |   min(vc) AS lo_vc, max(vc) AS hi_vc,
+                 |   CAST(sum(vc) AS BIGINT) AS sum_vc
+                 | FROM r GROUP BY 1 ORDER BY bucket""")))
   )
 
   // -------------------------------------------------------------- windows
@@ -1359,7 +1409,57 @@ object RelationalOps {
                  |   CAST(n*sxx - sx*sx AS BIGINT) AS den,
                  |   CASE WHEN n*sxx - sx*sx > 0
                  |     THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) END AS slope
-                 | FROM s ORDER BY user_id, event_id""")))
+                 | FROM s ORDER BY user_id, event_id"""))),
+
+    // CUSUM changepoint — the drift ALARM over each user's event stream:
+    // has this user's value level shifted above the corpus mean, and
+    // when did it first trip? The textbook recursion
+    // S_i = max(0, S_{i-1} + (x_i − μ)) is not window-expressible, but
+    // its closed form IS: S_i = P_i − min(0, min_{j≤i} P_j) with P the
+    // prefix sum of deviations — a running sum plus a running min on the
+    // SAME (user, ts) window spec, one Exchange, one sort. Exactness:
+    // μ = Σv/n is not an integer, so deviations are scaled by n
+    // (dev′ = n·vc − Σvc, int64 — the j15 cross-multiplication rule);
+    // S′ = n·S stays exact through sf100 (n·vc ≤ 6e9·5e4 ≈ 3e14/row,
+    // prefix ≤ 2^53), the threshold scales with it, and the only float
+    // is the final round(maxS′/n) display division of two exact int64s.
+    Q("d17_cusum_changepoint",
+      (s, dir) => {
+        val v = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("vc"))
+        val g = v.agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cus = v.crossJoin(broadcast(g))
+          .withColumn("p", sum(col("n") * col("vc") - col("s")).over(w))
+          .withColumn("cusum", col("p") - least(min(col("p")).over(w), lit(0L)))
+        cus.groupBy(col("user_id"))
+          .agg(round(max(col("cusum")) / first(col("n"))).cast("long")
+              .as("max_cusum_c"),
+            sum(when(col("cusum") > lit(20000L) * col("n"), 1L).otherwise(0L))
+              .as("n_alarm"),
+            min(when(col("cusum") > lit(20000L) * col("n"), col("ts")))
+              .cast("timestamp_ntz").as("first_alarm_ts"))
+          .orderBy("user_id")
+      },
+      Some(sql("""WITH v AS (SELECT user_id, ts, event_id,
+                 |     CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+                 | g AS (SELECT count(*) AS n, CAST(sum(vc) AS BIGINT) AS s FROM v),
+                 | p AS (SELECT user_id, ts, event_id, g.n,
+                 |     sum(g.n * vc - g.s) OVER
+                 |       (PARTITION BY user_id ORDER BY ts, event_id) AS p
+                 |   FROM v, g),
+                 | q AS (SELECT user_id, ts, n, p,
+                 |     min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mp
+                 |   FROM p),
+                 | c AS (SELECT user_id, ts, n, p - least(mp, 0) AS cusum FROM q)
+                 | SELECT user_id,
+                 |   CAST(round(max(cusum) / (any_value(n) * 1.0)) AS BIGINT) AS max_cusum_c,
+                 |   CAST(sum(CASE WHEN cusum > 20000 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm,
+                 |   min(CASE WHEN cusum > 20000 * n THEN ts END) AS first_alarm_ts
+                 | FROM c GROUP BY user_id ORDER BY user_id""")))
   )
 
   // --------------------------------------------------- sort / set / scalar
@@ -1476,6 +1576,58 @@ object RelationalOps {
                  |     AS bound_price
                  | FROM b GROUP BY i ORDER BY bound_idx""")))
       ,
+
+    // Pareto SKYLINE (2-D dominance frontier) — per brand, the parts no
+    // other part of the brand beats on BOTH price (lower-better) and
+    // size (higher-better). The naive spelling is a quadratic self-join;
+    // the sort-based one is two range-frame windows on ONE (brand,
+    // price) sort: dominated(B) ⇔ max(size | price < B.price) ≥ B.size
+    // (strictly-cheaper window, RANGE … 1 PRECEDING) OR max(size |
+    // price ≤ B.price) > B.size (peer-inclusive frame catches the
+    // equal-price strictly-bigger case); equal (price, size) twins
+    // survive together — exactly the NOT EXISTS oracle's semantics.
+    // Scale: 25 brands would cap parallelism, so the filter runs
+    // TWO-PHASE — local skylines on (brand, salt-of-partkey) partitions
+    // first (exact: a globally non-dominated row is non-dominated in
+    // any subset), then the true filter per brand over only the local
+    // frontiers (O(√n·log) survivors, not the corpus). SkewSpec-style
+    // equivalence holds by construction; PlanSpec pins both phases'
+    // windows onto two Exchanges total.
+    Q("e5_skyline_pareto",
+      (s, dir) => {
+        def frontier(df: DataFrame, parts: Seq[Column]): DataFrame = {
+          val lt = Window.partitionBy(parts: _*).orderBy(col("price_c"))
+            .rangeBetween(Window.unboundedPreceding, -1)
+          val le = Window.partitionBy(parts: _*).orderBy(col("price_c"))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          df.withColumn("m_lt", max(col("sz")).over(lt))
+            .withColumn("m_le", max(col("sz")).over(le))
+            .filter(!(coalesce(col("m_lt") >= col("sz"), lit(false)) ||
+              col("m_le") > col("sz")))
+            .drop("m_lt", "m_le")
+        }
+        val p = t(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("price_c"),
+            col("p_size").cast("long").as("sz"))
+          .withColumn("salt", pmod(col("p_partkey"), lit(32)))
+        val local = frontier(p, Seq(col("p_brand"), col("salt")))
+        frontier(local, Seq(col("p_brand")))
+          .select(col("p_brand"), col("p_partkey"), col("price_c"),
+            col("sz").as("p_size"))
+          .orderBy("p_brand", "p_partkey")
+      },
+      Some(sql("""SELECT b.p_brand, b.p_partkey,
+                 |   CAST(round(b.p_retailprice * 100) AS BIGINT) AS price_c,
+                 |   CAST(b.p_size AS BIGINT) AS p_size
+                 | FROM part b
+                 | WHERE NOT EXISTS (SELECT 1 FROM part a
+                 |   WHERE a.p_brand = b.p_brand
+                 |     AND round(a.p_retailprice * 100) <= round(b.p_retailprice * 100)
+                 |     AND a.p_size >= b.p_size
+                 |     AND (round(a.p_retailprice * 100) < round(b.p_retailprice * 100)
+                 |          OR a.p_size > b.p_size))
+                 | ORDER BY b.p_brand, b.p_partkey"""))),
 
     Q("f1_union_all",
       (s, dir) =>

@@ -204,6 +204,7 @@ class LawSpec extends SparkTestBase {
       "n_tri exceeds C(deg, 2)")
     val total = tri.agg(sum("n_tri")).head.getLong(0)
     assert(total % 3 == 0, s"corner sum $total not divisible by 3")
+    tri.unpersist()
   }
 
   test("i74 PageRank mass conservation: Σ pr = 0.15·N + 0.85·|V⁺| ± quantization") {
@@ -218,6 +219,7 @@ class LawSpec extends SparkTestBase {
     val expected = 0.15 * n + 0.85 * nActive
     assert(math.abs(total - expected) < 1e-2,
       s"rank mass $total drifted from $expected")
+    pr.unpersist()
   }
 
   test("d10 funnel stages are monotone and bounded by the user count") {
@@ -261,6 +263,7 @@ class LawSpec extends SparkTestBase {
       "fill reverted to null after a value was seen")
     assert(f.filter(col("raw").isNull && col("filled").isNotNull).count() > 0,
       "the fill must actually repair gaps at every SF")
+    f.unpersist()
   }
 
   test("d13 cohort retention: offset-0 is total, activity never exceeds the cohort") {
@@ -280,6 +283,7 @@ class LawSpec extends SparkTestBase {
     assert(total == nCust, s"cohorts sum to $total, customers $nCust")
     assert(r.filter(col("offset_yr") > 0).count() > 0,
       "multi-year history must produce non-zero offsets")
+    r.unpersist()
   }
 
   test("d14 interval coverage matches a per-user driver-side merge") {
@@ -335,6 +339,7 @@ class LawSpec extends SparkTestBase {
       assert(gotNum(id) == n, s"event $id: num ${gotNum(id)} != direct $n")
     }
     assert(wantNum.nonEmpty)
+    got.unpersist()
   }
 
   test("d16 rolling trend: num/den reproduce a driver-side least squares; den=0 only at n=1") {
@@ -370,5 +375,62 @@ class LawSpec extends SparkTestBase {
       assert(gotNd(id) == nd, s"event $id: ${gotNd(id)} != direct $nd")
     }
     assert(want.nonEmpty)
+    got.unpersist()
+  }
+
+  test("c17 equi-depth buckets: counts partition n into near-equal shares, ranges nest") {
+    val h = Registry.byId("c17_equidepth_hist").build(spark, dir).cache()
+    val n = Tables.load(spark, dir, "events").count()
+    val rows = h.orderBy("bucket").collect()
+    assert(rows.map(_.getLong(1)).sum == n, "bucket counts must partition the corpus")
+    // exact rank-formula sizes: every bucket holds floor(n/B) or ceil(n/B)
+    val (fl, ce) = (n / 12, (n + 11) / 12)
+    rows.foreach { r =>
+      assert(r.getLong(1) == fl || r.getLong(1) == ce,
+        s"bucket ${r.getLong(0)} size ${r.getLong(1)} not in {$fl, $ce}")
+    }
+    // value ranges are non-decreasing bucket to bucket (runs may straddle:
+    // a boundary value can be both one bucket's hi and the next one's lo)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"bucket ${a.getLong(0)} hi ${a.getLong(3)} > next lo ${b.getLong(2)}")
+    case _ => ()
+    }
+    h.unpersist()
+  }
+
+  test("d17 CUSUM: alarms and timestamps cohere; the statistic is non-negative") {
+    val c = Registry.byId("d17_cusum_changepoint").build(spark, dir).cache()
+    assert(c.filter(col("max_cusum_c") < 0).isEmpty,
+      "S = P - min(0, runmin P) is non-negative by construction")
+    assert(c.filter(col("n_alarm") > 0 && col("first_alarm_ts").isNull).isEmpty,
+      "an alarmed user must carry its first trip time")
+    assert(c.filter(col("n_alarm") === 0 && col("first_alarm_ts").isNotNull).isEmpty,
+      "no trip time without an alarm")
+    assert(c.filter(col("n_alarm") > 0).count() > 0,
+      "the fixture must trip at least one user (threshold not vacuous)")
+    assert(c.filter(col("n_alarm") === 0).count() > 0,
+      "the threshold must not trip everyone")
+    c.unpersist()
+  }
+
+  test("e5 skyline: the two-phase frontier equals the direct per-brand frontier") {
+    // Exactness of the salt-then-merge decomposition: a driver-side
+    // quadratic dominance check over the (small) fixture is the model.
+    val got = Registry.byId("e5_skyline_pareto").build(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val parts = Tables.load(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = parts.filter { case (b, _, pc, sz) =>
+      !parts.exists { case (b2, _, pc2, sz2) =>
+        b2 == b && pc2 <= pc && sz2 >= sz && (pc2 < pc || sz2 > sz)
+      }
+    }.map(p => (p._1, p._2)).toSet
+    assert(got == want, s"frontier mismatch: extra=${got -- want} missing=${want -- got}")
+    assert(want.nonEmpty && want.size < parts.length,
+      "fixture must have a non-trivial frontier")
   }
 }

@@ -1173,4 +1173,35 @@ class PlanSpec extends SparkTestBase {
     assert(scans == 0,
       s"no degree pass may rescan the corpus (edges are materialized), got $scans:\n$p")
   }
+
+  test("d17: CUSUM runs on ONE user_id Exchange — prefix sum and prefix min share the sort") {
+    // The closed form S = P − min(0, runmin P) puts both running
+    // aggregates AND the final per-user rollup on the same hash(user_id)
+    // clustering; the only other Exchange is the 1-row global-mean
+    // broadcast (SinglePartition, not hashpartitioning).
+    val p = plan(Registry.byId("d17_cusum_changepoint").build(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"d17: expected ONE hash Exchange, got $shuffles:\n$p")
+  }
+
+  test("c17: equi-depth buckets come off the value DISTRIBUTION — one corpus shuffle") {
+    // The corpus collapses to (vc, cnt) on the single hash(vc) Exchange;
+    // the rank windows, bucket explode, and bucket rollup all run on the
+    // bounded distribution (SinglePartition exchanges, not corpus-wide).
+    val p = plan(Registry.byId("c17_equidepth_hist").build(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"c17: expected ONE hash Exchange, got $shuffles:\n$p")
+  }
+
+  test("e5: two-phase skyline — local (brand, salt) frontier, then brand merge; no nested loop") {
+    // Phase 1 shuffles the corpus once on (brand, salt); phase 2
+    // shuffles only the local frontiers on brand. A third hash Exchange
+    // (or any BNLJ/Cartesian) means the dominance filter degenerated to
+    // a join.
+    val p = plan(Registry.byId("e5_skyline_pareto").build(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"skyline must be window-based, not a dominance join:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"e5: expected TWO hash Exchanges, got $shuffles:\n$p")
+  }
 }
