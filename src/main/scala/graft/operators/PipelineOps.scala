@@ -288,7 +288,13 @@ object PipelineOps {
     * shared by the i20 oracle and the recall evaluation (i28) so the
     * graded plan and its evaluation have one SQL source.
     */
-  private val annBatchCte: String =
+  private val annBatchCte: String = annBatchCteK(3)
+
+  /** Depth-parameterized form of [[annBatchCte]] — the i86 overlap curve
+    * evaluates the SAME pipeline at rank ≤ 10; default 3 is the
+    * i20/i28 contract.
+    */
+  private def annBatchCteK(topk: Int): String =
     s"""${centroidAssignCte()},
       | q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 20),
       | qdot AS (
@@ -315,7 +321,7 @@ object PipelineOps {
       |   SELECT qid, rank, vec_id, sim FROM (
       |     SELECT qid, vec_id, sim,
       |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-      |     FROM sims) WHERE rank <= 3)"""
+      |     FROM sims) WHERE rank <= $topk)"""
 
   /** The j9 report card over any (doc_id, source, text, n_chars) frame:
     * per source — doc count, token volume, vocabulary size, mean doc
@@ -398,7 +404,7 @@ object PipelineOps {
     * trained codebook. Output: (qid, rank, vec_id, sim), unordered.
     */
   private[graft] def annBatchTop3(emb: DataFrame, cent: DataFrame,
-      queries: DataFrame, nprobe: Int): DataFrame = {
+      queries: DataFrame, nprobe: Int, topK: Int = 3): DataFrame = {
     val assigned = assignToCentroids(emb, cent)
     // nprobe routing, same shuffle-free shape as the assignment: sort
     // the k inline scores, keep nprobe — no per-qid window needed.
@@ -414,7 +420,7 @@ object PipelineOps {
         round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("sim"))
   }
@@ -2058,6 +2064,67 @@ object PipelineOps {
                  | FROM q CROSS JOIN dims d
                  | LEFT JOIN hits h ON h.qid = q.qid AND h.dim = d.dim
                  | ORDER BY q.qid, dim"""))),
+
+    // Rank-aware ANN agreement CURVE — i28's recall@3 is one point; the
+    // eval a deployment actually reads is overlap@depth for the depths
+    // callers will request (1, 3, 5, 10): how fast does IVF's agreement
+    // with the exact ranking decay as k grows past the probed fraction?
+    // Both rankings are the SHIPPED plans (the exact side is i3's
+    // broadcast-queries corpus sweep, the IVF side is i20's
+    // annBatchTop3 — depth-parameterized, same SQL source as the i20
+    // oracle): a drifted re-derivation would grade the wrong engine.
+    // One (qid, vec_id) equi-join of the two depth-10 rankings, then
+    // FOUR conditional sums in ONE aggregate (not four join passes);
+    // overlap_ppm = ⌊hits·1e6 / (nQ·d)⌋ exact integer — no floats
+    // anywhere in the output.
+    Q("i86_overlap_curve",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = queryBatch(emb, ivfParams.nQueries)
+        val exact = emb.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+          .withColumn("xr", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("xr") <= 10).select(col("qid"), col("vec_id"), col("xr"))
+        val ivf = annBatchTop3(emb, stubCodebook(emb, ivfParams.k),
+            queries, ivfParams.nprobe, topK = 10)
+          .select(col("qid"), col("vec_id"), col("rank").as("ir"))
+        val depths = Seq(1, 3, 5, 10)
+        val hitCols = depths.map(d =>
+          sum(when(col("xr") <= d && col("ir") <= d, 1L).otherwise(0L))
+            .as(s"h$d"))
+        val hits = exact.join(ivf, Seq("qid", "vec_id"))
+          .agg(hitCols.head, hitCols.tail: _*)
+        hits.select(explode(array(depths.map(d =>
+            struct(lit(d.toLong).as("depth"), col(s"h$d").as("n_hit"))): _*)).as("z"))
+          .select(col("z.depth"), col("z.n_hit"),
+            ((col("z.n_hit") * 1000000L -
+              pmod(col("z.n_hit") * 1000000L, col("z.depth") * ivfParams.nQueries))
+              / (col("z.depth") * ivfParams.nQueries)).cast("long").as("overlap_ppm"))
+          .orderBy("depth")
+      },
+      Some(sql(s"""WITH ${annBatchCteK(10)},
+                 | exsims AS (
+                 |   SELECT qid, vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT q.qid, e.vec_id,
+                 |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e, q)
+                 |   GROUP BY 1, 2),
+                 | exact AS (SELECT qid, vec_id, rn AS xr FROM (
+                 |     SELECT qid, vec_id,
+                 |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                 |     FROM exsims) WHERE rn <= 10),
+                 | j AS (SELECT x.xr, i.rank AS ir
+                 |   FROM exact x JOIN ivf i ON x.qid = i.qid AND x.vec_id = i.vec_id),
+                 | d AS (SELECT unnest([1, 3, 5, 10]) AS depth),
+                 | h AS (SELECT d.depth,
+                 |     CAST(sum(CASE WHEN j.xr <= d.depth AND j.ir <= d.depth
+                 |       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 |   FROM d LEFT JOIN j ON true GROUP BY d.depth)
+                 | SELECT CAST(depth AS BIGINT) AS depth, n_hit,
+                 |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
+                 | FROM h ORDER BY depth"""))),
 
     // Shingle MinHash (the shingle→minhash→band pipeline's sketch step):
     // 3-token shingles capture local word ORDER (unigram sets — i7 —
