@@ -2007,23 +2007,41 @@ object PipelineOps {
         import s.implicits._
         val emb = t(s, dir, "embeddings")
         val q = queryBatch(emb, ivfParams.nQueries)
-        def top3(d: Int) = emb.crossJoin(broadcast(q))
+        // ONE corpus sweep computes all four prefix dots (the sim at a
+        // truncation is the dot of the prefix SLICES — same expression
+        // at every level, so the rounded values are bit-identical to
+        // per-level sweeps), exploded to long (qid, dim, vec_id, sim):
+        // the rank window then runs ONCE on (qid, dim), and the partial
+        // WindowGroupLimit prunes each map partition to ~top-3 per
+        // group BEFORE the Exchange — the only corpus-wide shuffle in
+        // the plan carries ≈ nQ·|dims|·3 rows per map partition.
+        val dims = Seq(8, 16, 32, 64)
+        val swept = emb.crossJoin(broadcast(q))
           .select(col("qid"), col("vec_id"),
-            round(VectorFunctions.dot(
-              slice(col("embedding"), 1, d), slice(col("qemb"), 1, d)), 3).as("sim"))
+            explode(array(dims.map(d =>
+              struct(lit(d.toLong).as("dim"),
+                round(VectorFunctions.dot(
+                  slice(col("embedding"), 1, d), slice(col("qemb"), 1, d)), 3)
+                  .as("sim"))): _*)).as("z"))
+          .select(col("qid"), col("vec_id"), col("z.dim"), col("z.sim"))
+        val top = swept
           .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+            Window.partitionBy(col("qid"), col("dim"))
+              .orderBy(col("sim").desc, col("vec_id"))))
           .filter(col("rn") <= 3)
-          .select(col("qid"), col("vec_id"))
-        val full = top3(64)
-        val overlaps = Seq(8, 16, 32).map { d =>
-          top3(d).join(full, Seq("qid", "vec_id"))
-            .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-            .withColumn("dim", lit(d.toLong))
-        }.reduce(_ unionAll _)
+        // Join-free overlap: a (qid, vec_id) that made BOTH the dim-d
+        // and the dim-64 top-3 contributes one hit to (qid, d) — group
+        // the tiny top table by (qid, vec_id), keep the dims it appears
+        // under, and re-explode the truncated dims of full-rank members.
+        val overlaps = top.groupBy(col("qid"), col("vec_id"))
+          .agg(max(when(col("dim") === 64, 1).otherwise(0)).as("in_full"),
+            collect_list(when(col("dim") =!= 64, col("dim"))).as("tdims"))
+          .filter(col("in_full") === 1)
+          .select(col("qid"), explode(col("tdims")).as("dim"))
+          .groupBy(col("qid"), col("dim")).agg(count(lit(1)).as("n_hit"))
         val spine = q.select(col("qid"))
           .crossJoin(broadcast(Seq(8L, 16L, 32L).toDF("dim")))
-        spine.join(overlaps, Seq("qid", "dim"), "left")
+        spine.join(broadcast(overlaps), Seq("qid", "dim"), "left")
           .select(col("qid"), col("dim"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
             round(coalesce(col("n_hit"), lit(0L)) / 3.0, 4).as("recall"))

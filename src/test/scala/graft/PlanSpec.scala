@@ -1204,4 +1204,76 @@ class PlanSpec extends SparkTestBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles == 2, s"e5: expected TWO hash Exchanges, got $shuffles:\n$p")
   }
+
+  test("c16: mode runs on the bounded pair-count table — broadcast join, rank-1 pushdown") {
+    // The (group, value) count is map-side combinable (partial+final
+    // HashAggregate on ONE Exchange); the argmax window shuffles only
+    // the bounded count table, with the rn=1 filter pushed into a
+    // WindowGroupLimit so each map partition forwards one candidate
+    // row per group.
+    val p = plan(Registry.byId("c16_mode_agg").build(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"orders side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rn=1 must push down:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2, s"c16: expected TWO hash Exchanges (count agg + argmax window), got $shuffles:\n$p")
+  }
+
+  test("j20: the six correlation moments ride ONE map-side-combinable aggregate") {
+    // All six sums (n, Σx, Σy, Σxy, Σx², Σy²) must land in a single
+    // partial/final HashAggregate pair over one corpus scan — a second
+    // hash Exchange means a moment fell out of the combine.
+    val p = plan(Registry.byId("j20_len_quality_corr").build(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"j20: expected ONE hash Exchange, got $shuffles:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"j20: expected ONE corpus scan, got $scans:\n$p")
+  }
+
+  test("m5: shot segmentation clusters both windows and the rollup on ONE doc_id Exchange") {
+    // The cut flag (lag), the running shot index (prefix sum), and the
+    // per-shot rollup all share hash(doc_id) clustering; a second
+    // corpus-wide shuffle means a window key drifted.
+    val p = plan(Registry.byId("m5_shot_segments").build(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"m5: expected ONE hash Exchange, got $shuffles:\n$p")
+  }
+
+  test("i84: survivorship reads the checkpointed edge list — no pair-pipeline rescan") {
+    // The drop flag derives from the i2 pair table's localCheckpoint
+    // (ExistingRDD); the only parquet scans are the corpus quality pass
+    // and its broadcast dimension side.
+    val p = plan(Registry.byId("i84_dedup_quality_shift").build(spark, dir))
+    assert(p.contains("ExistingRDD"),
+      s"edges must read the localCheckpoint, not recompute:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"i84: expected at most TWO parquet scans, got $scans:\n$p")
+  }
+
+  test("i85: all four truncation rankings come off ONE corpus sweep") {
+    // The prefix dots explode to (qid, dim) long form, so the corpus is
+    // scanned once (plus the broadcast query batch and the tiny spine
+    // side) and the single rank window's Exchange is WindowGroupLimit-
+    // pruned; the overlap is aggregate-shaped, never a corpus join.
+    val p = plan(Registry.byId("i85_mrl_recall").build(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"i85: expected at most FOUR parquet scans (1 sweep + broadcast sides), got $scans:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank must push down:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3, s"i85: expected at most THREE hash Exchanges (pruned rank window + two tiny overlap aggs), got $shuffles:\n$p")
+  }
+
+  test("i86: one overlap join, four depth counts in ONE aggregate") {
+    // The exact and IVF depth-10 rankings meet in a single (qid, vec_id)
+    // equi-join; the four conditional depth sums must share one
+    // partial/final HashAggregate pair — four join passes (or four
+    // aggregates) would quadruple the ranking cost.
+    val p = plan(Registry.byId("i86_overlap_curve").build(spark, dir))
+    val smj = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(smj == 1, s"i86: expected ONE shuffled equi-join, got $smj:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size -
+      "ObjectHashAggregate".r.findAllIn(p).size
+    assert(hashAggs == 2, s"i86: expected one partial/final HashAggregate pair, got $hashAggs:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
+  }
 }
