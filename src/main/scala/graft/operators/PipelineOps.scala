@@ -3558,6 +3558,41 @@ object PipelineOps {
                  | SELECT doc_id, source, bucket, rate FROM b
                  | WHERE bucket < rate ORDER BY doc_id"""))),
 
+    // EXACT-k deterministic sample per source — the eval-set carve: i21
+    // keeps a RATE (corpus-proportional, size drifts with the corpus),
+    // an eval set wants EXACTLY k docs per source, stable under corpus
+    // growth ONLY where growth happens (a new doc displaces at most one
+    // winner, the bounded-churn property content-addressed priority
+    // sampling is chosen for). Priority = salted md5 of doc_id; the
+    // per-source top-10 by (priority, doc_id) is a rank window whose
+    // rn<=10 filter pushes into a WindowGroupLimit — each map partition
+    // forwards ≤10 candidate rows per source, so the "global sort per
+    // source" the naive reading fears is actually a tiny shuffle at any
+    // corpus size (PlanSpec pins the pushdown).
+    Q("i87_topk_sample",
+      (s, dir) => {
+        val pri = conv(substring(
+          md5(concat(lit("ksample:"), col("doc_id").cast("string"))), 1, 12),
+          16, 10).cast("long")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("pri").asc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source")).withColumn("pri", pri)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("source"), col("rn").cast("long").as("rn"),
+            col("doc_id"), col("pri"))
+          .orderBy("source", "rn")
+      },
+      Some(sql("""WITH b AS (SELECT doc_id, source,
+                 |     ('0x' || substr(md5('ksample:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS pri
+                 |   FROM documents)
+                 | SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, pri FROM (
+                 |   SELECT source, doc_id, pri,
+                 |     row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+                 |   FROM b) WHERE rn <= 10
+                 | ORDER BY source, rn"""))),
+
     // Mixture UPSAMPLING — the other direction of i21's weighting: a
     // high-value source repeats FRACTIONALLY many times in the training
     // mixture (the "Wikipedia ×2.5 epochs" pattern). rate×100 for srcK
@@ -5275,6 +5310,65 @@ object PipelineOps {
                  |   min(frame_idx) AS start_frame, count(*) AS n_frames,
                  |   min(feat) AS feat_min, max(feat) AS feat_max
                  | FROM sh GROUP BY 1, 2 ORDER BY doc_id, shot_idx"""))),
+
+    // Voice-activity CHUNKING over the audio frame stream — the audio
+    // sibling of m5's video shots, with the mechanic VAD actually needs
+    // and shots don't: a HANGOVER gap merge (webrtcvad-style smoothing),
+    // where voiced runs separated by ≤1 silent frame fuse into one
+    // speech chunk instead of splitting. The typed mapPartitions sampler
+    // runs at audio granularity (32-byte windows, up to 8 per doc — the
+    // m4 plumbing with audio frame params), per-frame ENERGY is the
+    // codec stand-in (first md5 byte; a real pipeline plugs RMS energy
+    // into the same column), voiced = energy ≥ 64, and the segmenter is
+    // d8's gap-islands on the VOICED SUBSET with tolerance 2: lag of
+    // frame_idx over one per-doc window (bounded by maxFrames), prefix
+    // sum, per-chunk rollup — one doc_id Exchange end to end.
+    Q("m6_audio_vad",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = t(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        sampleFrames(payloads, 32, 8).toDF()
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            conv(substring(md5(col("frame")), 1, 2), 16, 10).cast("long").as("energy"))
+          .filter(col("energy") >= 64)
+          .withColumn("prev", lag(col("frame_idx"), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev").isNull || col("frame_idx") - col("prev") > 2, 1L)
+              .otherwise(0L))
+          .withColumn("seg_idx",
+            sum(col("is_new")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("seg_idx"))
+          .agg(min(col("frame_idx")).as("start_frame"),
+            max(col("frame_idx")).as("end_frame"),
+            count(lit(1)).as("n_voiced"),
+            sum(col("energy")).as("energy_sum"))
+          .orderBy("doc_id", "seg_idx")
+      },
+      Some(sql("""WITH b AS (SELECT doc_id, text, octet_length(text::BLOB) AS len FROM documents),
+                 | p AS (SELECT doc_id, text, len, least(8, greatest(1, len // 32)) AS nf FROM b),
+                 | st AS (SELECT doc_id, text, len, nf, greatest(32, len // nf) AS stride FROM p),
+                 | f AS (SELECT doc_id, unnest(range(0, nf)) AS frame_idx, text, len, stride FROM st),
+                 | en AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                 |     ('0x'||substr(md5(substr(text, CAST(frame_idx*stride + 1 AS BIGINT),
+                 |        CAST(least(frame_idx*stride + 32, len) - frame_idx*stride AS BIGINT))),1,2))::BIGINT AS energy
+                 |   FROM f),
+                 | v AS (SELECT doc_id, frame_idx, energy FROM en WHERE energy >= 64),
+                 | mk AS (SELECT doc_id, frame_idx, energy,
+                 |     CASE WHEN lag(frame_idx) OVER w IS NULL
+                 |       OR frame_idx - lag(frame_idx) OVER w > 2 THEN 1 ELSE 0 END AS is_new
+                 |   FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+                 | sg AS (SELECT doc_id, frame_idx, energy,
+                 |     sum(is_new) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                 |       ROWS UNBOUNDED PRECEDING) AS seg_idx
+                 |   FROM mk)
+                 | SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+                 |   min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+                 |   count(*) AS n_voiced, CAST(sum(energy) AS BIGINT) AS energy_sum
+                 | FROM sg GROUP BY 1, 2 ORDER BY doc_id, seg_idx"""))),
 
     // Length×quality CORRELATION per source — the metadata diagnostic
     // behind every "filter by length" debate: does document length

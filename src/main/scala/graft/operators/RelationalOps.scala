@@ -48,6 +48,11 @@ object RelationalOps {
   private def sql(s: String): String =
     s.stripMargin.replace("\n", " ").trim
 
+  /** Exact square for cross-multiplied variance tests; evaluate the
+    * operand into a column first so codegen computes it once per use.
+    */
+  private def sq(c: Column): Column = c * c
+
   /** Salted equi-join for skewed keys: the fact side is salted with a
     * caller-supplied row-level expression (a hot key NEEDS a non-key salt
     * source, e.g. `pmod(hash(rowUniqueCol), n)`), the dim side is
@@ -279,6 +284,51 @@ object RelationalOps {
                  | (SELECT max(e.ts) FROM events e
                  |  WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts) AS last_error_ts
                  | FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"""))),
+
+    // Interval OVERLAP join — the temporal-join sibling of b7's as-of:
+    // ALL (purchase-window, error-window) pairs that overlap in time for
+    // the same user, with the exact overlap length. Each purchase opens
+    // a 10 min window, each error a 5 min one; half-open [st, en)
+    // overlap ⇔ a.st < b.en AND b.st < a.en. The scale spelling is the
+    // ENTITY KEY: equi-join on user_id (one SMJ shuffle per side on an
+    // 8-byte key), with the two range predicates as codegen'd residual
+    // filters — candidates are bounded by per-user activity, which is
+    // bounded by construction at any corpus size (new data adds users,
+    // not rows per user). The keyless variant of this shape is b6/b8's
+    // banded domain. All-integer microsecond arithmetic (the d14 rule).
+    Q("b37_interval_overlap",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        def iv(kind: String, lenUs: Long) = e
+          .filter(col("event_type") === kind)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("st"))
+          .withColumn("en", col("st") + lit(lenUs))
+        val p = iv("purchase", 600L * 1000000L)
+          .select(col("user_id"), col("event_id").as("p_event_id"),
+            col("st").as("p_st"), col("en").as("p_en"))
+        // Both sides derive from ONE events scan — rename the error-side
+        // key so the equi-join condition is unambiguous (no reliance on
+        // dataset-id disambiguation of a self-join).
+        val err = iv("error", 300L * 1000000L)
+          .select(col("user_id").as("e_user_id"), col("event_id").as("e_event_id"),
+            col("st").as("e_st"), col("en").as("e_en"))
+        p.join(err, col("user_id") === col("e_user_id") &&
+            col("p_st") < col("e_en") && col("e_st") < col("p_en"))
+          .select(col("user_id"), col("p_event_id"), col("e_event_id"),
+            (least(col("p_en"), col("e_en")) -
+              greatest(col("p_st"), col("e_st"))).as("overlap_us"))
+          .orderBy("p_event_id", "e_event_id")
+      },
+      Some(sql("""WITH p AS (SELECT user_id, event_id AS p_event_id, epoch_us(ts) AS st,
+                 |     epoch_us(ts) + 600000000 AS en FROM events WHERE event_type = 'purchase'),
+                 | e AS (SELECT user_id, event_id AS e_event_id, epoch_us(ts) AS st,
+                 |     epoch_us(ts) + 300000000 AS en FROM events WHERE event_type = 'error')
+                 | SELECT p.user_id, p.p_event_id, e.e_event_id,
+                 |   least(p.en, e.en) - greatest(p.st, e.st) AS overlap_us
+                 | FROM p JOIN e ON p.user_id = e.user_id
+                 |   AND p.st < e.en AND e.st < p.en
+                 | ORDER BY p_event_id, e_event_id"""))),
 
     // Pair-free range-join AGGREGATE — the scale path for b6's shape.
     // b6 RETURNS the matching pairs, so its output (and any engine's
@@ -1459,7 +1509,62 @@ object RelationalOps {
                  |   CAST(round(max(cusum) / (any_value(n) * 1.0)) AS BIGINT) AS max_cusum_c,
                  |   CAST(sum(CASE WHEN cusum > 20000 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm,
                  |   min(CASE WHEN cusum > 20000 * n THEN ts END) AS first_alarm_ts
-                 | FROM c GROUP BY user_id ORDER BY user_id""")))
+                 | FROM c GROUP BY user_id ORDER BY user_id"""))),
+
+    // SEASONAL-BASELINE anomaly screen — the ops-metrics staple d17's
+    // CUSUM does not cover: a value is anomalous relative to ITS OWN
+    // SEASON (this user at this hour-of-day), not the stream mean.
+    // Spelled as ONE Exchange on (user_id, hod): full-frame window
+    // aggregates give each row its season's n/Σx/Σx², the 2σ flag is
+    // the INTEGER CROSS-MULTIPLIED Chebyshev form
+    //     (n·x − Σx)² > 4·(n·Σx² − (Σx)²)
+    // (⇔ |x − μ| > 2σ, but with zero divisions and zero sqrt — exact
+    // cross-engine), and the per-season rollup reuses the same
+    // partitioning (no second shuffle, the d14 rule). The squares run
+    // in decimal(38): season sums of cents² stay in int64 through
+    // sf100, but (n·x − Σ)² crosses 2^63 once a season holds ~1e5
+    // rows, exactly the 100 TB regime. Seasons with n < 5 never flag
+    // (a 2σ bound over 4 points is noise, and n·Σx² − Σ² of a
+    // 1-row season is 0 — everything would pass trivially).
+    Q("d18_seasonal_anomaly",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("hod"))
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), hour(col("ts")).cast("long").as("hod"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("cents")).over(w))
+          .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+          .withColumn("is_anom",
+            when(col("n") >= 5 &&
+              sq(dec(col("n") * col("cents") - col("sx"))) >
+                lit(4) * (dec(col("n")) * dec(col("sxx")) - sq(dec(col("sx")))),
+              1L).otherwise(0L))
+          .groupBy(col("user_id"), col("hod"))
+          .agg(count(lit(1)).as("n"),
+            round(first(col("sx")) / first(col("n")), 4).as("mean_cents"),
+            sum(col("is_anom")).as("n_anom"))
+          .orderBy("user_id", "hod")
+      },
+      Some(sql("""WITH b AS (SELECT user_id, event_id,
+                 |     CAST(hour(ts) AS BIGINT) AS hod,
+                 |     CAST(round(value * 100) AS BIGINT) AS cents
+                 |   FROM events),
+                 | wn AS (SELECT user_id, hod, cents,
+                 |     count(*) OVER w AS n, sum(cents) OVER w AS sx,
+                 |     sum(cents * cents) OVER w AS sxx
+                 |   FROM b WINDOW w AS (PARTITION BY user_id, hod)),
+                 | f AS (SELECT user_id, hod, cents, n, sx, sxx,
+                 |     CASE WHEN n >= 5 AND
+                 |       (n::HUGEINT * cents - sx::HUGEINT) * (n::HUGEINT * cents - sx::HUGEINT)
+                 |         > 4 * (n::HUGEINT * sxx - sx::HUGEINT * sx)
+                 |       THEN 1 ELSE 0 END AS is_anom
+                 |   FROM wn)
+                 | SELECT user_id, hod, count(*) AS n,
+                 |   round(any_value(sx) / any_value(n), 4) AS mean_cents,
+                 |   CAST(sum(is_anom) AS BIGINT) AS n_anom
+                 | FROM f GROUP BY user_id, hod ORDER BY user_id, hod""")))
   )
 
   // --------------------------------------------------- sort / set / scalar

@@ -1276,4 +1276,42 @@ class PlanSpec extends SparkTestBase {
     assert(hashAggs == 2, s"i86: expected one partial/final HashAggregate pair, got $hashAggs:\n$p")
     assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
   }
+
+  test("b37: interval overlap is a user_id equi-join with range residuals — never a nested loop") {
+    // The overlap predicates must ride the hash/sort-merge equi-join on
+    // user_id as residual filters; a BNLJ or Cartesian means the planner
+    // lost the entity key and the join degenerated to all-pairs.
+    val p = plan(Registry.byId("b37_interval_overlap").build(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n$p")
+    val joins = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size
+    assert(joins == 1, s"b37: expected ONE equi-join, got $joins:\n$p")
+  }
+
+  test("d18: season windows and the rollup share ONE (user_id, hod) Exchange") {
+    // The three full-frame season aggregates (n/Σx/Σx²) and the final
+    // per-season rollup all cluster on hash(user_id, hod); a second
+    // corpus-wide shuffle means the rollup re-keyed.
+    val p = plan(Registry.byId("d18_seasonal_anomaly").build(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"d18: expected ONE hash Exchange, got $shuffles:\n$p")
+  }
+
+  test("i87: the rn<=10 filter pushes into WindowGroupLimit — map side forwards ≤10 rows per source") {
+    val p = plan(Registry.byId("i87_topk_sample").build(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"rn<=10 must push down:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"i87: expected ONE hash Exchange (the pruned source window), got $shuffles:\n$p")
+  }
+
+  test("m6: VAD windows and the chunk rollup share ONE doc_id Exchange") {
+    // The lag gap flag, the running segment index, and the per-chunk
+    // rollup all cluster on hash(doc_id) — the m5 shape on the voiced
+    // subset.
+    val p = plan(Registry.byId("m6_audio_vad").build(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"m6: expected ONE hash Exchange, got $shuffles:\n$p")
+  }
 }
