@@ -5431,6 +5431,102 @@ object PipelineOps {
                  |       / sqrt(CAST(n_docs*syy - sy*sy AS DOUBLE)), 4) END AS corr
                  | FROM a ORDER BY source"""))),
 
+    // CCNet-style QUALITY BUCKETS — the corpus-curation step after j10's
+    // scoring: train the bigram LM on a REFERENCE slice only (src0 = the
+    // "wikipedia" stand-in), score EVERY doc against it (bigrams the
+    // reference never saw score 0 — out-of-domain text tanks, unlike
+    // j10's self-trained score), then cut each source into head/middle/
+    // tail by BIGRAM MASS terciles (CCNet cuts by cumulative size, not
+    // doc count, so each bucket feeds ~equal training tokens). The scale
+    // spelling refuses CCNet's per-source sort: a source is a HANDFUL of
+    // partitions at 100 TB (20 sources here), so "sort this source by
+    // perplexity" is a one-task corpus sort — instead the per-doc scores
+    // collapse to a BOUNDED milli-score histogram (kbin = sq div
+    // (n·1000) ∈ [0,1000], exact integer division both engines; ≤1001
+    // rows per source at ANY corpus size — the c17/c12 distribution
+    // rule), the running-mass tercile test runs on the histogram
+    // (cum·3 ≤ tot, all int64), and docs sharing a bin share a bucket
+    // by construction. Production doc-level assignment is a broadcast
+    // join of the ≤60-row threshold table — a pure filter pass.
+    Q("j21_ccnet_buckets",
+      (s, dir) => {
+        val occ = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(gramZip(col("text"), 2)).as("z"))
+          .select(col("doc_id"), col("source"),
+            xxhash64(col("z.0"), col("z.1")).as("bk"),
+            xxhash64(col("z.0")).as("uk"))
+          .localCheckpoint(true)
+        // Reference model: counts over the src0 slice only. c1r is
+        // reference-vocabulary-bounded (broadcast hint); c2r grows with
+        // the reference corpus — no hint, AQE broadcasts locally (the
+        // j10 rule). LEFT joins: a bigram absent from the reference
+        // scores 0 (c2r non-null ⇒ c1r non-null — every reference
+        // bigram's prefix is a reference unigram).
+        val ref = occ.filter(col("source") === "src0")
+        val c2r = ref.groupBy(col("bk"), col("uk")).agg(count(lit(1)).as("c2"))
+        val c1r = ref.groupBy(col("uk")).agg(count(lit(1)).as("c1"))
+        val q = when(col("c2").isNull, lit(0L))
+          .otherwise(round(lit(1e6) * col("c2") / col("c1")).cast("long"))
+        val sp = occ.join(c2r, Seq("bk", "uk"), "left")
+          .join(broadcast(c1r), Seq("uk"), "left")
+          .select(col("doc_id"), col("source"), q.as("q"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        val hist = sp
+          .withColumn("kbin", expr("sq div (n * 1000)"))
+          .groupBy(col("source"), col("kbin"))
+          .agg(sum(col("n")).as("mass"), count(lit(1)).as("docs"),
+            sum(col("sq")).as("sqs"))
+        val w = Window.partitionBy(col("source")).orderBy(col("kbin").desc)
+        hist
+          .withColumn("cum", sum(col("mass")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("mass")).over(Window.partitionBy(col("source"))))
+          .withColumn("bucket",
+            when(col("cum") * 3 <= col("tot"), "head")
+              .when(col("cum") * 3 <= col("tot") * 2, "middle")
+              .otherwise("tail"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(sum(col("docs")).as("n_docs"),
+            sum(col("mass")).as("n_bigrams"),
+            round(sum(col("sqs")).cast("double") / sum(col("mass")) / 1e6, 4)
+              .as("mean_score"))
+          .orderBy("source", "bucket")
+      },
+      Some(sql("""WITH occ AS (
+                 |   SELECT doc_id, source,
+                 |     unnest(list_transform(range(1, len(toks)),
+                 |       i -> toks[i] || ' ' || toks[i+1])) AS bg
+                 |   FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+                 | o2 AS (SELECT doc_id, source, string_split(bg, ' ')[1] AS w1, bg FROM occ),
+                 | c2r AS (SELECT bg, count(*) AS c2 FROM o2 WHERE source = 'src0' GROUP BY bg),
+                 | c1r AS (SELECT w1, count(*) AS c1 FROM o2 WHERE source = 'src0' GROUP BY w1),
+                 | q AS (SELECT o2.doc_id, o2.source,
+                 |     CASE WHEN c2r.c2 IS NULL THEN 0
+                 |          ELSE round(1e6 * c2r.c2 / c1r.c1)::BIGINT END AS q
+                 |   FROM o2 LEFT JOIN c2r USING (bg) LEFT JOIN c1r USING (w1)),
+                 | sp AS (SELECT doc_id, source, count(*)::BIGINT AS n,
+                 |     sum(q)::BIGINT AS sq FROM q GROUP BY 1, 2),
+                 | hist AS (SELECT source, sq // (n * 1000) AS kbin,
+                 |     sum(n)::BIGINT AS mass, count(*)::BIGINT AS docs,
+                 |     sum(sq)::BIGINT AS sqs
+                 |   FROM sp GROUP BY 1, 2),
+                 | wn AS (SELECT source, kbin, mass, docs, sqs,
+                 |     sum(mass) OVER (PARTITION BY source ORDER BY kbin DESC
+                 |       ROWS UNBOUNDED PRECEDING) AS cum,
+                 |     sum(mass) OVER (PARTITION BY source) AS tot
+                 |   FROM hist),
+                 | bkt AS (SELECT source, mass, docs, sqs,
+                 |     CASE WHEN cum * 3 <= tot THEN 'head'
+                 |          WHEN cum * 3 <= tot * 2 THEN 'middle'
+                 |          ELSE 'tail' END AS bucket
+                 |   FROM wn)
+                 | SELECT source, bucket, CAST(sum(docs) AS BIGINT) AS n_docs,
+                 |   CAST(sum(mass) AS BIGINT) AS n_bigrams,
+                 |   round(sum(sqs)::DOUBLE / sum(mass) / 1e6, 4) AS mean_score
+                 | FROM bkt GROUP BY 1, 2 ORDER BY source, bucket"""))),
+
     // Lang-ID CONFUSION MATRIX — the eval the fixture makes possible
     // (documents carry a TRUE lang column): j1's unsupervised marker
     // classifier graded cell by cell, with per-true-lang row fractions

@@ -1306,6 +1306,25 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"i87: expected ONE hash Exchange (the pruned source window), got $shuffles:\n$p")
   }
 
+  test("j21: one tokenize pass feeds ref counts and scoring; the tercile window runs on the bounded histogram") {
+    // The occurrence table is localCheckpoint'ed (ExistingRDD) so the
+    // reference-slice counts and the corpus scoring share one tokenize;
+    // exactly TWO Window nodes exist (the running-mass frame and the
+    // full-frame total — distinct frame specs sharing one source
+    // Exchange) and both sit above the (source, kbin) histogram
+    // aggregate, never the per-doc corpus: the Exchange feeding them is
+    // the only one keyed on source alone.
+    val p = plan(Registry.byId("j21_ccnet_buckets").build(spark, dir))
+    assert(p.contains("ExistingRDD"),
+      s"occurrences must read the localCheckpoint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins in the scoring plan:\n$p")
+    val windows = "Window".r.findAllIn(p).size - "WindowGroupLimit".r.findAllIn(p).size
+    assert(windows == 2, s"j21: expected TWO windows over the histogram, got $windows:\n$p")
+    val srcOnly = "hashpartitioning\\(source#\\d+, \\d+\\)".r.findAllIn(p).size
+    assert(srcOnly == 1, s"j21: ONE source-keyed Exchange (the histogram window), got $srcOnly:\n$p")
+  }
+
   test("m6: VAD windows and the chunk rollup share ONE doc_id Exchange") {
     // The lag gap flag, the running segment index, and the per-chunk
     // rollup all cluster on hash(doc_id) — the m5 shape on the voiced
