@@ -5370,6 +5370,67 @@ object PipelineOps {
                  |   count(*) AS n_voiced, CAST(sum(energy) AS BIGINT) AS energy_sum
                  | FROM sg GROUP BY 1, 2 ORDER BY doc_id, seg_idx"""))),
 
+    // Perceptual-hash DEDUP over the payload stream — image dedup as
+    // production pipelines actually run it: a 60-bit histogram-gradient
+    // perceptual hash per payload (the luma-histogram dHash family —
+    // robust to small re-encode perturbations, where md5/i1 is not),
+    // deduped at EXACT hash match. Hamming-0 is the deliberate scale
+    // choice: a radius-r pair join over banded perceptual hashes goes
+    // quadratic in hot buckets (payloads from one generator cluster —
+    // measured 266× candidates for 10× docs on this corpus), while the
+    // ham-0 spelling is ONE map-side-combinable aggregate on an 8-byte
+    // key — linear at any corpus size, and the radius story is i9's.
+    // Hash build: per-payload 61-slot byte histogram (slot = octet mod
+    // 61; chars ≡ octets on the verified-ASCII fixture, the m5 rule),
+    // bit_k = hist[k] < hist[k+1] packed by bit_or(bit << k) — 60 bits
+    // keeps every band and the hash itself sign-free (DuckDB's << is
+    // overflow-checked at bit 63). Missing slots count 0 via a dense
+    // 61-row spine per doc (explode of a literal range — row-local),
+    // the gradient is one lead() over the per-doc 61-row window.
+    Q("m7_phash_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cnt = docs
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= "")
+          .select(col("doc_id"), pmod(ascii(col("c")), lit(61)).cast("long").as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+        val spine = docs.select(col("doc_id"), col("source"))
+          .withColumn("b", explode(sequence(lit(0L), lit(60L))))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+        val ph = spine.join(cnt, Seq("doc_id", "b"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("bit",
+            when(col("n") < lead(col("n"), 1).over(w), 1L).otherwise(0L))
+          .filter(col("b") < 60)
+          .groupBy(col("doc_id"), col("source"))
+          .agg(expr("bit_or(shiftleft(bit, CAST(b AS INT)))").as("ph"))
+        ph.groupBy(col("ph"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("rep_doc"),
+            countDistinct(col("source")).cast("long").as("n_sources"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("rep_doc")
+      },
+      Some(sql("""WITH ch AS (SELECT doc_id, ord(c) % 61 AS b
+                 |   FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                 |         FROM documents) WHERE c <> ''),
+                 | cnt AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
+                 | spine AS (SELECT d.doc_id, d.source, r.range AS b
+                 |   FROM documents d CROSS JOIN range(0, 61) r),
+                 | dense AS (SELECT s.doc_id, s.source, s.b, coalesce(cnt.n, 0) AS n
+                 |   FROM spine s LEFT JOIN cnt ON s.doc_id = cnt.doc_id AND s.b = cnt.b),
+                 | g AS (SELECT doc_id, source, b,
+                 |     CASE WHEN n < lead(n) OVER (PARTITION BY doc_id ORDER BY b)
+                 |       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                 |   FROM dense),
+                 | h AS (SELECT doc_id, source, bit_or(bit << b) AS ph
+                 |   FROM g WHERE b < 60 GROUP BY 1, 2)
+                 | SELECT ph, count(*)::BIGINT AS n_docs,
+                 |   min(doc_id) AS rep_doc,
+                 |   count(DISTINCT source)::BIGINT AS n_sources
+                 | FROM h GROUP BY ph HAVING count(*) >= 2 ORDER BY rep_doc"""))),
+
     // Length×quality CORRELATION per source — the metadata diagnostic
     // behind every "filter by length" debate: does document length
     // predict quality in THIS source, or is the correlation an artifact

@@ -1325,6 +1325,24 @@ class PlanSpec extends SparkTestBase {
     assert(srcOnly == 1, s"j21: ONE source-keyed Exchange (the histogram window), got $srcOnly:\n$p")
   }
 
+  test("m7: perceptual dedup is aggregate-shaped — no pair join anywhere") {
+    // The only join is the dense-spine LEFT join on (doc_id, slot); the
+    // dedup itself is a hash aggregate on the 8-byte perceptual hash.
+    // Any BNLJ/Cartesian (or a second join) would mean the ham-0 design
+    // regressed to a radius pair join — the measured-quadratic shape
+    // this operator deliberately refuses.
+    val p = plan(Registry.byId("m7_phash_dedup").build(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins:\n$p")
+    val joins = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size
+    assert(joins == 1, s"m7: only the spine join, got $joins:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 4,
+      s"m7: slot counts + spine + doc window + ph rollup, got $shuffles:\n$p")
+  }
+
   test("m6: VAD windows and the chunk rollup share ONE doc_id Exchange") {
     // The lag gap flag, the running segment index, and the per-chunk
     // rollup all cluster on hash(doc_id) — the m5 shape on the voiced
