@@ -4374,6 +4374,64 @@ object PipelineOps {
                  | SELECT pos, sum(xq * q)::BIGINT AS u_q
                  | FROM x GROUP BY pos ORDER BY pos"""))),
 
+    // Linear-probe GRADIENT step — i61's matvec made SUPERVISED: one
+    // exact batch least-squares step training the linear quality probe
+    // (the fastText-style filter classifier) that scores docs by
+    // embedding: w₁ = w₀ − η·∇, ∇_j = Σᵢ x_ij(xᵢ·w₀ − yᵢ)/n, with the
+    // deterministic init w₀_j = ((j mod 7) − 3)·0.1. Everything that
+    // sums is integer: xq = round(1e6·x), wq = w₀ in micro-units, the
+    // row score sq = Σ xq·wq (≤ 2e13, int64), the residual quantized to
+    // MILLI units (rq = trunc(sq/1e9) − 1000·y — milli not micro is the
+    // overflow headroom call: |xq·rq| ≤ 3e10 keeps the gradient sum in
+    // int64 through sf100's 5e6 rows, where micro-residuals cross 2⁶³
+    // at sf10; Spark's `div` truncates toward zero, so the oracle
+    // spells trunc(sq/1e9) — DuckDB's // floors and diverges on
+    // negative scores). The only floats: one double division per
+    // dimension for the update (exact int64s in, IEEE-identical out).
+    // Scale = the i61 gradient-aggregation shape: the row score is a
+    // same-row zip_with/aggregate (no join), posexplode is a narrow
+    // map-side projection, partial agg combines every partition to d
+    // rows BEFORE the one d-group shuffle. A full training loop is this
+    // step iterated with w broadcast back — the plan shape per epoch is
+    // identical.
+    Q("i88_probe_gradient",
+      (s, dir) => {
+        val rows = t(s, dir, "embeddings")
+          .select(col("label").cast("long").as("y"),
+            transform(col("embedding"),
+              v => round(v.cast("double") * 1e6).cast("long")).as("xq"))
+        val wArr = expr(
+          "transform(sequence(0, size(xq) - 1), j -> CAST(((j % 7) - 3) * 100000 AS BIGINT))")
+        val scored = rows
+          .withColumn("sq", aggregate(zip_with(col("xq"), wArr, (x, w) => x * w),
+            lit(0L), (a, t) => a + t))
+          .withColumn("rq", expr("sq div 1000000000") - col("y") * 1000)
+        scored.select(col("rq"), posexplode(col("xq")).as(Seq("pos", "x")))
+          .groupBy(col("pos").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("x") * col("rq")).as("grad"))
+          .withColumn("w0_q", ((col("pos") % 7) - 3) * 100000)
+          .withColumn("w1_q", col("w0_q") -
+            round(col("grad") / (col("n") * lit(100000.0))).cast("long"))
+          .orderBy("pos")
+      },
+      Some(sql("""WITH x AS (SELECT label::BIGINT AS y,
+                 |     list_transform(embedding, e -> round(1e6 * e)::BIGINT) AS xq
+                 |   FROM embeddings),
+                 | s AS (SELECT y, xq,
+                 |     CAST(list_sum(list_transform(range(1, len(xq) + 1),
+                 |       j -> xq[j] * ((((j - 1) % 7) - 3) * 100000))) AS BIGINT) AS sq
+                 |   FROM x),
+                 | r AS (SELECT xq,
+                 |     trunc(sq / 1000000000.0)::BIGINT - y * 1000 AS rq FROM s),
+                 | ex AS (SELECT rq, unnest(range(0, len(xq))) AS pos,
+                 |     unnest(xq) AS x FROM r)
+                 | SELECT pos, count(*)::BIGINT AS n,
+                 |   CAST(sum(x * rq) AS BIGINT) AS grad,
+                 |   ((pos % 7) - 3) * 100000 AS w0_q,
+                 |   (((pos % 7) - 3) * 100000
+                 |     - round(sum(x * rq)::DOUBLE / (count(*) * 100000))::BIGINT) AS w1_q
+                 | FROM ex GROUP BY pos ORDER BY pos"""))),
+
     // Budget-capped selection — the delivery question i53 orders but
     // never cuts: which docs make the training run when the token
     // budget is B = total/3? Greedy best-first by the SAME j2/i53

@@ -1048,6 +1048,22 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
   }
 
+  test("i88: the probe gradient keeps i61's shape — one scan, zero joins, one d-group Exchange") {
+    // The row score is a same-row zip_with/aggregate (no weight join),
+    // so the supervised step must plan exactly like the matvec: one
+    // embeddings scan, zero joins, map-side partial aggregation below
+    // the single d-group Exchange.
+    val p = plan(Registry.byId("i88_probe_gradient").build(spark, dir))
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected ONE embeddings scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"the gradient must plan ZERO joins:\n$p")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"expected exactly one d-group hash Exchange, got $hashShuffles:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
+  }
+
   test("b25: Q6 reads 4 pruned columns with the date window and quantity cap at the scan") {
     val p = plan(Registry.byId("b25_sql_q6").build(spark, dir))
     val flat = p.replaceAll("\\s", "")
