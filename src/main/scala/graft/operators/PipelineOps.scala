@@ -2374,6 +2374,43 @@ object PipelineOps {
                  | FROM sz LEFT JOIN agg USING (doc_id)
                  | ORDER BY sz.doc_id"""))),
 
+    // INTRA-doc repeated-segment excision — the Gopher/C4 cleanup rule
+    // the cross-doc span ops (i35/i40) don't cover: a doc repeating its
+    // own boilerplate keeps only the FIRST occurrence of each segment.
+    // The doc splits into non-overlapping 2-token windows (the
+    // line/paragraph stand-in at this fixture's granularity); segment j
+    // survives iff its first occurrence IS j (array_position — both
+    // engines define it as first match), so the kept list is order-
+    // stable without relying on either engine's list_distinct ordering.
+    // Entirely ROW-LOCAL higher-order functions — the whole operator is
+    // a narrow map over the corpus scan (the i54 rule): zero joins,
+    // zero hash shuffles at any corpus size; per-doc cost is O(s²) in
+    // the doc's OWN segment count (bounded by doc length, not corpus).
+    // Output fingerprints the cleaned text (md5 of the kept join) so a
+    // delivery step can verify the excision without shipping text.
+    Q("i89_intradoc_excise",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("segs", expr(
+          "transform(sequence(0, (size(toks) + 1) div 2 - 1), i -> array_join(slice(toks, i*2 + 1, 2), ' '))"))
+        .withColumn("kept", expr(
+          "filter(segs, (sg, j) -> array_position(segs, sg) = j + 1)"))
+        .select(col("doc_id"),
+          size(col("segs")).cast("long").as("n_seg"),
+          size(col("kept")).cast("long").as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("kept_fp"))
+        .orderBy("doc_id"),
+      Some(sql("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 | s AS (SELECT doc_id, list_transform(range(0, (len(toks) + 1) // 2),
+                 |     i -> array_to_string(toks[i*2+1 : i*2+2], ' ')) AS segs FROM t),
+                 | k AS (SELECT doc_id, segs,
+                 |     list_filter(segs, (sg, j) -> list_position(segs, sg) = j) AS kept
+                 |   FROM s)
+                 | SELECT doc_id, len(segs)::BIGINT AS n_seg,
+                 |   len(kept)::BIGINT AS n_kept,
+                 |   md5(array_to_string(kept, ' ')) AS kept_fp
+                 | FROM k ORDER BY doc_id"""))),
+
     // INCREMENTAL span dedup — the ingest form completing the span
     // family's lifecycle symmetry with the exact (i1/i18/i25) and
     // near (i2/i14/i36) families: a new batch (doc_id ≥ 400) excises

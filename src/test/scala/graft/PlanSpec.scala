@@ -1048,6 +1048,18 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
   }
 
+  test("i89: intra-doc excision is map-only — no hash Exchange, only the output sort") {
+    // Segments, first-occurrence filter, and the fingerprint are all
+    // row-local HOFs; the plan must be a narrow projection over the
+    // scan plus the deterministic output sort (the i54 rule).
+    val p = plan(Registry.byId("i89_intradoc_excise").build(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"excision must not hash-shuffle:\n$p")
+    assert(!p.contains("Join"), s"excision plans zero joins:\n$p")
+    val ranges = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(ranges == 1, s"exactly the output sort's range Exchange:\n$p")
+  }
+
   test("i88: the probe gradient keeps i61's shape — one scan, zero joins, one d-group Exchange") {
     // The row score is a same-row zip_with/aggregate (no weight join),
     // so the supervised step must plan exactly like the matvec: one
