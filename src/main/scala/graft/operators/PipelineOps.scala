@@ -4707,6 +4707,49 @@ object PipelineOps {
 
   private lazy val sketchOps: Seq[Q] = Seq(
 
+    // Greedy k-CENTER batch step — the diverse-subset / coreset
+    // selection primitive (farthest-point traversal): given the current
+    // centers (vec_id < 4, the deterministic seed), emit the 5
+    // candidates FARTHEST from their nearest center — the next center
+    // batch; iterating this step with the winners appended builds the
+    // k-center cover a curation run uses to pick maximally-diverse
+    // training data. Exact integer geometry: d² = Σ(xq−cq)² of
+    // micro-quantized coordinates (diff ≤ 2e6, squared 4e12, ×64 dims
+    // ≪ 2⁶³). The scale spelling has ZERO hash Exchanges: the center
+    // set collapses to ONE collected row (it is k vectors by
+    // definition, order-irrelevant under min), rides a broadcast
+    // nested-loop of exactly one row (the i26 1-row rule), the
+    // min-over-centers is a row-local HOF over that array, and the
+    // global top-5 is a TakeOrderedAndProject — the corpus never
+    // shuffles, never self-joins.
+    Q("i90_kcenter_step",
+      (s, dir) => {
+        val x = t(s, dir, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"),
+            v => round(v.cast("double") * 1e6).cast("long")).as("xq"))
+        val cs = x.filter(col("vec_id") < 4)
+          .agg(collect_list(col("xq")).as("cs"))
+        x.filter(col("vec_id") >= 4)
+          .crossJoin(broadcast(cs))
+          .withColumn("mind2", array_min(transform(col("cs"),
+            cq => aggregate(zip_with(col("xq"), cq, (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, t2) => acc + t2))))
+          .orderBy(col("mind2").desc, col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("mind2"))
+      },
+      Some(sql("""WITH x AS (SELECT vec_id,
+                 |     list_transform(embedding, e -> round(1e6 * e)::BIGINT) AS xq
+                 |   FROM embeddings),
+                 | c AS (SELECT list(xq) AS cs FROM x WHERE vec_id < 4),
+                 | d AS (SELECT vec_id,
+                 |     list_min(list_transform(cs, cq ->
+                 |       CAST(list_sum(list_transform(range(1, len(xq) + 1),
+                 |         j -> (xq[j] - cq[j]) * (xq[j] - cq[j]))) AS BIGINT))) AS mind2
+                 |   FROM x, c WHERE vec_id >= 4)
+                 | SELECT vec_id, mind2 FROM d
+                 | ORDER BY mind2 DESC, vec_id LIMIT 5"""))),
+
     // k-NN majority-vote classification — the auto-labeling step a
     // training pipeline runs to propagate a seed set's labels (topic,
     // quality tier, domain) onto unlabeled data: each query vector takes

@@ -1048,6 +1048,19 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
   }
 
+  test("i90: k-center step never shuffles the corpus — 1-row broadcast, row-local min, TakeOrdered top-5") {
+    // The center set is ONE collected row broadcast over the corpus
+    // (the i26 1-row BNLJ rule), min-dist is a row-local HOF, the
+    // global top-5 is TakeOrderedAndProject. Any hash Exchange means
+    // the corpus shuffled for a 5-row answer.
+    val p = plan(Registry.byId("i90_kcenter_step").build(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-5 must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must not hash-shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("i89: intra-doc excision is map-only — no hash Exchange, only the output sort") {
     // Segments, first-occurrence filter, and the fingerprint are all
     // row-local HOFs; the plan must be a narrow projection over the
