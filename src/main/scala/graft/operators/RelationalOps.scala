@@ -1564,7 +1564,41 @@ object RelationalOps {
                  | SELECT user_id, hod, count(*) AS n,
                  |   round(any_value(sx) / any_value(n), 4) AS mean_cents,
                  |   CAST(sum(is_anom) AS BIGINT) AS n_anom
-                 | FROM f GROUP BY user_id, hod ORDER BY user_id, hod""")))
+                 | FROM f GROUP BY user_id, hod ORDER BY user_id, hod"""))),
+
+    // MARKOV transition matrix over the event stream — the journey-
+    // modeling estimate behind attribution and next-action prediction:
+    // P(next = b | current = a) from each user's (ts, event_id)-ordered
+    // event chain. One lead() on the user Exchange makes the adjacent
+    // pairs; the (cur, nxt) count is a corpus-keyed aggregate whose
+    // OUTPUT is bounded by |event types|² at any corpus size, so the
+    // row-total window and the rate run on the bounded matrix, never
+    // the stream. Rates are exact integers: ppm = n·1e6 div row_total
+    // (both operands positive — Spark div ≡ DuckDB // here).
+    Q("d19_markov_transition",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wc = Window.partitionBy(col("cur"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum(col("n")).over(wc))
+          .select(col("cur"), col("nxt"), col("n"),
+            expr("n * 1000000 div tot").as("ppm"))
+          .orderBy("cur", "nxt")
+      },
+      Some(sql("""WITH p AS (SELECT user_id, event_type AS cur,
+                 |     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                 |   FROM events),
+                 | c AS (SELECT cur, nxt, count(*)::BIGINT AS n
+                 |   FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+                 | tt AS (SELECT cur, nxt, n, sum(n) OVER (PARTITION BY cur) AS tot FROM c)
+                 | SELECT cur, nxt, n, ((n * 1000000) // tot)::BIGINT AS ppm
+                 | FROM tt ORDER BY cur, nxt""")))
   )
 
   // --------------------------------------------------- sort / set / scalar

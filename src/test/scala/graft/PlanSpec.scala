@@ -1048,6 +1048,18 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
   }
 
+  test("d19: transition pairs ride the user Exchange; the rate window runs on the bounded matrix") {
+    // lead() shuffles the stream once on user_id; the (cur, nxt) count
+    // and its row-total window move only the |types|²-bounded matrix.
+    // Three hash Exchanges total — a fourth means the rate re-shuffled
+    // the corpus.
+    val p = plan(Registry.byId("d19_markov_transition").build(spark, dir))
+    assert(!p.contains("Join"), s"d19 plans zero joins:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3,
+      s"d19: user window + pair agg + bounded rate window, got $shuffles:\n$p")
+  }
+
   test("i90: k-center step never shuffles the corpus — 1-row broadcast, row-local min, TakeOrdered top-5") {
     // The center set is ONE collected row broadcast over the corpus
     // (the i26 1-row BNLJ rule), min-dist is a row-local HOF, the
