@@ -882,7 +882,69 @@ object RelationalOps {
                  | SELECT ((rn - 1) * 12) // n AS bucket, count(*) AS n_rows,
                  |   min(vc) AS lo_vc, max(vc) AS hi_vc,
                  |   CAST(sum(vc) AS BIGINT) AS sum_vc
-                 | FROM r GROUP BY 1 ORDER BY bucket""")))
+                 | FROM r GROUP BY 1 ORDER BY bucket"""))),
+
+    // Profiling CORRELATION MATRIX — every numeric column pair of
+    // lineitem in ONE aggregate pass (the data-profiling sweep j20 runs
+    // for one pair): 15 exact sums (n, four Σx, four Σx², six Σxy)
+    // land in a single partial/final aggregate over one scan, then each
+    // pair's Pearson r is the j20 cross-multiplied form. The per-row
+    // PRODUCTS stay int64 (cents × cents ≤ 1.1e14); the SUMS go
+    // decimal(38,0)/HUGEINT — Σ(price²) crosses 2⁶³ near sf10, exactly
+    // the regime this engine targets — and n·Σxy − ΣxΣy stays exact in
+    // decimal (≈6e26 at sf10, well under 1e38). The only floats: the
+    // final exact-integer→double conversions and two sqrt's per pair
+    // (IEEE-identical cross-engine, the j20 rule).
+    Q("c18_corr_matrix",
+      (s, dir) => {
+        val base = t(s, dir, "lineitem").select(
+          round(col("l_quantity")).cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("p"),
+          round(col("l_discount") * 100).cast("long").as("d"),
+          round(col("l_tax") * 100).cast("long").as("x"))
+        val cols = Seq("q", "p", "d", "x")
+        def dec(c: Column) = c.cast("decimal(38,0)")
+        val sums = Seq(count(lit(1)).as("n")) ++
+          cols.map(c => sum(dec(col(c))).as(s"s_$c")) ++
+          cols.map(c => sum(dec(col(c) * col(c))).as(s"s_$c$c")) ++
+          (for { i <- cols.indices; j <- cols.indices if i < j }
+            yield sum(dec(col(cols(i)) * col(cols(j)))).as(s"s_${cols(i)}${cols(j)}"))
+        def corr(i: String, j: String) = {
+          val num = dec(col("n")) * col(s"s_$i$j") - col(s"s_$i") * col(s"s_$j")
+          val dx = dec(col("n")) * col(s"s_$i$i") - col(s"s_$i") * col(s"s_$i")
+          val dy = dec(col("n")) * col(s"s_$j$j") - col(s"s_$j") * col(s"s_$j")
+          round(num.cast("double") / sqrt(dx.cast("double")) / sqrt(dy.cast("double")), 4)
+        }
+        base.agg(sums.head, sums.tail: _*)
+          .select(col("n"),
+            corr("q", "p").as("corr_qty_price"),
+            corr("q", "d").as("corr_qty_disc"),
+            corr("q", "x").as("corr_qty_tax"),
+            corr("p", "d").as("corr_price_disc"),
+            corr("p", "x").as("corr_price_tax"),
+            corr("d", "x").as("corr_disc_tax"))
+      },
+      Some(sql("""WITH b AS (SELECT round(l_quantity)::BIGINT AS q,
+                 |     round(l_extendedprice * 100)::BIGINT AS p,
+                 |     round(l_discount * 100)::BIGINT AS d,
+                 |     round(l_tax * 100)::BIGINT AS x FROM lineitem),
+                 | a AS (SELECT count(*)::HUGEINT AS n,
+                 |     sum(q::HUGEINT) AS s_q, sum(p::HUGEINT) AS s_p,
+                 |     sum(d::HUGEINT) AS s_d, sum(x::HUGEINT) AS s_x,
+                 |     sum((q*q)::HUGEINT) AS s_qq, sum((p*p)::HUGEINT) AS s_pp,
+                 |     sum((d*d)::HUGEINT) AS s_dd, sum((x*x)::HUGEINT) AS s_xx,
+                 |     sum((q*p)::HUGEINT) AS s_qp, sum((q*d)::HUGEINT) AS s_qd,
+                 |     sum((q*x)::HUGEINT) AS s_qx, sum((p*d)::HUGEINT) AS s_pd,
+                 |     sum((p*x)::HUGEINT) AS s_px, sum((d*x)::HUGEINT) AS s_dx
+                 |   FROM b)
+                 | SELECT n::BIGINT AS n,
+                 |   round((n*s_qp - s_q*s_p)::DOUBLE / sqrt((n*s_qq - s_q*s_q)::DOUBLE) / sqrt((n*s_pp - s_p*s_p)::DOUBLE), 4) AS corr_qty_price,
+                 |   round((n*s_qd - s_q*s_d)::DOUBLE / sqrt((n*s_qq - s_q*s_q)::DOUBLE) / sqrt((n*s_dd - s_d*s_d)::DOUBLE), 4) AS corr_qty_disc,
+                 |   round((n*s_qx - s_q*s_x)::DOUBLE / sqrt((n*s_qq - s_q*s_q)::DOUBLE) / sqrt((n*s_xx - s_x*s_x)::DOUBLE), 4) AS corr_qty_tax,
+                 |   round((n*s_pd - s_p*s_d)::DOUBLE / sqrt((n*s_pp - s_p*s_p)::DOUBLE) / sqrt((n*s_dd - s_d*s_d)::DOUBLE), 4) AS corr_price_disc,
+                 |   round((n*s_px - s_p*s_x)::DOUBLE / sqrt((n*s_pp - s_p*s_p)::DOUBLE) / sqrt((n*s_xx - s_x*s_x)::DOUBLE), 4) AS corr_price_tax,
+                 |   round((n*s_dx - s_d*s_x)::DOUBLE / sqrt((n*s_dd - s_d*s_d)::DOUBLE) / sqrt((n*s_xx - s_x*s_x)::DOUBLE), 4) AS corr_disc_tax
+                 | FROM a""")))
   )
 
   // -------------------------------------------------------------- windows

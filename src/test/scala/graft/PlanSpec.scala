@@ -1048,6 +1048,17 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
   }
 
+  test("c18: fifteen correlation moments ride ONE partial/final aggregate over one scan") {
+    val p = plan(Registry.byId("c18_corr_matrix").build(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"c18: expected ONE lineitem scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"c18 plans zero joins:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a global aggregate needs no hash Exchange (SinglePartition only):\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
+  }
+
   test("d19: transition pairs ride the user Exchange; the rate window runs on the bounded matrix") {
     // lead() shuffles the stream once on user_id; the (cur, nxt) count
     // and its row-total window move only the |types|²-bounded matrix.
