@@ -2144,6 +2144,66 @@ object PipelineOps {
                  |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
                  | FROM h ORDER BY depth"""))),
 
+    // Reciprocal-rank FUSION — the hybrid-retrieval staple: two rankers
+    // disagree (here the shipped exact scan and the shipped IVF route —
+    // in production, BM25 and the vector index), RRF merges them with
+    // score Σ 1/(k + rank), k = 60, rewarding documents BOTH rankers
+    // surface without trusting either's score scale. Both rankings are
+    // the i86 rule's SHIPPED plans; the merge is one FULL OUTER join of
+    // two depth-10 lists (a doc on one list only keeps that list's
+    // contribution — RRF over the union), the fused score is EXACT
+    // integer (1e6 div (60+r): no float anywhere, where the textbook
+    // 1/(60+r) sum would float-drift), and the fused top-3 per query is
+    // a rank window whose rn≤3 pushes into WindowGroupLimit. Scale: the
+    // join moves 2·|queries|·10 rows — query-batch-bounded, never the
+    // corpus.
+    Q("i91_rank_fusion",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = queryBatch(emb, ivfParams.nQueries)
+        val exact = emb.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+          .withColumn("xr", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("xr") <= 10).select(col("qid"), col("vec_id"), col("xr"))
+        val ivf = annBatchTop3(emb, stubCodebook(emb, ivfParams.k),
+            queries, ivfParams.nprobe, topK = 10)
+          .select(col("qid"), col("vec_id"), col("rank").as("ir"))
+        exact.join(ivf, Seq("qid", "vec_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("1000000 div (60 + xr)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + ir)"), lit(0L)))
+          .withColumn("frank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("vec_id"))))
+          .filter(col("frank") <= 3)
+          .select(col("qid"), col("frank").cast("long").as("frank"),
+            col("vec_id"), col("rrf"))
+          .orderBy("qid", "frank")
+      },
+      Some(sql(s"""WITH ${annBatchCteK(10)},
+                 | exsims AS (
+                 |   SELECT qid, vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT q.qid, e.vec_id,
+                 |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e, q)
+                 |   GROUP BY 1, 2),
+                 | exact AS (SELECT qid, vec_id, rn AS xr FROM (
+                 |     SELECT qid, vec_id,
+                 |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                 |     FROM exsims) WHERE rn <= 10),
+                 | f AS (SELECT coalesce(x.qid, i.qid) AS qid,
+                 |     coalesce(x.vec_id, i.vec_id) AS vec_id,
+                 |     coalesce(1000000 // (60 + x.xr), 0)
+                 |       + coalesce(1000000 // (60 + i.rank), 0) AS rrf
+                 |   FROM exact x FULL JOIN ivf i
+                 |     ON x.qid = i.qid AND x.vec_id = i.vec_id),
+                 | r AS (SELECT qid, vec_id, rrf,
+                 |     row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, vec_id) AS frank
+                 |   FROM f)
+                 | SELECT qid, CAST(frank AS BIGINT) AS frank, vec_id, CAST(rrf AS BIGINT) AS rrf
+                 | FROM r WHERE frank <= 3 ORDER BY qid, frank"""))),
+
     // Shingle MinHash (the shingle→minhash→band pipeline's sketch step):
     // 3-token shingles capture local word ORDER (unigram sets — i7 —
     // cannot tell "a b c" from "c b a"), then 4 seeded minhashes over the

@@ -1341,6 +1341,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
   }
 
+  test("i91: RRF fuses two query-batch-bounded lists; the fused top-3 pushes into WindowGroupLimit") {
+    // The full-outer merge moves 2·|queries|·10 rows, never the corpus;
+    // the fused rank's rn<=3 must push down. A Cartesian/BNLJ beyond
+    // the broadcast query sweep means a ranking re-derived corpus-side.
+    val p = plan(Registry.byId("i91_rank_fusion").build(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"fused rn<=3 must push down:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val fullOuter = "FullOuter".r.findAllIn(p).size
+    assert(fullOuter == 1, s"i91: exactly one full-outer merge, got $fullOuter:\n$p")
+  }
+
   test("b37: interval overlap is a user_id equi-join with range residuals — never a nested loop") {
     // The overlap predicates must ride the hash/sort-merge equi-join on
     // user_id as residual filters; a BNLJ or Cartesian means the planner
