@@ -2144,6 +2144,46 @@ object PipelineOps {
                  |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
                  | FROM h ORDER BY depth"""))),
 
+    // Tokenizer FERTILITY per language — the multilingual-fairness
+    // metric (tokens emitted per whitespace word): a tokenizer that
+    // fragments one language 2× harder than another silently halves
+    // that language's effective context and doubles its training cost;
+    // the mixture designer reads this table next to j16's Gini. Both
+    // tokenizations are j3's shipped expressions (regex word/punct
+    // split and the byte-length BPE estimator) — the per-lang rollup is
+    // ONE map-side-combinable hash aggregate of exact int64 token sums,
+    // and the two fertility ratios are exact integers (ppm = tokens·1e6
+    // div words, positive operands).
+    Q("j22_tokenizer_fertility",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""), lit(0)))
+            .cast("long").as("re"),
+          ceil(col("n_chars") / 4.0).cast("long").as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("re")).as("re_tokens"),
+          sum(col("bpe")).as("bpe_est"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          expr("re_tokens * 1000000 div ws_tokens").as("fert_re_ppm"),
+          expr("bpe_est * 1000000 div ws_tokens").as("fert_bpe_ppm"))
+        .orderBy("lang"),
+      Some(sql("""WITH b AS (SELECT lang,
+                 |     len(string_split(text, ' '))::BIGINT AS ws,
+                 |     len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS re,
+                 |     ceil(n_chars / 4.0)::BIGINT AS bpe
+                 |   FROM documents),
+                 | a AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                 |     sum(ws)::BIGINT AS ws_tokens, sum(re)::BIGINT AS re_tokens,
+                 |     sum(bpe)::BIGINT AS bpe_est
+                 |   FROM b GROUP BY lang)
+                 | SELECT lang, n_docs, ws_tokens,
+                 |   (re_tokens * 1000000) // ws_tokens AS fert_re_ppm,
+                 |   (bpe_est * 1000000) // ws_tokens AS fert_bpe_ppm
+                 | FROM a ORDER BY lang"""))),
+
     // Reciprocal-rank FUSION — the hybrid-retrieval staple: two rankers
     // disagree (here the shipped exact scan and the shipped IVF route —
     // in production, BM25 and the vector index), RRF merges them with

@@ -1341,6 +1341,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
   }
 
+  test("j22: fertility is one map-side-combinable lang aggregate over one scan") {
+    val p = plan(Registry.byId("j22_tokenizer_fertility").build(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"j22: expected ONE corpus scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"j22 plans zero joins:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"j22: expected ONE lang Exchange, got $shuffles:\n$p")
+  }
+
   test("i91: RRF fuses two query-batch-bounded lists; the fused top-3 pushes into WindowGroupLimit") {
     // The full-outer merge moves 2·|queries|·10 rows, never the corpus;
     // the fused rank's rn<=3 must push down. A Cartesian/BNLJ beyond
