@@ -2144,6 +2144,68 @@ object PipelineOps {
                  |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
                  | FROM h ORDER BY depth"""))),
 
+    // Declarative CONSTRAINT CHECK — the Deequ-shape data-quality gate
+    // a pipeline runs before training ever sees a batch: uniqueness,
+    // non-null, value-range, and domain constraints all evaluate in ONE
+    // aggregate pass over the fact table (row-local predicates and the
+    // key countDistinct share the scan and the partial/final combine),
+    // referential integrity is ONE anti-join counted (ids only — the
+    // violation count ships, never the rows), and the report is the
+    // five-row explode of the single stats row crossed with the 1-row
+    // orphan count (the i26 rule). At 100 TB the gate costs one scan +
+    // one key-width anti-join, and adding a constraint edits the
+    // aggregate, not the pass count.
+    Q("i92_constraint_check",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val stats = o.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("uk"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nulls"),
+          sum(when(!col("o_totalprice").between(0, 1000000), 1L).otherwise(0L))
+            .as("range_v"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+            .as("domain_v"))
+        val orphans = o.join(t(s, dir, "customer"),
+            o("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orph"))
+        stats.crossJoin(broadcast(orphans))
+          .select(explode(array(
+            struct(lit("domain_orderstatus").as("cname"),
+              col("domain_v").as("violations")),
+            struct(lit("fk_custkey").as("cname"), col("orph").as("violations")),
+            struct(lit("notnull_custkey").as("cname"),
+              col("nulls").as("violations")),
+            struct(lit("range_totalprice").as("cname"),
+              col("range_v").as("violations")),
+            struct(lit("unique_orderkey").as("cname"),
+              (col("n") - col("uk")).as("violations")))).as("z"),
+            col("n"))
+          .select(col("z.cname").as("cname"), col("n").as("n_checked"),
+            col("z.violations").as("violations"),
+            (col("z.violations") === 0).cast("long").as("pass"))
+          .orderBy("cname")
+      },
+      Some(sql("""WITH a AS (SELECT count(*)::BIGINT AS n,
+                 |     count(DISTINCT o_orderkey)::BIGINT AS uk,
+                 |     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+                 |     sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                 |       THEN 1 ELSE 0 END)::BIGINT AS range_v,
+                 |     sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                 |       THEN 1 ELSE 0 END)::BIGINT AS domain_v
+                 |   FROM orders),
+                 | f AS (SELECT count(*)::BIGINT AS orph FROM orders o
+                 |   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 |   WHERE c.c_custkey IS NULL),
+                 | r AS (SELECT 'domain_orderstatus' AS cname, n, domain_v AS violations FROM a, f
+                 |   UNION ALL SELECT 'fk_custkey', n, orph FROM a, f
+                 |   UNION ALL SELECT 'notnull_custkey', n, nulls FROM a, f
+                 |   UNION ALL SELECT 'range_totalprice', n, range_v FROM a, f
+                 |   UNION ALL SELECT 'unique_orderkey', n, n - uk FROM a, f)
+                 | SELECT cname, n AS n_checked, violations,
+                 |   (violations = 0)::BIGINT AS pass
+                 | FROM r ORDER BY cname"""))),
+
     // Tokenizer FERTILITY per language — the multilingual-fairness
     // metric (tokens emitted per whitespace word): a tokenizer that
     // fragments one language 2× harder than another silently halves

@@ -1341,6 +1341,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
   }
 
+  test("i92: the constraint gate is one stats pass + one anti-join — violations count, rows never ship") {
+    // Four constraints share ONE aggregate over one orders scan; the FK
+    // check is a single LeftAnti join counted. A third orders scan (or
+    // any extra join) means a constraint stopped sharing the pass.
+    val p = plan(Registry.byId("i92_constraint_check").build(spark, dir))
+    val anti = "LeftAnti".r.findAllIn(p).size
+    assert(anti == 1, s"i92: exactly one anti-join, got $anti:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 3, s"i92: orders ×2 + customer, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"1-row merges must broadcast:\n$p")
+  }
+
   test("j22: fertility is one map-side-combinable lang aggregate over one scan") {
     val p = plan(Registry.byId("j22_tokenizer_fertility").build(spark, dir))
     val scans = "Scan parquet".r.findAllIn(p).size
