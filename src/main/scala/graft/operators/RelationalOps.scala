@@ -1660,7 +1660,49 @@ object RelationalOps {
                  |   FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
                  | tt AS (SELECT cur, nxt, n, sum(n) OVER (PARTITION BY cur) AS tot FROM c)
                  | SELECT cur, nxt, n, ((n * 1000000) // tot)::BIGINT AS ppm
-                 | FROM tt ORDER BY cur, nxt""")))
+                 | FROM tt ORDER BY cur, nxt"""))),
+
+    // TIME-WEIGHTED average (TWAP) per user — the monitoring/finance
+    // aggregate a plain mean gets wrong: a value that HELD for an hour
+    // weighs 3600× one that held a second. Each event's weight is its
+    // µs duration until the user's next event (one lead() on the user
+    // Exchange; the last observation has no duration and drops — the
+    // standard left-closed convention), and the weighted sum runs in
+    // decimal(38): cents × µs products fit int64 (≤1e16) but a user's
+    // SUM crosses 2⁶³ at ~1e3 long-held observations — the 100 TB
+    // regime again. The per-user rollup rides the same user_id
+    // partitioning (the d7 rule); the only float is the final
+    // exact-sum division.
+    Q("d20_time_weighted_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("dur_us",
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .filter(col("dur_us").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dur_us")).as("total_us"),
+            sum((col("cents") * col("dur_us")).cast("decimal(38,0)")).as("ws"))
+          .select(col("user_id"), col("n_intervals"), col("total_us"),
+            round(col("ws").cast("double") / col("total_us") / 100, 4).as("twap"))
+          .orderBy("user_id")
+      },
+      Some(sql("""WITH b AS (SELECT user_id, event_id, ts,
+                 |     round(value * 100)::BIGINT AS cents FROM events),
+                 | d AS (SELECT user_id, cents,
+                 |     epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 |       - epoch_us(ts) AS dur_us
+                 |   FROM b),
+                 | a AS (SELECT user_id, count(*)::BIGINT AS n_intervals,
+                 |     sum(dur_us)::BIGINT AS total_us,
+                 |     sum((cents * dur_us)::HUGEINT) AS ws
+                 |   FROM d WHERE dur_us IS NOT NULL GROUP BY user_id)
+                 | SELECT user_id, n_intervals, total_us,
+                 |   round(ws::DOUBLE / total_us / 100, 4) AS twap
+                 | FROM a ORDER BY user_id""")))
   )
 
   // --------------------------------------------------- sort / set / scalar

@@ -1341,6 +1341,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
   }
 
+  test("d20: TWAP runs on ONE user Exchange — lead window and the rollup share the partitioning") {
+    val p = plan(Registry.byId("d20_time_weighted_avg").build(spark, dir))
+    assert(!p.contains("Join"), s"d20 plans zero joins:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"d20: expected ONE hash Exchange, got $shuffles:\n$p")
+  }
+
   test("i92: the constraint gate is one stats pass + one anti-join — violations count, rows never ship") {
     // Four constraints share ONE aggregate over one orders scan; the FK
     // check is a single LeftAnti join counted. A third orders scan (or
