@@ -5611,6 +5611,59 @@ object PipelineOps {
                  |   min(feat) AS feat_min, max(feat) AS feat_max
                  | FROM sh GROUP BY 1, 2 ORDER BY doc_id, shot_idx"""))),
 
+    // ASPECT-RATIO bucketing — the batched-image-training step (the
+    // SDXL recipe): variable-shape images can't batch, so each image
+    // joins the NEAREST of 9 canonical aspect buckets and is resized
+    // within it. Nearest-ratio is an EXACT RATIONAL argmin, no floats:
+    // |w/h − p/q| comparisons cross-multiply to |w·q − h·p| scaled by
+    // 144/q (144 = lcm of the bucket denominators, so all 9 distances
+    // share one denominator h·144 and compare as plain int64s —
+    // log-space nearest would be float-ordered and engine-drift-prone).
+    // The argmin is a row-local array_min over a 9-struct literal
+    // ((v, idx, bucket) — struct ordering breaks ties on bucket index),
+    // so the whole assignment is a narrow map; the per-bucket rollup is
+    // one bounded-output aggregate. Dimensions come from the SAME m1
+    // metadata derivation (shipped plan rule).
+    Q("m8_aspect_buckets",
+      (s, dir) => {
+        val buckets = Seq((1, 1, "1:1"), (4, 3, "4:3"), (3, 4, "3:4"),
+          (16, 9, "16:9"), (9, 16, "9:16"), (3, 2, "3:2"),
+          (2, 3, "2:3"), (2, 1, "2:1"), (1, 2, "1:2"))
+        val cand = array(buckets.zipWithIndex.map { case ((p, q, nm), i) =>
+          struct(
+            (abs(col("width") * q - col("height") * p) * (144 / q)).cast("long").as("v"),
+            lit(i.toLong).as("idx"), lit(nm).as("bucket"))
+        }: _*)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").as("h"))
+          .select(col("doc_id"),
+            (lit(16) + col("h") % 240).cast("long").as("width"),
+            (lit(16) + expr("h div 240") % 240).cast("long").as("height"))
+          .withColumn("bucket", array_min(cand).getField("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_images"),
+            sum(col("width") * col("height")).as("total_px"))
+          .orderBy("bucket")
+      },
+      Some(sql("""WITH m AS (SELECT doc_id,
+                 |     (16 + h % 240)::BIGINT AS w, (16 + (h // 240) % 240)::BIGINT AS ht
+                 |   FROM (SELECT doc_id, ('0x'||substr(md5(text),1,4))::BIGINT AS h
+                 |         FROM documents)),
+                 | bk(p, q, f, bucket, idx) AS (VALUES
+                 |   (1,1,144,'1:1',0),(4,3,48,'4:3',1),(3,4,36,'3:4',2),
+                 |   (16,9,16,'16:9',3),(9,16,9,'9:16',4),(3,2,72,'3:2',5),
+                 |   (2,3,48,'2:3',6),(2,1,144,'2:1',7),(1,2,72,'1:2',8)),
+                 | d AS (SELECT doc_id, w, ht, bucket,
+                 |     abs(w * q - ht * p) * f AS v, idx
+                 |   FROM m CROSS JOIN bk),
+                 | a AS (SELECT doc_id, w, ht, bucket,
+                 |     row_number() OVER (PARTITION BY doc_id ORDER BY v, idx) AS rn
+                 |   FROM d)
+                 | SELECT bucket, count(*)::BIGINT AS n_images,
+                 |   sum(w * ht)::BIGINT AS total_px
+                 | FROM a WHERE rn = 1 GROUP BY bucket ORDER BY bucket"""))),
+
     // Voice-activity CHUNKING over the audio frame stream — the audio
     // sibling of m5's video shots, with the mechanic VAD actually needs
     // and shots don't: a HANGOVER gap merge (webrtcvad-style smoothing),

@@ -1428,6 +1428,16 @@ class PlanSpec extends SparkTestBase {
     assert(srcOnly == 1, s"j21: ONE source-keyed Exchange (the histogram window), got $srcOnly:\n$p")
   }
 
+  test("m8: aspect assignment is a narrow map — no join with the bucket table, one bounded rollup") {
+    // The 9-bucket argmin is a row-local array_min over a struct
+    // literal; a Join (the unnest-buckets spelling) would 9× the corpus
+    // for a row-local decision.
+    val p = plan(Registry.byId("m8_aspect_buckets").build(spark, dir))
+    assert(!p.contains("Join"), s"m8 plans zero joins:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"m8: ONE bucket-rollup Exchange, got $shuffles:\n$p")
+  }
+
   test("m7: perceptual dedup is aggregate-shaped — no pair join anywhere") {
     // The only join is the dense-spine LEFT join on (doc_id, slot); the
     // dedup itself is a hash aggregate on the 8-byte perceptual hash.
