@@ -1662,6 +1662,46 @@ object RelationalOps {
                  | SELECT cur, nxt, n, ((n * 1000000) // tot)::BIGINT AS ppm
                  | FROM tt ORDER BY cur, nxt"""))),
 
+    // ROLLING exact MEDIAN — the robust smoother a rolling MEAN can't
+    // be (one spike drags a mean for 8 frames; the median shrugs it
+    // off): each observation's median over the user's last ≤8 values.
+    // Median-as-a-window has no distributive form, but the FRAME is
+    // bounded: the d15/d16 lag-chain materializes the 8 candidates on
+    // ONE user Exchange, then the median is ROW-LOCAL — filter nulls,
+    // array_sort, take the lower middle (exact integer — the even-count
+    // average would mint halves and float the column). At any corpus
+    // size the cost is 8 lags + an 8-element sort per row; no
+    // per-median re-shuffle, no collect_list state.
+    Q("d21_rolling_median",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        def y(k: Int) = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("vals",
+            array_sort(filter(array((0 until 8).map(y): _*), v => v.isNotNull)))
+          .select(col("user_id"), col("event_id"), col("cents"),
+            size(col("vals")).cast("long").as("n_obs"),
+            element_at(col("vals"),
+              expr("CAST((size(vals) + 1) div 2 AS INT)")).as("roll_med"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(sql("""WITH b AS (SELECT user_id, event_id, ts,
+                 |     round(value * 100)::BIGINT AS cents FROM events),
+                 | lg AS (SELECT user_id, event_id, cents,
+                 |     list_sort(list_filter([cents,
+                 |       lag(cents, 1) OVER w, lag(cents, 2) OVER w,
+                 |       lag(cents, 3) OVER w, lag(cents, 4) OVER w,
+                 |       lag(cents, 5) OVER w, lag(cents, 6) OVER w,
+                 |       lag(cents, 7) OVER w], v -> v IS NOT NULL)) AS vals
+                 |   FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+                 | SELECT user_id, event_id, cents,
+                 |   len(vals)::BIGINT AS n_obs,
+                 |   vals[(len(vals) + 1) // 2] AS roll_med
+                 | FROM lg ORDER BY user_id, event_id"""))),
+
     // TIME-WEIGHTED average (TWAP) per user — the monitoring/finance
     // aggregate a plain mean gets wrong: a value that HELD for an hour
     // weighs 3600× one that held a second. Each event's weight is its

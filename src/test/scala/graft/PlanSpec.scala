@@ -1341,6 +1341,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
   }
 
+  test("d21: the rolling median's lag chain rides ONE user Exchange; the median is row-local") {
+    val p = plan(Registry.byId("d21_rolling_median").build(spark, dir))
+    assert(!p.contains("Join"), s"d21 plans zero joins:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"d21: expected ONE hash Exchange, got $shuffles:\n$p")
+    val windows = "Window".r.findAllIn(p).size - "WindowGroupLimit".r.findAllIn(p).size
+    assert(windows == 1, s"d21: all 8 lags share ONE Window node, got $windows:\n$p")
+  }
+
   test("d20: TWAP runs on ONE user Exchange — lead window and the rollup share the partitioning") {
     val p = plan(Registry.byId("d20_time_weighted_avg").build(spark, dir))
     assert(!p.contains("Join"), s"d20 plans zero joins:\n$p")
