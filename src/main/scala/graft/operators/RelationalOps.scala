@@ -53,6 +53,39 @@ object RelationalOps {
     */
   private def sq(c: Column): Column = c * c
 
+  /** b15/b38's SCD2 dimension build: the 1990 snapshot unions the
+    * change stream, consecutive same-attr versions collapse, and each
+    * version carries its half-open [valid_from, valid_to) interval
+    * (valid_to null = current). One (key) Exchange feeds the lag
+    * filter, the version numbers, and the lead validity — b15 emits
+    * this table, b38 point-in-time-joins facts against it (the shipped
+    * plan rule).
+    */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val snap = t(s, dir, "customer").select(
+      col("c_custkey").as("k"),
+      to_timestamp(lit("1990-01-01 00:00:00")).as("chg_ts"),
+      lit(-1L).as("chg_seq"),
+      lit("NONE").as("attr"))
+    val changes = t(s, dir, "orders").select(
+      col("o_custkey").as("k"),
+      col("o_orderdate").as("chg_ts"),
+      col("o_orderkey").as("chg_seq"),
+      col("o_orderpriority").as("attr"))
+    val ord = Window.partitionBy(col("k"))
+      .orderBy(col("chg_ts").asc, col("chg_seq").asc)
+    snap.unionAll(changes)
+      .withColumn("prev_attr", lag(col("attr"), 1).over(ord))
+      .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+      .withColumn("ver", row_number().over(ord).cast("long"))
+      .withColumn("valid_to0", lead(col("chg_ts"), 1).over(ord))
+      .select(col("k").as("c_custkey"), col("ver"),
+        col("chg_ts").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to0").cast("timestamp_ntz").as("valid_to"),
+        col("attr"),
+        col("valid_to0").isNull.cast("long").as("is_current"))
+  }
+
   /** Salted equi-join for skewed keys: the fact side is salted with a
     * caller-supplied row-level expression (a hot key NEEDS a non-key salt
     * source, e.g. `pmod(hash(rowUniqueCol), n)`), the dim side is
@@ -329,6 +362,60 @@ object RelationalOps {
                  | FROM p JOIN e ON p.user_id = e.user_id
                  |   AND p.st < e.en AND e.st < p.en
                  | ORDER BY p_event_id, e_event_id"""))),
+
+    // POINT-IN-TIME dimension join — the feature-store correctness
+    // rule: each fact reads the dimension version in effect AT ITS OWN
+    // timestamp, never today's (training-serving skew is exactly this
+    // join done wrong). The dimension is b15's SHIPPED SCD2 build
+    // (scd2Dim — same plan, not a re-derivation); facts are lineitem
+    // shipments carrying their customer key via the natural orderkey
+    // star join. The PIT match is the b37 shape: equi-join on the
+    // entity key with the half-open [valid_from, valid_to) residual —
+    // each fact matches EXACTLY ONE version by construction (the
+    // intervals partition time), so output and cost stay linear in
+    // facts at any corpus size. Money in exact cents; the per-version
+    // rollup proves every match (a single mis-versioned fact shifts a
+    // sum).
+    Q("b38_pit_join",
+      (s, dir) => {
+        val facts = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_shipdate").cast("timestamp_ntz").as("ship_ts"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+        facts.join(scd2Dim(s, dir),
+            col("o_custkey") === col("c_custkey") &&
+              col("valid_from") <= col("ship_ts") &&
+              (col("valid_to").isNull || col("ship_ts") < col("valid_to")))
+          .groupBy(col("attr"))
+          .agg(count(lit(1)).as("n_ships"), sum(col("cents")).as("cents"))
+          .orderBy("attr")
+      },
+      Some(sql("""WITH uni AS (
+                 |   SELECT c_custkey AS k, TIMESTAMP '1990-01-01 00:00:00' AS chg_ts,
+                 |          CAST(-1 AS BIGINT) AS chg_seq, 'NONE' AS attr FROM customer
+                 |   UNION ALL
+                 |   SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority FROM orders
+                 | ), flt AS (
+                 |   SELECT k, chg_ts, chg_seq, attr FROM (
+                 |     SELECT k, chg_ts, chg_seq, attr,
+                 |       lag(attr) OVER (PARTITION BY k ORDER BY chg_ts, chg_seq) AS prev_attr
+                 |     FROM uni)
+                 |   WHERE prev_attr IS NULL OR attr <> prev_attr),
+                 | dim AS (SELECT k AS c_custkey, chg_ts AS valid_from,
+                 |     lead(chg_ts) OVER (PARTITION BY k ORDER BY chg_ts, chg_seq) AS valid_to,
+                 |     attr
+                 |   FROM flt),
+                 | f AS (SELECT o_custkey, l_shipdate AS ship_ts,
+                 |     round(l_extendedprice * 100)::BIGINT AS cents
+                 |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                 | m AS (SELECT attr, cents FROM f JOIN dim
+                 |   ON o_custkey = c_custkey AND valid_from <= ship_ts
+                 |     AND (valid_to IS NULL OR ship_ts < valid_to))
+                 | SELECT attr, count(*)::BIGINT AS n_ships,
+                 |   CAST(sum(cents) AS BIGINT) AS cents
+                 | FROM m GROUP BY attr ORDER BY attr"""))),
 
     // Pair-free range-join AGGREGATE — the scale path for b6's shape.
     // b6 RETURNS the matching pairs, so its output (and any engine's
@@ -3009,31 +3096,7 @@ object RelationalOps {
     // laws: per key exactly one is_current, intervals chain gaplessly,
     // and no two consecutive versions share an attribute value.
     Q("b15_scd2_merge",
-      (s, dir) => {
-        val snap = t(s, dir, "customer").select(
-          col("c_custkey").as("k"),
-          to_timestamp(lit("1990-01-01 00:00:00")).as("chg_ts"),
-          lit(-1L).as("chg_seq"),
-          lit("NONE").as("attr"))
-        val changes = t(s, dir, "orders").select(
-          col("o_custkey").as("k"),
-          col("o_orderdate").as("chg_ts"),
-          col("o_orderkey").as("chg_seq"),
-          col("o_orderpriority").as("attr"))
-        val ord = Window.partitionBy(col("k"))
-          .orderBy(col("chg_ts").asc, col("chg_seq").asc)
-        snap.unionAll(changes)
-          .withColumn("prev_attr", lag(col("attr"), 1).over(ord))
-          .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
-          .withColumn("ver", row_number().over(ord).cast("long"))
-          .withColumn("valid_to0", lead(col("chg_ts"), 1).over(ord))
-          .select(col("k").as("c_custkey"), col("ver"),
-            col("chg_ts").cast("timestamp_ntz").as("valid_from"),
-            col("valid_to0").cast("timestamp_ntz").as("valid_to"),
-            col("attr"),
-            col("valid_to0").isNull.cast("long").as("is_current"))
-          .orderBy("c_custkey", "ver")
-      },
+      (s, dir) => scd2Dim(s, dir).orderBy("c_custkey", "ver"),
       Some(sql("""WITH uni AS (
                  |   SELECT c_custkey AS k, TIMESTAMP '1990-01-01 00:00:00' AS chg_ts,
                  |          CAST(-1 AS BIGINT) AS chg_seq, 'NONE' AS attr FROM customer

@@ -1341,6 +1341,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
   }
 
+  test("b38: PIT join is equi-keyed with the validity residual — two equi-joins, no nested loop") {
+    // Star join on orderkey + the versioned-dimension join on custkey
+    // with [valid_from, valid_to) as residual filters; a BNLJ/Cartesian
+    // means the planner lost an entity key (the b37 rule).
+    val p = plan(Registry.byId("b38_pit_join").build(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"PIT must stay equi-keyed:\n$p")
+    val joins = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size
+    assert(joins == 2, s"b38: star + versioned dim, got $joins:\n$p")
+  }
+
   test("d21: the rolling median's lag chain rides ONE user Exchange; the median is row-local") {
     val p = plan(Registry.byId("d21_rolling_median").build(spark, dir))
     assert(!p.contains("Join"), s"d21 plans zero joins:\n$p")
