@@ -1749,6 +1749,61 @@ object RelationalOps {
                  | SELECT cur, nxt, n, ((n * 1000000) // tot)::BIGINT AS ppm
                  | FROM tt ORDER BY cur, nxt"""))),
 
+    // LINEAR gap INTERPOLATION — the other standard time-series repair
+    // (d9 forward-fills a step function; telemetry wants the line):
+    // every masked reading is reconstructed from its nearest present
+    // neighbors, weighted by TIME, not row position. Both neighbor
+    // scans are ignore-null frame windows on ONE user Exchange (last
+    // over the preceding frame, first over the following — the d9
+    // mechanic run both directions); leading/trailing gaps have one
+    // side only and stay null (interpolation refuses to extrapolate).
+    // Numerics: cents and epoch-µs are exact int64s (µs < 2⁵³ so the
+    // doubles are exact); the interpolation is ONE fixed expression
+    // tree of those exact inputs — IEEE-identical cross-engine (the
+    // j12 rule) — with a single final round to integer cents. A
+    // decimal spelling would need floor-div sign gymnastics
+    // (Spark div truncates, DuckDB // floors) for zero added accuracy.
+    Q("d22_interpolate",
+      (s, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc, col("event_id").asc)
+        val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            when(col("event_id") % 5 === 0, lit(null))
+              .otherwise(round(col("value") * 100).cast("long")).as("rawc"))
+          .withColumn("pv", last(col("rawc"), ignoreNulls = true).over(back))
+          .withColumn("pt", last(when(col("rawc").isNotNull, col("tus")), ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("rawc"), ignoreNulls = true).over(fwd))
+          .withColumn("nt", first(when(col("rawc").isNotNull, col("tus")), ignoreNulls = true).over(fwd))
+          .select(col("user_id"), col("event_id"), col("rawc"),
+            when(col("rawc").isNotNull, col("rawc"))
+              .otherwise(round(col("pv") +
+                (col("nv") - col("pv")).cast("double") * (col("tus") - col("pt"))
+                  / (col("nt") - col("pt"))).cast("long")).as("interp_c"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(sql("""WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus, ts,
+                 |     CASE WHEN event_id % 5 = 0 THEN NULL
+                 |          ELSE round(value * 100)::BIGINT END AS rawc
+                 |   FROM events),
+                 | w AS (SELECT user_id, event_id, tus, rawc,
+                 |     last_value(rawc IGNORE NULLS) OVER bw AS pv,
+                 |     last_value(CASE WHEN rawc IS NOT NULL THEN tus END IGNORE NULLS) OVER bw AS pt,
+                 |     first_value(rawc IGNORE NULLS) OVER fw AS nv,
+                 |     first_value(CASE WHEN rawc IS NOT NULL THEN tus END IGNORE NULLS) OVER fw AS nt
+                 |   FROM b WINDOW
+                 |     bw AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+                 |     fw AS (PARTITION BY user_id ORDER BY ts, event_id
+                 |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+                 | SELECT user_id, event_id, rawc,
+                 |   CASE WHEN rawc IS NOT NULL THEN rawc
+                 |        ELSE round(pv + (nv - pv)::DOUBLE * (tus - pt) / (nt - pt))::BIGINT
+                 |   END AS interp_c
+                 | FROM w ORDER BY user_id, event_id"""))),
+
     // ROLLING exact MEDIAN — the robust smoother a rolling MEAN can't
     // be (one spike drags a mean for 8 frames; the median shrugs it
     // off): each observation's median over the user's last ≤8 values.

@@ -1341,6 +1341,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"depth-10 rank must push down:\n$p")
   }
 
+  test("d22: both neighbor scans share ONE user Exchange") {
+    // The backward (last ignore-nulls) and forward (first ignore-nulls)
+    // frames differ, so two Window nodes are expected — but both must
+    // ride the single hash(user_id) Exchange.
+    val p = plan(Registry.byId("d22_interpolate").build(spark, dir))
+    assert(!p.contains("Join"), s"d22 plans zero joins:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"d22: expected ONE hash Exchange, got $shuffles:\n$p")
+  }
+
   test("b38: PIT join is equi-keyed with the validity residual — two equi-joins, no nested loop") {
     // Star join on orderkey + the versioned-dimension join on custkey
     // with [valid_from, valid_to) as residual filters; a BNLJ/Cartesian
