@@ -433,4 +433,98 @@ class LawSpec extends SparkTestBase {
     assert(want.nonEmpty && want.size < parts.length,
       "fixture must have a non-trivial frontier")
   }
+
+  test("i89 excision agrees with a driver-side model and is idempotent") {
+    def segs(text: String): Seq[String] =
+      text.split(" ", -1).grouped(2).map(_.mkString(" ")).toSeq
+    def keep(ss: Seq[String]): Seq[String] =
+      ss.zipWithIndex.filter { case (g, j) => ss.indexOf(g) == j }.map(_._1)
+    def fp(ss: Seq[String]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(ss.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = Registry.byId("i89_intradoc_excise").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty)
+    var sawDup = false
+    docs.foreach { r =>
+      val ss = segs(r.getString(1)); val k = keep(ss)
+      assert(got(r.getLong(0)) == ((ss.size.toLong, k.size.toLong, fp(k))),
+        s"doc ${r.getLong(0)} mismatch")
+      if (k.size < ss.size) sawDup = true
+      // Idempotence: first-occurrence keep is a fixpoint.
+      assert(keep(k) == k, s"doc ${r.getLong(0)} not idempotent")
+    }
+    assert(sawDup, "fixture must contain at least one intra-doc repeat")
+  }
+
+  test("d21 rolling median agrees with a driver-side sort-and-middle model") {
+    val got = Registry.byId("d21_rolling_median").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+    events.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._2))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 7), i + 1).map(_._4).sorted
+        val want = (frame.size.toLong, frame((frame.size + 1) / 2 - 1))
+        val key = (ordered(i)._1, ordered(i)._2)
+        assert(got(key) == want, s"$key: got ${got(key)}, want $want")
+      }
+    }
+    assert(events.nonEmpty)
+  }
+
+  test("m8 rational argmin equals the exact-fraction argmin; buckets partition the corpus") {
+    // The model compares |w/h − p/q| as TRUE fractions (cross-multiplied
+    // BigInt compare) — a float model disagrees on this very fixture at
+    // exact midpoints (w/h = 7/6 is equidistant from 1:1 and 4:3, and
+    // 4/3's float rounding breaks the tie the wrong way), which is the
+    // drift the lcm-scaled integer form exists to avoid.
+    val buckets = Seq((1, 1, "1:1"), (4, 3, "4:3"), (3, 4, "3:4"),
+      (16, 9, "16:9"), (9, 16, "9:16"), (3, 2, "3:2"),
+      (2, 3, "2:3"), (2, 1, "2:1"), (1, 2, "1:2"))
+    val meta = Registry.byId("m1_multimodal_meta").build(spark, dir)
+      .select("width", "height").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantCounts = meta.groupBy { case (w, h) =>
+      buckets.zipWithIndex.reduceLeft[((Int, Int, String), Int)] {
+        case (best @ ((p1, q1, _), i1), cand @ ((p2, q2, _), i2)) =>
+          val n1 = BigInt((w * q1 - h * p1).abs) * q2
+          val n2 = BigInt((w * q2 - h * p2).abs) * q1
+          if (n2 < n1 || (n2 == n1 && i2 < i1)) cand else best
+      }._1._3
+    }.map { case (b, xs) => b -> xs.size.toLong }
+    val got = Registry.byId("m8_aspect_buckets").build(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == wantCounts, s"got $got want $wantCounts")
+    assert(got.values.sum == meta.length, "buckets must partition the corpus")
+  }
+
+  test("d22 interpolation is bounded by its neighbors and passes observations through") {
+    val rows = Registry.byId("d22_interpolate").build(spark, dir).cache()
+    // observed rows pass through unchanged
+    assert(rows.filter(col("rawc").isNotNull && col("interp_c") =!= col("rawc")).isEmpty)
+    // the fixture must actually interpolate something
+    assert(rows.filter(col("rawc").isNull && col("interp_c").isNotNull).count() > 0)
+    rows.unpersist()
+  }
+
+  test("j21 tercile masses: head never exceeds a third, head+middle never exceeds two thirds") {
+    val b = Registry.byId("j21_ccnet_buckets").build(spark, dir).cache()
+    val per = b.groupBy("source").pivot("bucket", Seq("head", "middle", "tail"))
+      .sum("n_bigrams").na.fill(0L).collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val (h, m, t) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val tot = h + m + t
+      assert(h * 3 <= tot, s"${r.getString(0)}: head $h exceeds tot/3 of $tot")
+      assert((h + m) * 3 <= 2 * tot, s"${r.getString(0)}: head+middle exceeds 2/3")
+      assert(t > 0, s"${r.getString(0)}: tail holds the boundary mass by construction")
+    }
+    b.unpersist()
+  }
 }
