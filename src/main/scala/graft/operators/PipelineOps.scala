@@ -2144,6 +2144,52 @@ object PipelineOps {
                  |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
                  | FROM h ORDER BY depth"""))),
 
+    // Padding-WASTE report — the batch-efficiency diagnostic behind
+    // length-bucketed batching (m8's idea for text): docs batch at the
+    // next power-of-two length cap (16..1024; longer docs truncate at
+    // 1024 — counted, never silent), every token between a doc's length
+    // and its cap is padding the GPU pays for. The cap assignment is a
+    // row-local HOF over the 7-value cap ladder (array_min of the caps
+    // ≥ n_tok — EXACT, where a log2/ceil spelling is float-ordered);
+    // the report is one bounded rollup: per cap, docs, real tokens,
+    // padded tokens, and waste_ppm = pad·1e6 div (cap·docs) — all
+    // integers. The mixture designer reads this to pick bucket
+    // boundaries; a second run after re-bucketing proves the saving.
+    Q("i93_pad_waste",
+      (s, dir) => {
+        val caps = array((4 to 10).map(k => lit(1L << k)): _*)
+        t(s, dir, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cap", coalesce(
+            array_min(filter(caps, c => c >= col("n_tok"))), lit(1024L)))
+          .withColumn("kept", least(col("n_tok"), col("cap")))
+          .groupBy(col("cap"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("tokens"),
+            sum(col("cap") - col("kept")).as("pad_tokens"),
+            sum(when(col("n_tok") > col("cap"), col("n_tok") - col("cap"))
+              .otherwise(0L)).as("truncated_tokens"))
+          .withColumn("waste_ppm",
+            expr("pad_tokens * 1000000 div (cap * n_docs)"))
+          .orderBy("cap")
+      },
+      Some(sql("""WITH b AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tok
+                 |   FROM documents),
+                 | c AS (SELECT n_tok,
+                 |     coalesce(list_min(list_filter([16, 32, 64, 128, 256, 512, 1024],
+                 |       c -> c >= n_tok)), 1024)::BIGINT AS cap
+                 |   FROM b),
+                 | k AS (SELECT cap, n_tok, least(n_tok, cap) AS kept FROM c),
+                 | a AS (SELECT cap, count(*)::BIGINT AS n_docs,
+                 |     sum(kept)::BIGINT AS tokens,
+                 |     sum(cap - kept)::BIGINT AS pad_tokens,
+                 |     sum(CASE WHEN n_tok > cap THEN n_tok - cap ELSE 0 END)::BIGINT
+                 |       AS truncated_tokens
+                 |   FROM k GROUP BY cap)
+                 | SELECT cap, n_docs, tokens, pad_tokens, truncated_tokens,
+                 |   ((pad_tokens * 1000000) // (cap * n_docs))::BIGINT AS waste_ppm
+                 | FROM a ORDER BY cap"""))),
+
     // Declarative CONSTRAINT CHECK — the Deequ-shape data-quality gate
     // a pipeline runs before training ever sees a batch: uniqueness,
     // non-null, value-range, and domain constraints all evaluate in ONE

@@ -1380,6 +1380,15 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"d20: expected ONE hash Exchange, got $shuffles:\n$p")
   }
 
+  test("i93: cap assignment is row-local; the waste report is one bounded rollup") {
+    val p = plan(Registry.byId("i93_pad_waste").build(spark, dir))
+    assert(!p.contains("Join"), s"i93 plans zero joins:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"i93: ONE corpus scan, got $scans:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"i93: ONE cap-rollup Exchange, got $shuffles:\n$p")
+  }
+
   test("i92: the constraint gate is one stats pass + one anti-join — violations count, rows never ship") {
     // Four constraints share ONE aggregate over one orders scan; the FK
     // check is a single LeftAnti join counted. A third orders scan (or
