@@ -2144,6 +2144,53 @@ object PipelineOps {
                  |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
                  | FROM h ORDER BY depth"""))),
 
+    // Per-source QUANTILE NORMALIZATION — the cross-source calibration
+    // a single quality threshold gets wrong: "quality ≥ 0.6" cuts 5% of
+    // one source and 60% of another, so mixture policies compare
+    // QUANTILE RANKS, not raw scores. Each source's 3dp quality domain
+    // is BOUNDED (≤1001 levels — the c17/j21 distribution rule), so the
+    // corpus collapses to a per-(source, level) histogram on one
+    // Exchange, the midrank CDF runs over the bounded histogram
+    // (qrank_ppm = (2·cum − cnt)·1e6 div (2·n), the exact midpoint
+    // convention — all int64 through sf100), and a filter broadcasts
+    // the ≤20k-row table back to cut every source at the same quantile.
+    // Scores are j20's shipped milli-quality expression.
+    Q("i94_quantile_normalize",
+      (s, dir) => {
+        val v = t(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+            markerScore(col("text"), Seq("a", "the")).as("n_stop"))
+          .select(col("source"), round(qualityExpr * 1000).cast("long").as("qm"))
+        val w = Window.partitionBy(col("source")).orderBy(col("qm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        v.groupBy(col("source"), col("qm")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+          .select(col("source"), col("qm"), col("cnt"),
+            expr("(2 * cum - cnt) * 1000000 div (2 * n)").as("qrank_ppm"))
+          .orderBy("source", "qm")
+      },
+      Some(sql("""WITH st AS (SELECT source,
+                 |     len(string_split(text,' '))::BIGINT AS n_tok,
+                 |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |   FROM documents),
+                 | v AS (SELECT source,
+                 |     CAST(round(round(least(n_tok/100.0,1.0)*0.4 + (n_uniq/n_tok)*0.3
+                 |       + (1.0-n_stop/n_tok)*0.3, 3)*1000) AS BIGINT) AS qm
+                 |   FROM st),
+                 | h AS (SELECT source, qm, count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
+                 | w AS (SELECT source, qm, cnt,
+                 |     sum(cnt) OVER (PARTITION BY source ORDER BY qm
+                 |       ROWS UNBOUNDED PRECEDING) AS cum,
+                 |     sum(cnt) OVER (PARTITION BY source) AS n
+                 |   FROM h)
+                 | SELECT source, qm, cnt,
+                 |   (((2 * cum - cnt) * 1000000) // (2 * n))::BIGINT AS qrank_ppm
+                 | FROM w ORDER BY source, qm"""))),
+
     // Padding-WASTE report — the batch-efficiency diagnostic behind
     // length-bucketed batching (m8's idea for text): docs batch at the
     // next power-of-two length cap (16..1024; longer docs truncate at

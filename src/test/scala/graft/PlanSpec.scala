@@ -1380,6 +1380,18 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"d20: expected ONE hash Exchange, got $shuffles:\n$p")
   }
 
+  test("i94: the corpus collapses to the (source, level) histogram; the CDF runs on the bounded table") {
+    // One corpus Exchange (the histogram aggregate); the midrank
+    // windows shuffle only the ≤ sources×1001-row histogram.
+    val p = plan(Registry.byId("i94_quantile_normalize").build(spark, dir))
+    assert(!p.contains("Join"), s"i94 plans zero joins:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2,
+      s"i94: histogram agg + bounded window re-key, got $shuffles:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"i94: ONE corpus scan, got $scans:\n$p")
+  }
+
   test("i93: cap assignment is row-local; the waste report is one bounded rollup") {
     val p = plan(Registry.byId("i93_pad_waste").build(spark, dir))
     assert(!p.contains("Join"), s"i93 plans zero joins:\n$p")
