@@ -1115,6 +1115,56 @@ object PipelineOps {
   /** (doc_id, n_tok, quality) — the i53/i63 scoring frame, factored so
     * the budget-selection law test runs the registry's code path.
     */
+  /** i89's row-local excision core (segments → first-occurrence keep →
+    * fingerprint) — one shared expression tree for the registry query
+    * and the streaming stateless twin (shuffled feed ≡ batch: no state,
+    * no cross-row dependence).
+    */
+  private[graft] def intradocExcise(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .withColumn("segs", expr(
+      "transform(sequence(0, (size(toks) + 1) div 2 - 1), i -> array_join(slice(toks, i*2 + 1, 2), ' '))"))
+    .withColumn("kept", expr(
+      "filter(segs, (sg, j) -> array_position(segs, sg) = j + 1)"))
+    .select(col("doc_id"),
+      size(col("segs")).cast("long").as("n_seg"),
+      size(col("kept")).cast("long").as("n_kept"),
+      md5(array_join(col("kept"), " ")).as("kept_fp"))
+
+  /** m8's row-local aspect assignment (m1 metadata derivation + the
+    * lcm-scaled rational argmin) — shared by the registry rollup and
+    * the streaming stateless twin.
+    */
+  private[graft] def aspectAssign(docs: DataFrame): DataFrame = {
+    val buckets = Seq((1, 1, "1:1"), (4, 3, "4:3"), (3, 4, "3:4"),
+      (16, 9, "16:9"), (9, 16, "9:16"), (3, 2, "3:2"),
+      (2, 3, "2:3"), (2, 1, "2:1"), (1, 2, "1:2"))
+    val cand = array(buckets.zipWithIndex.map { case ((p, q, nm), i) =>
+      struct(
+        (abs(col("width") * q - col("height") * p) * (144 / q)).cast("long").as("v"),
+        lit(i.toLong).as("idx"), lit(nm).as("bucket"))
+    }: _*)
+    docs
+      .select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"),
+        (lit(16) + col("h") % 240).cast("long").as("width"),
+        (lit(16) + expr("h div 240") % 240).cast("long").as("height"))
+      .withColumn("bucket", array_min(cand).getField("bucket"))
+  }
+
+  /** i93's row-local cap assignment (the power-of-two cap ladder) —
+    * shared by the registry rollup and the streaming stateless twin.
+    */
+  private[graft] def padCapAssign(docs: DataFrame): DataFrame = {
+    val caps = array((4 to 10).map(k => lit(1L << k)): _*)
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cap", coalesce(
+        array_min(filter(caps, c => c >= col("n_tok"))), lit(1024L)))
+      .withColumn("kept", least(col("n_tok"), col("cap")))
+  }
+
   private[graft] def docTokQuality(docs: DataFrame): DataFrame =
     docTokStats(docs).select(col("doc_id"), col("n_tok"),
       qualityExpr.as("quality"))
@@ -2204,12 +2254,7 @@ object PipelineOps {
     // boundaries; a second run after re-bucketing proves the saving.
     Q("i93_pad_waste",
       (s, dir) => {
-        val caps = array((4 to 10).map(k => lit(1L << k)): _*)
-        t(s, dir, "documents")
-          .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .withColumn("cap", coalesce(
-            array_min(filter(caps, c => c >= col("n_tok"))), lit(1024L)))
-          .withColumn("kept", least(col("n_tok"), col("cap")))
+        padCapAssign(t(s, dir, "documents"))
           .groupBy(col("cap"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("kept")).as("tokens"),
@@ -2644,17 +2689,7 @@ object PipelineOps {
     // Output fingerprints the cleaned text (md5 of the kept join) so a
     // delivery step can verify the excision without shipping text.
     Q("i89_intradoc_excise",
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("segs", expr(
-          "transform(sequence(0, (size(toks) + 1) div 2 - 1), i -> array_join(slice(toks, i*2 + 1, 2), ' '))"))
-        .withColumn("kept", expr(
-          "filter(segs, (sg, j) -> array_position(segs, sg) = j + 1)"))
-        .select(col("doc_id"),
-          size(col("segs")).cast("long").as("n_seg"),
-          size(col("kept")).cast("long").as("n_kept"),
-          md5(array_join(col("kept"), " ")).as("kept_fp"))
-        .orderBy("doc_id"),
+      (s, dir) => intradocExcise(t(s, dir, "documents")).orderBy("doc_id"),
       Some(sql("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
                  | s AS (SELECT doc_id, list_transform(range(0, (len(toks) + 1) // 2),
                  |     i -> array_to_string(toks[i*2+1 : i*2+2], ' ')) AS segs FROM t),
@@ -5718,27 +5753,11 @@ object PipelineOps {
     // one bounded-output aggregate. Dimensions come from the SAME m1
     // metadata derivation (shipped plan rule).
     Q("m8_aspect_buckets",
-      (s, dir) => {
-        val buckets = Seq((1, 1, "1:1"), (4, 3, "4:3"), (3, 4, "3:4"),
-          (16, 9, "16:9"), (9, 16, "9:16"), (3, 2, "3:2"),
-          (2, 3, "2:3"), (2, 1, "2:1"), (1, 2, "1:2"))
-        val cand = array(buckets.zipWithIndex.map { case ((p, q, nm), i) =>
-          struct(
-            (abs(col("width") * q - col("height") * p) * (144 / q)).cast("long").as("v"),
-            lit(i.toLong).as("idx"), lit(nm).as("bucket"))
-        }: _*)
-        t(s, dir, "documents")
-          .select(col("doc_id"),
-            conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long").as("h"))
-          .select(col("doc_id"),
-            (lit(16) + col("h") % 240).cast("long").as("width"),
-            (lit(16) + expr("h div 240") % 240).cast("long").as("height"))
-          .withColumn("bucket", array_min(cand).getField("bucket"))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_images"),
-            sum(col("width") * col("height")).as("total_px"))
-          .orderBy("bucket")
-      },
+      (s, dir) => aspectAssign(t(s, dir, "documents"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("width") * col("height")).as("total_px"))
+        .orderBy("bucket"),
       Some(sql("""WITH m AS (SELECT doc_id,
                  |     (16 + h % 240)::BIGINT AS w, (16 + (h // 240) % 240)::BIGINT AS ht
                  |   FROM (SELECT doc_id, ('0x'||substr(md5(text),1,4))::BIGINT AS h

@@ -411,6 +411,55 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming intra-doc excision == batch i89 (stateless, arrival-order free)") {
+    // The excision is entirely row-local HOFs, so the SAME expression
+    // tree runs per micro-batch with no state; a shuffled feed must
+    // reproduce the batch report exactly.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(29).shuffle(docs)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.intradocExcise(ds.toDF("doc_id", "text")))
+    val want = Registry.byId("i89_intradoc_excise").build(spark, dir)
+    assertSameRows(got, want)
+  }
+
+  test("streaming aspect assignment == batch m8 (stateless rational argmin + rollup agreement)") {
+    // Bucket assignment is a row-local exact-rational argmin — no
+    // state; the shuffled-feed assignments match batch row-for-row,
+    // and their rollup reproduces the registry's m8 report.
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(31).shuffle(docs)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.aspectAssign(ds.toDF("doc_id", "text")))
+    val want = PipelineOps.aspectAssign(Tables.load(spark, dir, "documents"))
+    assertSameRows(got, want)
+    assertSameRows(
+      got.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("width") * col("height")).as("total_px")),
+      Registry.byId("m8_aspect_buckets").build(spark, dir))
+  }
+
+  test("streaming pad-cap assignment == batch i93 (stateless ladder + rollup agreement)") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val feed = new scala.util.Random(37).shuffle(docs)
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      PipelineOps.padCapAssign(ds.toDF("doc_id", "text")))
+    val want = PipelineOps.padCapAssign(Tables.load(spark, dir, "documents"))
+    assertSameRows(got, want)
+    assertSameRows(
+      got.groupBy(col("cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("tokens"),
+          sum(col("cap") - col("kept")).as("pad_tokens"),
+          sum(when(col("n_tok") > col("cap"), col("n_tok") - col("cap"))
+            .otherwise(0L)).as("truncated_tokens"))
+        .withColumn("waste_ppm", expr("pad_tokens * 1000000 div (cap * n_docs)")),
+      Registry.byId("i93_pad_waste").build(spark, dir))
+  }
+
   test("streaming mixture sampling == batch i21 (stateless, arrival-order free)") {
     // The sampling filter is content-addressed and stateless, so the
     // SAME expression applies per micro-batch with no state store; a
