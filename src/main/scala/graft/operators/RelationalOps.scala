@@ -971,6 +971,47 @@ object RelationalOps {
                  |   CAST(sum(vc) AS BIGINT) AS sum_vc
                  | FROM r GROUP BY 1 ORDER BY bucket"""))),
 
+    // BENFORD leading-digit profile — the forensic data-quality screen
+    // (fabricated or unit-mixed numeric columns break the log-law
+    // digit distribution long before summary stats notice): leading
+    // digit of each order's cents value, observed share vs Benford's
+    // log10(1+1/d), and the L1 distance. Exactness: the leading digit
+    // is a STRING head of the positive integer (substr of the cast —
+    // both engines print int64 identically; a log10/pow spelling would
+    // be float), shares are exact ppm (n·1e6 div N via the 1-row
+    // total), and the Benford expectations enter as integer ppm
+    // literals — no transcendental evaluated anywhere. One partial/
+    // final aggregate on the 9-value digit domain + a 1-row broadcast.
+    Q("c19_benford_profile",
+      (s, dir) => {
+        val benford = map((1 to 9).flatMap { d =>
+          Seq(lit(d.toLong), lit(math.round(math.log10(1.0 + 1.0 / d) * 1e6)))
+        }: _*)
+        val digits = t(s, dir, "orders")
+          .select(substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("tot"))
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            expr("n * 1000000 div tot").as("obs_ppm"),
+            element_at(benford, col("digit")).as("benford_ppm"))
+          .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+          .orderBy("digit")
+      },
+      Some(sql("""WITH d AS (SELECT substr(CAST(round(o_totalprice * 100)::BIGINT AS VARCHAR), 1, 1)::BIGINT AS digit
+                 |   FROM orders),
+                 | c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+                 | t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+                 | e(digit, benford_ppm) AS (VALUES (1, 301030), (2, 176091),
+                 |   (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+                 |   (7, 57992), (8, 51153), (9, 45757))
+                 | SELECT c.digit, c.n, (c.n * 1000000 // t.tot)::BIGINT AS obs_ppm,
+                 |   e.benford_ppm::BIGINT AS benford_ppm,
+                 |   abs((c.n * 1000000 // t.tot) - e.benford_ppm)::BIGINT AS dev_ppm
+                 | FROM c, t JOIN e ON c.digit = e.digit
+                 | ORDER BY c.digit"""))),
+
     // Profiling CORRELATION MATRIX — every numeric column pair of
     // lineitem in ONE aggregate pass (the data-profiling sweep j20 runs
     // for one pair): 15 exact sums (n, four Σx, four Σx², six Σxy)

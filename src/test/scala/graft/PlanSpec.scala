@@ -1059,6 +1059,15 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
   }
 
+  test("c19: Benford profile is one digit aggregate + a 1-row broadcast total") {
+    val p = plan(Registry.byId("c19_benford_profile").build(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"c19: ONE orders scan, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the 1-row total must broadcast:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"c19: ONE digit Exchange, got $shuffles:\n$p")
+  }
+
   test("d19: transition pairs ride the user Exchange; the rate window runs on the bounded matrix") {
     // lead() shuffles the stream once on user_id; the (cur, nxt) count
     // and its row-total window move only the |types|²-bounded matrix.
