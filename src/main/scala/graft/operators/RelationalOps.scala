@@ -981,18 +981,22 @@ object RelationalOps {
     // be float), shares are exact ppm (n·1e6 div N via the 1-row
     // total), and the Benford expectations enter as integer ppm
     // literals — no transcendental evaluated anywhere. One partial/
-    // final aggregate on the 9-value digit domain + a 1-row broadcast.
+    // final aggregate on the 9-value digit domain; the total is an
+    // UNPARTITIONED window over the ≤9-row POST-aggregation frame (the
+    // i58 bounded-window rule — a second aggregate would plan the scan
+    // subtree twice).
     Q("c19_benford_profile",
       (s, dir) => {
         val benford = map((1 to 9).flatMap { d =>
           Seq(lit(d.toLong), lit(math.round(math.log10(1.0 + 1.0 / d) * 1e6)))
         }: _*)
-        val digits = t(s, dir, "orders")
+        val all = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
           .select(substring(round(col("o_totalprice") * 100).cast("long")
             .cast("string"), 1, 1).cast("long").as("digit"))
           .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        val tot = digits.agg(sum(col("n")).as("tot"))
-        digits.crossJoin(broadcast(tot))
+          .withColumn("tot", sum(col("n")).over(all))
           .select(col("digit"), col("n"),
             expr("n * 1000000 div tot").as("obs_ppm"),
             element_at(benford, col("digit")).as("benford_ppm"))
