@@ -2194,6 +2194,66 @@ object PipelineOps {
                  |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
                  | FROM h ORDER BY depth"""))),
 
+    // QUOTA-capped per-source selection — i63's greedy budget cut made
+    // mixture-aware: every source gets its OWN token quota (⅓ of its
+    // tokens here; a production mixture feeds per-source targets), and
+    // the best quality levels fill it all-or-nothing (equal scores are
+    // indistinguishable — the i63 determinism contract) — so one
+    // source's quality glut can't starve another, which is exactly
+    // what the global i63 cut does to small sources. Same scale
+    // spelling: the corpus collapses to the (source, quality-level)
+    // token histogram on ONE Exchange; the greedy walk is a running
+    // sum over the ≤1001-row per-source frame; quotas come from the
+    // same frame's full-window total (no second corpus pass). Output
+    // is the per-source fill report; the doc-level cut is the keep-set
+    // broadcast back (the i63 shape).
+    Q("i95_quota_select",
+      (s, dir) => {
+        val lvl = t(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+            markerScore(col("text"), Seq("a", "the")).as("n_stop"))
+          .select(col("source"), col("n_tok"),
+            round(qualityExpr * 1000).cast("long").as("qm"))
+          .groupBy(col("source"), col("qm")).agg(sum(col("n_tok")).as("ltok"))
+        val wcum = Window.partitionBy(col("source")).orderBy(col("qm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lvl
+          .withColumn("cum", sum(col("ltok")).over(wcum))
+          .withColumn("stot", sum(col("ltok")).over(Window.partitionBy(col("source"))))
+          .withColumn("quota", expr("stot div 3"))
+          .filter(col("cum") <= col("quota"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_levels_kept"),
+            sum(col("ltok")).as("tokens_kept"),
+            first(col("quota")).as("quota_tok"))
+          .withColumn("fill_ppm", expr("tokens_kept * 1000000 div quota_tok"))
+          .orderBy("source")
+      },
+      Some(sql("""WITH st AS (SELECT source,
+                 |     len(string_split(text,' '))::BIGINT AS n_tok,
+                 |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |   FROM documents),
+                 | v AS (SELECT source, n_tok,
+                 |     CAST(round(round(least(n_tok/100.0,1.0)*0.4 + (n_uniq/n_tok)*0.3
+                 |       + (1.0-n_stop/n_tok)*0.3, 3)*1000) AS BIGINT) AS qm
+                 |   FROM st),
+                 | lvl AS (SELECT source, qm, sum(n_tok)::BIGINT AS ltok FROM v GROUP BY 1, 2),
+                 | w AS (SELECT source, qm, ltok,
+                 |     sum(ltok) OVER (PARTITION BY source ORDER BY qm DESC
+                 |       ROWS UNBOUNDED PRECEDING) AS cum,
+                 |     sum(ltok) OVER (PARTITION BY source) AS stot
+                 |   FROM lvl),
+                 | k AS (SELECT source, ltok, (stot // 3)::BIGINT AS quota
+                 |   FROM w WHERE cum <= stot // 3)
+                 | SELECT source, count(*)::BIGINT AS n_levels_kept,
+                 |   sum(ltok)::BIGINT AS tokens_kept,
+                 |   any_value(quota) AS quota_tok,
+                 |   ((sum(ltok) * 1000000) // any_value(quota))::BIGINT AS fill_ppm
+                 | FROM k GROUP BY source ORDER BY source"""))),
+
     // Per-source QUANTILE NORMALIZATION — the cross-source calibration
     // a single quality threshold gets wrong: "quality ≥ 0.6" cuts 5% of
     // one source and 60% of another, so mixture policies compare

@@ -1389,6 +1389,19 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"d20: expected ONE hash Exchange, got $shuffles:\n$p")
   }
 
+  test("i95: quota selection collapses to the level histogram — one corpus Exchange, one scan") {
+    // The greedy walk and the quota totals both run over the bounded
+    // (source, level) frame; a second corpus scan (the i63 crossJoin
+    // trap) or Exchange means the quota re-derived from raw docs.
+    val p = plan(Registry.byId("i95_quota_select").build(spark, dir))
+    assert(!p.contains("Join"), s"i95 plans zero joins:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"i95: ONE corpus scan, got $scans:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2,
+      s"i95: histogram agg + bounded window re-key, got $shuffles:\n$p")
+  }
+
   test("i94: the corpus collapses to the (source, level) histogram; the CDF runs on the bounded table") {
     // One corpus Exchange (the histogram aggregate); the midrank
     // windows shuffle only the ≤ sources×1001-row histogram.
