@@ -2194,6 +2194,99 @@ object PipelineOps {
                  |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
                  | FROM h ORDER BY depth"""))),
 
+    // Curation FUNNEL — the yield dashboard every pipeline owner
+    // watches: where does the corpus die? Each doc is attributed to the
+    // FIRST stage that drops it (eval holdout → lang → quality →
+    // intra-doc repetition (>10% repeated segments, the i89 signal) →
+    // exact dup → contamination → kept), in ONE pass: the row-local
+    // stages are shared expressions (j2 quality, i89 segments), the
+    // exact-dup rank is one fp window SEQUENTIALLY SCOPED by masking —
+    // docs failing an earlier stage get a singleton partition key, so
+    // they never consume a duplicate slot (a funnel dedups only what
+    // reached the dedup stage) — and contamination is the shipped i57
+    // screen (broadcast eval-shingle set). Output is the 7-row stage ×
+    // (docs, tokens) report; at 100 TB this costs the i17 pipeline's
+    // one corpus Exchange plus the i19 screen it already composes.
+    Q("i96_curation_funnel",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ev = evalShingleSet(docs.filter(col("doc_id") < 50))
+        val flagged = contaminationScreen(docs.filter(col("doc_id") >= 50), ev)
+          .select(col("doc_id"), lit(1L).as("contam"))
+        val enriched = docs
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+          .withColumn("n_stop", markerScore(col("text"), Seq("a", "the")))
+          .withColumn("quality", qualityExpr)
+          .withColumn("segs", expr(
+            "transform(sequence(0, (size(toks) + 1) div 2 - 1), i -> array_join(slice(toks, i*2 + 1, 2), ' '))"))
+          .withColumn("n_seg", size(col("segs")).cast("long"))
+          .withColumn("n_kept", size(expr(
+            "filter(segs, (sg, j) -> array_position(segs, sg) = j + 1)")).cast("long"))
+          .withColumn("fp", md5(col("text")))
+          .withColumn("rl_pass",
+            col("doc_id") >= 50 && col("lang") === "en" &&
+              col("quality") >= 0.64 && col("n_kept") * 10 >= col("n_seg") * 9)
+        val ranked = enriched.withColumn("rn", row_number().over(
+          Window.partitionBy(
+            when(col("rl_pass"), col("fp"))
+              .otherwise(concat(lit("x"), col("doc_id").cast("string"))))
+            .orderBy(col("doc_id"))))
+        ranked.join(flagged, Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(col("doc_id") < 50, "0_eval_holdout")
+              .when(col("lang") =!= "en", "1_lang")
+              .when(col("quality") < 0.64, "2_quality")
+              .when(col("n_kept") * 10 < col("n_seg") * 9, "3_repetition")
+              .when(col("rn") > 1, "4_exact_dup")
+              .when(col("contam").isNotNull, "5_contaminated")
+              .otherwise("6_kept"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy("stage")
+      },
+      Some(sql("""WITH base AS (SELECT doc_id, lang, text, string_split(text,' ') AS toks FROM documents),
+                 | st AS (SELECT doc_id, lang, text, toks, len(toks)::BIGINT AS n_tok,
+                 |     len(list_distinct(toks))::BIGINT AS n_uniq,
+                 |     len(list_filter(toks, t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |   FROM base),
+                 | q AS (SELECT *, round(least(n_tok/100.0,1.0)*0.4 + (n_uniq/n_tok)*0.3
+                 |     + (1.0-n_stop/n_tok)*0.3, 3) AS quality FROM st),
+                 | seg AS (SELECT *, list_transform(range(0,(n_tok+1)//2),
+                 |     i -> array_to_string(toks[i*2+1:i*2+2],' ')) AS segs FROM q),
+                 | ex AS (SELECT doc_id, lang, n_tok, quality, text, len(segs)::BIGINT AS n_seg,
+                 |     len(list_filter(segs, (sg,j) -> list_position(segs,sg) = j))::BIGINT AS n_kept
+                 |   FROM seg),
+                 | rl AS (SELECT *, (doc_id >= 50 AND lang = 'en' AND quality >= 0.64
+                 |     AND n_kept*10 >= n_seg*9) AS rl_pass, md5(text) AS fp FROM ex),
+                 | rk AS (SELECT *, row_number() OVER (PARTITION BY
+                 |     (CASE WHEN rl_pass THEN fp ELSE 'x' || CAST(doc_id AS VARCHAR) END)
+                 |     ORDER BY doc_id) AS rn FROM rl),
+                 | sh AS (SELECT DISTINCT doc_id,
+                 |     unnest(list_transform(range(1, len(toks)-1),
+                 |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                 |   FROM base WHERE len(toks) >= 3),
+                 | evs AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+                 | tr AS (SELECT * FROM sh WHERE doc_id >= 50),
+                 | sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+                 | shd AS (SELECT doc_id, count(*) AS n_shared
+                 |   FROM tr JOIN evs USING (s) GROUP BY doc_id),
+                 | ct AS (SELECT sz.doc_id FROM sz JOIN shd USING (doc_id)
+                 |   WHERE n_shared * 1.0 / n_sh >= 0.2),
+                 | staged AS (SELECT rk.doc_id, n_tok,
+                 |     CASE WHEN rk.doc_id < 50 THEN '0_eval_holdout'
+                 |          WHEN lang <> 'en' THEN '1_lang'
+                 |          WHEN quality < 0.64 THEN '2_quality'
+                 |          WHEN n_kept*10 < n_seg*9 THEN '3_repetition'
+                 |          WHEN rn > 1 THEN '4_exact_dup'
+                 |          WHEN ct.doc_id IS NOT NULL THEN '5_contaminated'
+                 |          ELSE '6_kept' END AS stage
+                 |   FROM rk LEFT JOIN ct ON rk.doc_id = ct.doc_id)
+                 | SELECT stage, count(*)::BIGINT AS n_docs,
+                 |   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                 | FROM staged GROUP BY stage ORDER BY stage"""))),
+
     // QUOTA-capped per-source selection — i63's greedy budget cut made
     // mixture-aware: every source gets its OWN token quota (⅓ of its
     // tokens here; a production mixture feeds per-source targets), and

@@ -1389,6 +1389,17 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"d20: expected ONE hash Exchange, got $shuffles:\n$p")
   }
 
+  test("i96: the funnel attributes every doc in one pass — no cartesian, masked-fp dedup window") {
+    // Row-local stages + ONE fp window (sequentially scoped by the
+    // singleton mask) + the broadcast contamination screen; a
+    // CartesianProduct or a second corpus-wide Window means a stage
+    // stopped sharing the pass.
+    val p = plan(Registry.byId("i96_curation_funnel").build(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val windows = "Window".r.findAllIn(p).size - "WindowGroupLimit".r.findAllIn(p).size
+    assert(windows == 1, s"i96: ONE masked-fp window, got $windows:\n$p")
+  }
+
   test("i95: quota selection collapses to the level histogram — one corpus Exchange, one scan") {
     // The greedy walk and the quota totals both run over the bounded
     // (source, level) frame; a second corpus scan (the i63 crossJoin
