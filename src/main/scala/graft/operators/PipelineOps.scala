@@ -2194,6 +2194,44 @@ object PipelineOps {
                  |   (n_hit * 1000000) // (depth * 20) AS overlap_ppm
                  | FROM h ORDER BY depth"""))),
 
+    // Metric STABILITY probe — error bars without RNG: is the corpus
+    // quality mean a property of the corpus or of the sample? The
+    // corpus splits into 16 content-addressed buckets (salted md5 of
+    // doc_id — deterministic, partition-invariant, the i16 rule), each
+    // bucket reports its exact mean (micro-units, integer division of
+    // exact int64 sums), and the spread across buckets IS the
+    // stability estimate — the deterministic analog of a bootstrap,
+    // reproducible to the bit across runs and engines where resampling
+    // is not. One map-side-combinable aggregate; 16 output rows at any
+    // corpus size.
+    Q("j23_metric_stability",
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          (conv(substring(md5(concat(lit("stab:"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 16).as("bucket"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+          markerScore(col("text"), Seq("a", "the")).as("n_stop"))
+        .select(col("bucket"), round(qualityExpr * 1000).cast("long").as("qm"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("qsum"))
+        .select(col("bucket"), col("n_docs"),
+          expr("qsum * 1000 div n_docs").as("mean_micro"))
+        .orderBy("bucket"),
+      Some(sql("""WITH st AS (SELECT
+                 |     ('0x' || substr(md5('stab:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS bucket,
+                 |     len(string_split(text,' '))::BIGINT AS n_tok,
+                 |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
+                 |     len(list_filter(string_split(text,' '), t -> t IN ('a','the')))::BIGINT AS n_stop
+                 |   FROM documents),
+                 | v AS (SELECT bucket,
+                 |     CAST(round(round(least(n_tok/100.0,1.0)*0.4 + (n_uniq/n_tok)*0.3
+                 |       + (1.0-n_stop/n_tok)*0.3, 3)*1000) AS BIGINT) AS qm
+                 |   FROM st)
+                 | SELECT bucket, count(*)::BIGINT AS n_docs,
+                 |   ((sum(qm) * 1000) // count(*))::BIGINT AS mean_micro
+                 | FROM v GROUP BY bucket ORDER BY bucket"""))),
+
     // Curation FUNNEL — the yield dashboard every pipeline owner
     // watches: where does the corpus die? Each doc is attributed to the
     // FIRST stage that drops it (eval holdout → lang → quality →

@@ -1760,6 +1760,33 @@ object RelationalOps {
                  |   CAST(sum(is_anom) AS BIGINT) AS n_anom
                  | FROM f GROUP BY user_id, hod ORDER BY user_id, hod"""))),
 
+    // ACTIVITY GRID — the (day-of-week × hour) seasonality matrix d18's
+    // anomaly screen presumes and every on-call dashboard draws: event
+    // counts and exact ppm share per cell. One map-side-combinable
+    // aggregate to a ≤168-row output at any corpus size; the share
+    // denominator is the bounded post-aggregation full-frame window
+    // (the i58/c19 rule — no second corpus pass). Spark's dayofweek is
+    // 1=Sunday, mirrored exactly by DuckDB's dayofweek()+1 (0=Sunday).
+    Q("d23_activity_grid",
+      (s, dir) => {
+        val all = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(dayofweek(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hod"))
+          .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum(col("n")).over(all))
+          .select(col("dow"), col("hod"), col("n"),
+            expr("n * 1000000 div tot").as("share_ppm"))
+          .orderBy("dow", "hod")
+      },
+      Some(sql("""WITH c AS (SELECT (dayofweek(ts) + 1)::BIGINT AS dow,
+                 |     CAST(hour(ts) AS BIGINT) AS hod, count(*)::BIGINT AS n
+                 |   FROM events GROUP BY 1, 2),
+                 | t AS (SELECT *, sum(n) OVER () AS tot FROM c)
+                 | SELECT dow, hod, n, ((n * 1000000) // tot)::BIGINT AS share_ppm
+                 | FROM t ORDER BY dow, hod"""))),
+
     // MARKOV transition matrix over the event stream — the journey-
     // modeling estimate behind attribution and next-action prediction:
     // P(next = b | current = a) from each user's (ts, event_id)-ordered

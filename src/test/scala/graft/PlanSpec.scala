@@ -1389,6 +1389,17 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"d20: expected ONE hash Exchange, got $shuffles:\n$p")
   }
 
+  test("j23/d23: stability probe and activity grid are one aggregate over one scan") {
+    for (id <- Seq("j23_metric_stability", "d23_activity_grid")) {
+      val p = plan(Registry.byId(id).build(spark, dir))
+      assert(!p.contains("Join"), s"$id plans zero joins:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$id: ONE scan, got $scans:\n$p")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles == 1, s"$id: ONE hash Exchange, got $shuffles:\n$p")
+    }
+  }
+
   test("i96: the funnel attributes every doc in one pass — no cartesian, masked-fp dedup window") {
     // Row-local stages + ONE fp window (sequentially scoped by the
     // singleton mask) + the broadcast contamination screen; a
