@@ -971,6 +971,58 @@ object RelationalOps {
                  |   CAST(sum(vc) AS BIGINT) AS sum_vc
                  | FROM r GROUP BY 1 ORDER BY bucket"""))),
 
+    // WINSORIZED mean — the robust AGGREGATE next to c12's outlier
+    // REPORT: clamp to the exact [p5, p95] and average, so a fat tail
+    // moves the estimate by at most 5% of mass × the clamp bound
+    // (a plain mean follows one adversarial row anywhere). Everything
+    // runs on the VALUE DISTRIBUTION (the c10/c12/c17 rule): the
+    // corpus collapses to (vc, cnt) on one Exchange; the rank CDF, the
+    // two percentile bounds (min vc with cum·20 ≥ tot / ≥ 19·tot —
+    // exact integer cross-multiplication, no float percentile), and
+    // the clamped sum are all windows + one aggregate over the BOUNDED
+    // distribution — no second corpus pass (the c19 lesson), no sort
+    // of the corpus. Sums stay int64 through sf100 (cents·count ≤
+    // 1e12; ·1e6 for the micro mean < 2⁶³).
+    Q("c20_winsorized_mean",
+      (s, dir) => {
+        val byVc = Window.orderBy(col("vc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(round(col("value") * 100).cast("long").as("vc"))
+          .groupBy(col("vc")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(byVc))
+          .withColumn("tot", sum(col("cnt")).over(all))
+          .withColumn("lo",
+            min(when(col("cum") * 20 >= col("tot"), col("vc"))).over(all))
+          .withColumn("hi",
+            min(when(col("cum") * 20 >= col("tot") * 19, col("vc"))).over(all))
+          .agg(first(col("tot")).as("n"), first(col("lo")).as("p5"),
+            first(col("hi")).as("p95"),
+            sum(col("cnt") * col("vc")).as("psum"),
+            sum(col("cnt") * least(greatest(col("vc"), col("lo")), col("hi")))
+              .as("wsum"))
+          .select(col("n"), col("p5"), col("p95"),
+            expr("psum * 1000000 div n").as("mean_microcents"),
+            expr("wsum * 1000000 div n").as("wmean_microcents"))
+      },
+      Some(sql("""WITH d AS (SELECT round(value * 100)::BIGINT AS vc, count(*)::BIGINT AS cnt
+                 |   FROM events GROUP BY 1),
+                 | w AS (SELECT vc, cnt,
+                 |     sum(cnt) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cum,
+                 |     sum(cnt) OVER () AS tot
+                 |   FROM d),
+                 | b AS (SELECT vc, cnt, tot,
+                 |     min(CASE WHEN cum * 20 >= tot THEN vc END) OVER () AS lo,
+                 |     min(CASE WHEN cum * 20 >= tot * 19 THEN vc END) OVER () AS hi
+                 |   FROM w)
+                 | SELECT any_value(tot)::BIGINT AS n,
+                 |   any_value(lo)::BIGINT AS p5, any_value(hi)::BIGINT AS p95,
+                 |   ((sum(cnt * vc) * 1000000) // any_value(tot))::BIGINT AS mean_microcents,
+                 |   ((sum(cnt * least(greatest(vc, lo), hi)) * 1000000) // any_value(tot))::BIGINT AS wmean_microcents
+                 | FROM b"""))),
+
     // BENFORD leading-digit profile — the forensic data-quality screen
     // (fabricated or unit-mixed numeric columns break the log-law
     // digit distribution long before summary stats notice): leading

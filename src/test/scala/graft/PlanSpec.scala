@@ -1059,6 +1059,19 @@ class PlanSpec extends SparkTestBase {
     assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
   }
 
+  test("c20: winsorized mean runs on the value distribution — one corpus Exchange, one scan") {
+    // CDF, percentile bounds, and the clamped sum are windows + one
+    // aggregate over the bounded (vc, cnt) table; a second corpus scan
+    // (the c19 crossJoin trap) or Exchange means a branch re-derived
+    // the distribution.
+    val p = plan(Registry.byId("c20_winsorized_mean").build(spark, dir))
+    assert(!p.contains("Join"), s"c20 plans zero joins:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"c20: ONE events scan, got $scans:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"c20: ONE distribution Exchange, got $shuffles:\n$p")
+  }
+
   test("c19: Benford profile is one digit aggregate + a 1-row broadcast total") {
     val p = plan(Registry.byId("c19_benford_profile").build(spark, dir))
     val scans = "Scan parquet".r.findAllIn(p).size
