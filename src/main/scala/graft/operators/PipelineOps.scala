@@ -2575,6 +2575,90 @@ object PipelineOps {
                  |   (bpe_est * 1000000) // ws_tokens AS fert_bpe_ppm
                  | FROM a ORDER BY lang"""))),
 
+    // IVF nprobe CAPACITY CURVE — the tuning table an ANN deployment
+    // reads before picking nprobe: at each probe depth 1..k, what
+    // fraction of the exact top-3 answers LIVES in the probed clusters
+    // (the achievable-recall ceiling — i28 grades one operating point,
+    // this sweeps them all), against what fraction of the corpus the
+    // probe touches (the cost axis). One pass per axis: the per-query
+    // centroid ranking reuses the SHIPPED routing semantics (6dp dot,
+    // (−qd, cid) sort — annBatchTop3's exact tie-break, row-local over
+    // the broadcast codebook); coverage is the exact-top3 members
+    // joined to their cluster's probe rank with EIGHT conditional sums
+    // in ONE aggregate (the i86 pattern, not eight passes); probed
+    // mass is the same eight sums over the (query × probe-rank) ×
+    // cluster-size table, whose full-frame total IS nQ·N. All exact
+    // integer ppm; the only corpus-sized work is the exact ranking
+    // (the i3 broadcast sweep) and the cluster-size aggregate.
+    Q("i97_nprobe_curve",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = stubCodebook(emb, ivfParams.k)
+        val queries = queryBatch(emb, ivfParams.nQueries)
+        val qranks = queries.crossJoin(broadcast(centroidArray(cent)))
+          .select(col("qid"), posexplode(array_sort(transform(col("cents"), c =>
+            struct(
+              (-round(VectorFunctions.dot(col("qemb"), c.getField("cemb")), 6)).as("nqd"),
+              c.getField("cid").as("cid"))))).as(Seq("pos", "pc")))
+          .select(col("qid"), (col("pos") + 1).cast("long").as("prank"),
+            col("pc.cid").as("cid"))
+        val assigned = assignToCentroids(emb, cent).select(col("vec_id"), col("cid"))
+        val sz = assigned.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+        val massCols = (1 to 8).map(d =>
+          sum(when(col("prank") <= d, col("sz")).otherwise(0L)).as(s"m$d")) :+
+          sum(col("sz")).as("mt")
+        val massAgg = qranks.join(broadcast(sz), Seq("cid"))
+          .agg(massCols.head, massCols.tail: _*)
+        val ex3 = emb.crossJoin(broadcast(queries))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rn") <= 3).select(col("qid"), col("vec_id"))
+        val hitCols = (1 to 8).map(d =>
+          sum(when(col("prank") <= d, 1L).otherwise(0L)).as(s"h$d")) :+
+          count(lit(1)).as("nx")
+        val hitAgg = ex3.join(assigned, Seq("vec_id"))
+          .join(broadcast(qranks), Seq("qid", "cid"))
+          .agg(hitCols.head, hitCols.tail: _*)
+        hitAgg.crossJoin(broadcast(massAgg))
+          .select(explode(array((1 to 8).map(d =>
+            struct(lit(d.toLong).as("nprobe"),
+              expr(s"h$d * 1000000 div nx").as("coverage_ppm"),
+              expr(s"m$d * 1000000 div mt").as("probed_ppm"))): _*)).as("z"))
+          .select(col("z.nprobe"), col("z.coverage_ppm"), col("z.probed_ppm"))
+          .orderBy("nprobe")
+      },
+      Some(sql(s"""WITH ${annBatchCteK(3)},
+                 | qr AS (SELECT qid, cid,
+                 |     row_number() OVER (PARTITION BY qid ORDER BY qd DESC, cid) AS prank
+                 |   FROM qdot),
+                 | sz AS (SELECT cid, count(*)::BIGINT AS sz FROM assigned GROUP BY cid),
+                 | mass AS (SELECT qr.qid, qr.prank, sz.sz FROM qr JOIN sz USING (cid)),
+                 | exsims AS (
+                 |   SELECT qid, vec_id, round(sum(p), 3) AS sim
+                 |   FROM (SELECT q.qid, e.vec_id,
+                 |           unnest(e.embedding)::DOUBLE * unnest(q.qemb)::DOUBLE AS p
+                 |         FROM embeddings e, q)
+                 |   GROUP BY 1, 2),
+                 | ex3 AS (SELECT qid, vec_id FROM (
+                 |     SELECT qid, vec_id,
+                 |       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                 |     FROM exsims) WHERE rn <= 3),
+                 | exr AS (SELECT e3.qid, qr.prank FROM ex3 e3
+                 |   JOIN assigned a ON e3.vec_id = a.vec_id
+                 |   JOIN qr ON qr.qid = e3.qid AND qr.cid = a.cid),
+                 | h AS (SELECT d.range AS d,
+                 |     (SELECT count(*) FROM exr WHERE prank <= d.range) AS hits,
+                 |     (SELECT sum(sz) FROM mass WHERE prank <= d.range) AS m,
+                 |     (SELECT sum(sz) FROM mass) AS mt,
+                 |     (SELECT count(*) FROM exr) AS nx
+                 |   FROM range(1, 9) d)
+                 | SELECT CAST(d AS BIGINT) AS nprobe,
+                 |   ((hits * 1000000) // nx)::BIGINT AS coverage_ppm,
+                 |   ((m * 1000000) // mt)::BIGINT AS probed_ppm
+                 | FROM h ORDER BY nprobe"""))),
+
     // Reciprocal-rank FUSION — the hybrid-retrieval staple: two rankers
     // disagree (here the shipped exact scan and the shipped IVF route —
     // in production, BM25 and the vector index), RRF merges them with

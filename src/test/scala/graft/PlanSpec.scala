@@ -1479,6 +1479,17 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"j22: expected ONE lang Exchange, got $shuffles:\n$p")
   }
 
+  test("i97: eight depths, ONE aggregate per axis — no per-depth pass, no cartesian beyond broadcasts") {
+    // Coverage's 8 conditional sums and probed-mass's 8 sums must land
+    // in one partial/final aggregate each (the i86 pattern); the
+    // centroid ranking is row-local over the broadcast codebook.
+    val p = plan(Registry.byId("i97_nprobe_curve").build(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"1-row merges must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"exact top-3 rank must push down:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 5, s"i97: bounded scan count (corpus sweeps + broadcast sides), got $scans:\n$p")
+  }
+
   test("i91: RRF fuses two query-batch-bounded lists; the fused top-3 pushes into WindowGroupLimit") {
     // The full-outer merge moves 2·|queries|·10 rows, never the corpus;
     // the fused rank's rn<=3 must push down. A Cartesian/BNLJ beyond
