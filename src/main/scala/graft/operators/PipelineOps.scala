@@ -2602,7 +2602,14 @@ object PipelineOps {
               c.getField("cid").as("cid"))))).as(Seq("pos", "pc")))
           .select(col("qid"), (col("pos") + 1).cast("long").as("prank"),
             col("pc.cid").as("cid"))
-        val assigned = assignToCentroids(emb, cent).select(col("vec_id"), col("cid"))
+          // nQ·k rows feeding both axes — materialize once.
+          .localCheckpoint(true)
+        // The assignment table is corpus-sized and feeds three branches
+        // (cluster sizes, the coverage join, and its own build) — one
+        // eager localCheckpoint materializes it once (the i83/i84
+        // rule); everything downstream reads the ExistingRDD.
+        val assigned = assignToCentroids(emb, cent)
+          .select(col("vec_id"), col("cid")).localCheckpoint(true)
         val sz = assigned.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
         val massCols = (1 to 8).map(d =>
           sum(when(col("prank") <= d, col("sz")).otherwise(0L)).as(s"m$d")) :+

@@ -1486,8 +1486,11 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Registry.byId("i97_nprobe_curve").build(spark, dir))
     assert(!p.contains("CartesianProduct"), s"1-row merges must broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"), s"exact top-3 rank must push down:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the assignment table must read its localCheckpoint, not recompute:\n$p")
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans <= 5, s"i97: bounded scan count (corpus sweeps + broadcast sides), got $scans:\n$p")
+    assert(scans <= 5,
+      s"i97: one exact sweep + filter-pruned codebook/query sides, got $scans:\n$p")
   }
 
   test("i91: RRF fuses two query-batch-bounded lists; the fused top-3 pushes into WindowGroupLimit") {
