@@ -318,6 +318,68 @@ object RelationalOps {
                  |  WHERE e.user_id = p.user_id AND e.event_type = 'error' AND e.ts <= p.ts) AS last_error_ts
                  | FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id"""))),
 
+    // NEAREST-event join — b7's as-of looks only BACKWARD (the
+    // feature-store rule); sensor fusion wants the nearest match in
+    // EITHER direction within a tolerance (±10 min here): align each
+    // purchase with its closest error, past or future, or null if none
+    // is near. Same merged-stream spelling as b7 — ONE user Exchange,
+    // two ignore-null frame scans over one sort (last error behind,
+    // first error ahead; at equal ts the error sorts before the
+    // purchase, so ties land in the backward frame once, never both) —
+    // then the pick is a row-local CASE on exact µs deltas with the
+    // backward candidate winning distance ties (deterministic). The
+    // matched error's id rides the frame scan in a (ts, id) struct —
+    // no join back. All-integer µs; the oracle's correlated
+    // ORDER-BY-LIMIT-1 subqueries mirror the frame tiebreaks exactly.
+    Q("b39_nearest_join",
+      (s, dir) => {
+        val tol = 600L * 1000000L
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc, col("is_p").asc, col("event_id").asc)
+        val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val errStruct = when(col("event_type") === "error",
+          struct(col("tus"), col("event_id")))
+        val validB = col("b").isNotNull && col("tus") - col("b.tus") <= tol
+        val validF = col("f").isNotNull && col("f.tus") - col("tus") <= tol
+        val pickB = validB && (!validF ||
+          (col("tus") - col("b.tus")) <= (col("f.tus") - col("tus")))
+        t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"),
+            (col("event_type") === "purchase").cast("int").as("is_p"))
+          .withColumn("b", last(errStruct, ignoreNulls = true).over(back))
+          .withColumn("f", first(errStruct, ignoreNulls = true).over(fwd))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            when(pickB, col("b.tus") - col("tus"))
+              .when(validF, col("f.tus") - col("tus")).as("dt_us"),
+            when(pickB, col("b.event_id"))
+              .when(validF, col("f.event_id")).as("err_event_id"))
+          .orderBy("event_id")
+      },
+      Some(sql("""SELECT p.event_id, p.user_id,
+                 | CASE WHEN b.tus IS NOT NULL AND (f.tus IS NULL OR p.tus - b.tus <= f.tus - p.tus)
+                 |        THEN b.tus - p.tus
+                 |      WHEN f.tus IS NOT NULL THEN f.tus - p.tus END AS dt_us,
+                 | CASE WHEN b.tus IS NOT NULL AND (f.tus IS NULL OR p.tus - b.tus <= f.tus - p.tus)
+                 |        THEN b.event_id
+                 |      WHEN f.tus IS NOT NULL THEN f.event_id END AS err_event_id
+                 | FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+                 |       WHERE event_type = 'purchase') p
+                 | LEFT JOIN LATERAL (
+                 |   SELECT e.event_id, epoch_us(e.ts) AS tus FROM events e
+                 |   WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                 |     AND epoch_us(e.ts) <= p.tus AND p.tus - epoch_us(e.ts) <= 600000000
+                 |   ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) b ON true
+                 | LEFT JOIN LATERAL (
+                 |   SELECT e.event_id, epoch_us(e.ts) AS tus FROM events e
+                 |   WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                 |     AND epoch_us(e.ts) > p.tus AND epoch_us(e.ts) - p.tus <= 600000000
+                 |   ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) f ON true
+                 | ORDER BY p.event_id"""))),
+
     // Interval OVERLAP join — the temporal-join sibling of b7's as-of:
     // ALL (purchase-window, error-window) pairs that overlap in time for
     // the same user, with the exact overlap length. Each purchase opens

@@ -1373,6 +1373,13 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"d22: expected ONE hash Exchange, got $shuffles:\n$p")
   }
 
+  test("b39: nearest-event join is joinless — both direction scans share ONE user Exchange") {
+    val p = plan(Registry.byId("b39_nearest_join").build(spark, dir))
+    assert(!p.contains("Join"), s"b39 plans zero joins (merged-stream windows):\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"b39: expected ONE hash Exchange, got $shuffles:\n$p")
+  }
+
   test("b38: PIT join is equi-keyed with the validity residual — two equi-joins, no nested loop") {
     // Star join on orderkey + the versioned-dimension join on custkey
     // with [valid_from, valid_to) as residual filters; a BNLJ/Cartesian
