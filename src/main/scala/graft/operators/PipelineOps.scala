@@ -2575,6 +2575,99 @@ object PipelineOps {
                  |   (bpe_est * 1000000) // ws_tokens AS fert_bpe_ppm
                  | FROM a ORDER BY lang"""))),
 
+    // LSH RECALL SWEEP — the dedup-tuning table (the i97/i86 curve
+    // family pointed at near-dedup): how much of the TRUE J ≥ t pair
+    // set does the shipped (4 bands × 2 hashes) banding surface, for
+    // t ∈ {0.7, 0.8, 0.9}? Banding tuned for 0.9 recalls less as t
+    // drops — THIS table is what justifies the band/row split before
+    // anyone re-runs a 100 TB dedup with looser thresholds. Ground
+    // truth is the i2 machinery at the sweep's loosest threshold (the
+    // θ=0.7 prefix filter is PROVEN lossless — PropertySpec — so the
+    // truth set is exact, not a sample); membership tests are exact
+    // integer cross-multiplication (inter·10 ≥ union·t — no rounded
+    // jaccard near the boundary); the candidate flag is the i8
+    // md5-signature banding (DuckDB-reproducible, unlike the xxhash64
+    // rehash bands); and the three (truth, hit) pairs land in ONE
+    // aggregate (the i86 pattern). Same-source pair joins throughout —
+    // never all-pairs.
+    Q("i98_lsh_recall_sweep",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sets = LlmOps.hashedTokenSets(docs).localCheckpoint(true)
+        // θ=0.7 lossless prefix (LlmOps.prefixLen's exact-ceil formula).
+        val pref = sets.select(col("doc_id"), col("source"),
+          explode(slice(col("rks"), lit(1),
+            (col("n_tok") - ((col("n_tok") * 7 + 9) / 10).cast("long") + 1)
+              .cast("int"))).as("rk"))
+        val cand7 = pref.alias("a").join(pref.alias("b"),
+            col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+          .distinct()
+        val l = sets.select(col("doc_id").as("doc_id1"), col("rks").as("rks1"),
+          col("n_tok").as("n1"))
+        val r = sets.select(col("doc_id").as("doc_id2"), col("rks").as("rks2"),
+          col("n_tok").as("n2"))
+        val truth = cand7.join(l, "doc_id1").join(r, "doc_id2")
+          .withColumn("inter",
+            size(array_intersect(col("rks1"), col("rks2"))).cast("long"))
+          .withColumn("un", col("n1") + col("n2") - col("inter"))
+          .filter(col("inter") * 10 >= col("un") * 7)
+          .select(col("doc_id1"), col("doc_id2"), col("inter"), col("un"))
+        val lsh = bandCandidates(minhashSig(docs)).withColumn("is_cand", lit(1L))
+        val aggCols = (7 to 9).flatMap(th => Seq(
+          sum(when(col("inter") * 10 >= col("un") * th, 1L).otherwise(0L)).as(s"t$th"),
+          sum(when(col("inter") * 10 >= col("un") * th && col("is_cand").isNotNull,
+            1L).otherwise(0L)).as(s"h$th")))
+        truth.join(lsh, Seq("doc_id1", "doc_id2"), "left")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(explode(array((7 to 9).map(th =>
+            struct(lit(th * 100L).as("threshold_milli"),
+              col(s"t$th").as("n_true"), col(s"h$th").as("n_hit"),
+              expr(s"h$th * 1000000 div t$th").as("recall_ppm"))): _*)).as("z"))
+          .select(col("z.threshold_milli"), col("z.n_true"),
+            col("z.n_hit"), col("z.recall_ppm"))
+          .orderBy("threshold_milli")
+      },
+      Some(sql("""WITH dt AS (SELECT DISTINCT doc_id, source,
+                 |     unnest(string_split(text, ' ')) AS token FROM documents),
+                 | dtn AS (SELECT doc_id, source, token,
+                 |     count(*) OVER (PARTITION BY doc_id) AS n_tok FROM dt),
+                 | prs AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+                 |     min(a.n_tok) AS n1, min(b.n_tok) AS n2, count(*) AS inter
+                 |   FROM dtn a JOIN dtn b
+                 |     ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+                 |   GROUP BY 1, 2),
+                 | truth AS (SELECT doc_id1, doc_id2, inter, n1 + n2 - inter AS un
+                 |   FROM prs WHERE inter * 10 >= (n1 + n2 - inter) * 7),
+                 | hh AS (SELECT doc_id, source, md5('0:'||token)||md5('1:'||token) AS h FROM dt),
+                 | sig AS (SELECT doc_id, min(source) AS source,
+                 |     min(('0x'||substr(h,1,8))::BIGINT) AS mh0,
+                 |     min(('0x'||substr(h,9,8))::BIGINT) AS mh1,
+                 |     min(('0x'||substr(h,17,8))::BIGINT) AS mh2,
+                 |     min(('0x'||substr(h,25,8))::BIGINT) AS mh3,
+                 |     min(('0x'||substr(h,33,8))::BIGINT) AS mh4,
+                 |     min(('0x'||substr(h,41,8))::BIGINT) AS mh5,
+                 |     min(('0x'||substr(h,49,8))::BIGINT) AS mh6,
+                 |     min(('0x'||substr(h,57,8))::BIGINT) AS mh7
+                 |   FROM hh GROUP BY doc_id),
+                 | cand AS (SELECT DISTINCT l.doc_id AS doc_id1, r.doc_id AS doc_id2
+                 |   FROM sig l JOIN sig r ON l.source = r.source AND l.doc_id < r.doc_id
+                 |     AND ((l.mh0 = r.mh0 AND l.mh1 = r.mh1) OR
+                 |          (l.mh2 = r.mh2 AND l.mh3 = r.mh3) OR
+                 |          (l.mh4 = r.mh4 AND l.mh5 = r.mh5) OR
+                 |          (l.mh6 = r.mh6 AND l.mh7 = r.mh7))),
+                 | j AS (SELECT t.*, (c.doc_id1 IS NOT NULL) AS is_cand FROM truth t
+                 |   LEFT JOIN cand c ON t.doc_id1 = c.doc_id1 AND t.doc_id2 = c.doc_id2),
+                 | s AS (SELECT r.range AS th,
+                 |     (SELECT count(*) FROM j WHERE inter * 10 >= un * r.range) AS n_true,
+                 |     (SELECT count(*) FROM j WHERE inter * 10 >= un * r.range AND is_cand) AS n_hit
+                 |   FROM range(7, 10) r)
+                 | SELECT (th * 100)::BIGINT AS threshold_milli,
+                 |   n_true::BIGINT AS n_true, n_hit::BIGINT AS n_hit,
+                 |   ((n_hit * 1000000) // n_true)::BIGINT AS recall_ppm
+                 | FROM s ORDER BY threshold_milli"""))),
+
     // IVF nprobe CAPACITY CURVE — the tuning table an ANN deployment
     // reads before picking nprobe: at each probe depth 1..k, what
     // fraction of the exact top-3 answers LIVES in the probed clusters

@@ -1486,6 +1486,20 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"j22: expected ONE lang Exchange, got $shuffles:\n$p")
   }
 
+  test("i98: three thresholds, ONE aggregate — candidates keyed per source, never all-pairs") {
+    val p = plan(Registry.byId("i98_lsh_recall_sweep").build(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair joins must stay (source, key)-bucketed:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"the token sets must read their localCheckpoint:\n$p")
+    // Five aggregate stages (signature build, candidate distinct ×2,
+    // truth distinct, the 6-sum sweep), each a partial/final pair — an
+    // 11th aggregate means a threshold stopped sharing the sweep pass.
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs <= 10,
+      s"i98: five partial/final aggregate stages, got $hashAggs:\n$p")
+  }
+
   test("i97: eight depths, ONE aggregate per axis — no per-depth pass, no cartesian beyond broadcasts") {
     // Coverage's 8 conditional sums and probed-mass's 8 sums must land
     // in one partial/final aggregate each (the i86 pattern); the
