@@ -513,6 +513,24 @@ class LawSpec extends SparkTestBase {
     rows.unpersist()
   }
 
+  test("i98 sweep algebra: recall non-decreasing in threshold; hits never exceed truth; truth sets nest") {
+    val rows = Registry.byId("i98_lsh_recall_sweep").build(spark, dir)
+      .orderBy("threshold_milli").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"hits > truth at ${r.getLong(0)}")
+    }
+    // Tighter thresholds shrink the truth set and can only help the
+    // fixed banding: recall is monotone non-decreasing in t.
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1), "truth sets must nest")
+      assert(a.getLong(3) <= b.getLong(3), "recall must be monotone in t")
+    case _ => ()
+    }
+    assert(rows.head.getLong(1) > rows.last.getLong(1),
+      "the sweep must be non-degenerate (strictly more pairs at 0.7)")
+  }
+
   test("j21 tercile masses: head never exceeds a third, head+middle never exceeds two thirds") {
     val b = Registry.byId("j21_ccnet_buckets").build(spark, dir).cache()
     val per = b.groupBy("source").pivot("bucket", Seq("head", "middle", "tail"))
