@@ -411,6 +411,25 @@ class StreamingSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming Markov transitions == batch d19 (keyed last-seen state across micro-batches)") {
+    // Each user's stream folds through ONE LastSeen record; transitions
+    // emitted across micro-batch boundaries must chain exactly (the
+    // last event of batch k pairs with the first of batch k+1), so the
+    // re-aggregated counts reproduce the batch lead() matrix verbatim.
+    // The feed delivers event-time order (the stateful-twin contract).
+    val feed = eventSeq.sortBy(e =>
+      (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L, e.event_id))
+    val got = Replay.run(spark, feed, 4, OutputMode.Append())(ds =>
+      graft.streaming.MarkovStream(ds).toDF())
+    val counts = got.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("cur"))))
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("n * 1000000 div tot").as("ppm"))
+    val want = Registry.byId("d19_markov_transition").build(spark, dir)
+    assertSameRows(counts, want)
+    assert(want.count() > 0)
+  }
+
   test("streaming intra-doc excision == batch i89 (stateless, arrival-order free)") {
     // The excision is entirely row-local HOFs, so the SAME expression
     // tree runs per micro-batch with no state; a shuffled feed must
