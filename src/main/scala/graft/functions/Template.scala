@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   *     field (Go navigates struct/map fields to arbitrary depth; the
   *     reference's `{{.Log.FieldName}}`, `main.go:50-51` / README.md:19),
   *     compiled to `get_json_object(field, "$.A.B…")`
+  *
+  * DOCUMENTED DIVERGENCE — bare `{{.Log}}`: the reference decodes the
+  * record JSON into a Go map and the template exec prints it in Go's
+  * `fmt` map syntax (`map[k1:v1 k2:v2]`, keys sorted — `main.go:281-289`
+  * via text/template's reflect-based print). We render the RAW JSON
+  * string instead (`Log` maps to the `props` column unparsed): the Go
+  * spelling is an accident of `fmt`'s reflection, loses type fidelity
+  * (strings print unquoted), and is unparseable downstream, while the
+  * raw JSON round-trips. Pinned by TemplateSpec ("bare {{.Log}} renders
+  * the raw JSON string"); field NAVIGATION (`{{.Log.x}}`) is unaffected.
   *   - `{{strftime "%fmt" .Field}}` — timestamp formatting through
   *     [[Strftime]] (the reference registers the same function at
   *     `main.go:104-107`)

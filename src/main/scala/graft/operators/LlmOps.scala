@@ -98,7 +98,7 @@ object LlmOps {
     * θ=0.9 near-dedup (i2/i14) and the θ-general fuzzy join (i30);
     * PropertySpec proves the filter lossless at θ ∈ {0.5, 0.7, 0.9}.
     */
-  private def prefixLen(nTok: Column, thetaTenths: Int): Column =
+  private[graft] def prefixLen(nTok: Column, thetaTenths: Int): Column =
     nTok - ((nTok * thetaTenths + 9) / 10).cast("long") + 1
 
   /** The i2 pipeline: hashed token sets → lossless prefix filter →
@@ -747,18 +747,17 @@ object LlmOps {
     // Near-dup CLUSTER RESOLUTION — the step a training pipeline runs
     // after pair finding: connected components over the pair graph, one
     // canonical doc (component-min doc_id) per cluster, so "drop all but
-    // the canonical" is a single anti-join downstream. Implemented as
-    // distributed min-label propagation (the Pregel/GraphX shape): each
-    // round every node takes the min label among itself and its
-    // neighbors; converges in O(diameter) all-distributed rounds — dup
-    // clusters are shallow (near-copies of one original), so diameter
-    // stays small at any corpus size. Each round is one equi-join + one
-    // partial-agg min shuffle on 8-byte ids; iterates to a CHECKED
-    // fixpoint, never a guessed round count. (For adversarially chained
-    // graphs the log-round large-star/small-star contraction is the
-    // drop-in upgrade; the per-round plan shape is the same.) The oracle
-    // is a recursive CTE computing min reachable id — exact transitive
-    // closure, independent of the propagation schedule.
+    // the canonical" is a single anti-join downstream. Implemented by
+    // [[clusterLabels]] as alternating large-star/small-star contraction
+    // (the Kiveris et al. MapReduce-CC shape): each round every node
+    // links to the min id in its neighborhood, halving component
+    // diameter, so even adversarially chained graphs converge in
+    // O(log n) all-distributed rounds — not the O(diameter) a naive
+    // min-label propagation would need. Each round is one equi-join +
+    // one partial-agg min shuffle on 8-byte ids; iterates to a CHECKED
+    // fixpoint, never a guessed round count. The oracle is a recursive
+    // CTE computing min reachable id — exact transitive closure,
+    // independent of the contraction schedule.
     Q("i15_dedup_clusters",
       (s, dir) => nearDupClusters(nearDupPairs(t(s, dir, "documents"))),
       Some(sql(s"""WITH RECURSIVE $nearDupPairsCte,

@@ -350,6 +350,48 @@ object PipelineOps {
         col("n_terms"), col("avg_chars"), col("top_term"), col("top_n"))
   }
 
+  /** The i95 quota-capped per-source selection over any
+    * (source, text) frame: per-(source, quality-level) token histogram,
+    * greedy best-levels-first fill of a per-source quota (⅓ of its
+    * tokens), all-or-nothing at level granularity. The fill report is
+    * LEFT-joined onto the full source set so a STARVED source — one
+    * whose single best level already exceeds its quota, keeping zero
+    * levels — reports an explicit fill_ppm=0 row instead of silently
+    * vanishing (ADVICE r14). Factored out of the registry entry so the
+    * starved path is testable on a crafted corpus (the fixture has
+    * none). Output: (source, n_levels_kept, tokens_kept, quota_tok,
+    * fill_ppm), one row per source, ordered by source.
+    */
+  private[graft] def quotaSelect(docs: DataFrame): DataFrame = {
+    val lvl = docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
+        markerScore(col("text"), Seq("a", "the")).as("n_stop"))
+      .select(col("source"), col("n_tok"),
+        round(qualityExpr * 1000).cast("long").as("qm"))
+      .groupBy(col("source"), col("qm")).agg(sum(col("n_tok")).as("ltok"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("qm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isKept = col("cum") <= expr("stot div 3")
+    // Conditional sums over ALL levels instead of filter-then-aggregate:
+    // a starved source keeps its row with explicit zeros and the plan
+    // keeps ONE corpus Exchange (the groupBy reuses the window's
+    // source partitioning — a second lvl consumer would re-scan).
+    lvl
+      .withColumn("cum", sum(col("ltok")).over(wcum))
+      .withColumn("stot", sum(col("ltok")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(sum(when(isKept, 1L).otherwise(0L)).as("n_levels_kept"),
+        sum(when(isKept, col("ltok")).otherwise(0L)).as("tokens_kept"),
+        max(expr("stot div 3")).as("quota_tok"))
+      .withColumn("fill_ppm",
+        expr("""CASE WHEN quota_tok > 0
+                THEN tokens_kept * 1000000 div quota_tok
+                ELSE CAST(0 AS BIGINT) END"""))
+      .orderBy("source")
+  }
+
   /** The i29 SemDeDup resolve+apply over any (vec_id, embedding) frame
     * and (cid, cemb) codebook: within-cluster cosine ≥ `theta`
     * (3dp-rounded) edges → star-contraction components → drop every
@@ -2336,32 +2378,14 @@ object PipelineOps {
     // token histogram on ONE Exchange; the greedy walk is a running
     // sum over the ≤1001-row per-source frame; quotas come from the
     // same frame's full-window total (no second corpus pass). Output
-    // is the per-source fill report; the doc-level cut is the keep-set
-    // broadcast back (the i63 shape).
+    // is the per-source fill report — LEFT-joined onto the full source
+    // set, so a STARVED source (one whose single best level already
+    // exceeds its quota, keeping zero levels all-or-nothing) still
+    // reports a fill_ppm=0 row instead of silently vanishing (ADVICE
+    // r14); the doc-level cut is the keep-set broadcast back (the i63
+    // shape).
     Q("i95_quota_select",
-      (s, dir) => {
-        val lvl = t(s, dir, "documents")
-          .select(col("source"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"),
-            size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"),
-            markerScore(col("text"), Seq("a", "the")).as("n_stop"))
-          .select(col("source"), col("n_tok"),
-            round(qualityExpr * 1000).cast("long").as("qm"))
-          .groupBy(col("source"), col("qm")).agg(sum(col("n_tok")).as("ltok"))
-        val wcum = Window.partitionBy(col("source")).orderBy(col("qm").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        lvl
-          .withColumn("cum", sum(col("ltok")).over(wcum))
-          .withColumn("stot", sum(col("ltok")).over(Window.partitionBy(col("source"))))
-          .withColumn("quota", expr("stot div 3"))
-          .filter(col("cum") <= col("quota"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_levels_kept"),
-            sum(col("ltok")).as("tokens_kept"),
-            first(col("quota")).as("quota_tok"))
-          .withColumn("fill_ppm", expr("tokens_kept * 1000000 div quota_tok"))
-          .orderBy("source")
-      },
+      (s, dir) => quotaSelect(t(s, dir, "documents")),
       Some(sql("""WITH st AS (SELECT source,
                  |     len(string_split(text,' '))::BIGINT AS n_tok,
                  |     len(list_distinct(string_split(text,' ')))::BIGINT AS n_uniq,
@@ -2377,13 +2401,16 @@ object PipelineOps {
                  |       ROWS UNBOUNDED PRECEDING) AS cum,
                  |     sum(ltok) OVER (PARTITION BY source) AS stot
                  |   FROM lvl),
-                 | k AS (SELECT source, ltok, (stot // 3)::BIGINT AS quota
-                 |   FROM w WHERE cum <= stot // 3)
-                 | SELECT source, count(*)::BIGINT AS n_levels_kept,
-                 |   sum(ltok)::BIGINT AS tokens_kept,
-                 |   any_value(quota) AS quota_tok,
-                 |   ((sum(ltok) * 1000000) // any_value(quota))::BIGINT AS fill_ppm
-                 | FROM k GROUP BY source ORDER BY source"""))),
+                 | k AS (SELECT source,
+                 |     sum(CASE WHEN cum <= stot // 3 THEN 1 ELSE 0 END)::BIGINT AS n_levels_kept,
+                 |     sum(CASE WHEN cum <= stot // 3 THEN ltok ELSE 0 END)::BIGINT AS tokens_kept,
+                 |     max(stot // 3)::BIGINT AS quota_tok
+                 |   FROM w GROUP BY source)
+                 | SELECT source, n_levels_kept, tokens_kept, quota_tok,
+                 |   (CASE WHEN quota_tok > 0
+                 |     THEN (tokens_kept * 1000000) // quota_tok
+                 |     ELSE 0 END)::BIGINT AS fill_ppm
+                 | FROM k ORDER BY source"""))),
 
     // Per-source QUANTILE NORMALIZATION — the cross-source calibration
     // a single quality threshold gets wrong: "quality ≥ 0.6" cuts 5% of
@@ -2594,11 +2621,11 @@ object PipelineOps {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val sets = LlmOps.hashedTokenSets(docs).localCheckpoint(true)
-        // θ=0.7 lossless prefix (LlmOps.prefixLen's exact-ceil formula).
+        // θ=0.7 lossless prefix — the SHARED PropertySpec-proven
+        // LlmOps.prefixLen, not a re-inlined formula (ADVICE r14).
         val pref = sets.select(col("doc_id"), col("source"),
           explode(slice(col("rks"), lit(1),
-            (col("n_tok") - ((col("n_tok") * 7 + 9) / 10).cast("long") + 1)
-              .cast("int"))).as("rk"))
+            LlmOps.prefixLen(col("n_tok"), thetaTenths = 7).cast("int"))).as("rk"))
         val cand7 = pref.alias("a").join(pref.alias("b"),
             col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
               col("a.doc_id") < col("b.doc_id"))

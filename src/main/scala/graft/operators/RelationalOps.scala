@@ -200,10 +200,21 @@ object RelationalOps {
         (col("cntHi") - col("cntLo")).as("icnt"),
         (col("sumHi") - col("sumLo")).as("isum"),
         explode(array(col("binLo"), col("binHi"))).as("bin"))
-    // Boundary residual: left join keeps zero-match probes; count(sm)
-    // counts only real matches (null on miss).
-    val bj = probe.join(broadcast(sup),
-      probe("bin") === sup("sbin") &&
+    // Boundary residual: only values living in some probe's binLo/binHi
+    // bin can contribute, so sup is SEMI-JOINED against the probes'
+    // distinct boundary-bin set before it broadcasts — the broadcast is
+    // bounded by boundary-bin membership (≤ 2·|probes| bins · per-bin
+    // occupancy), never by |values| (ADVICE r14: a bare broadcast(sup)
+    // grew driver memory with the corpus). The boundary-bin set itself
+    // is ≤ the spine (value range / binw), so IT broadcasts map-side.
+    // Left join keeps zero-match probes; count(sm) counts only real
+    // matches (null on miss).
+    val boundaryBins = prt.select(col("binLo").as("bb"))
+      .unionByName(prt.select(col("binHi").as("bb"))).distinct()
+    val supB = sup.join(broadcast(boundaryBins),
+      col("sbin") === col("bb"), "left_semi")
+    val bj = probe.join(broadcast(supB),
+      probe("bin") === supB("sbin") &&
         col("sm").between(col("lo"), col("hi")), "left")
     bj.groupBy(col("key"))
       .agg((min(col("icnt")) + count(col("sm"))).as("n_match"),

@@ -134,8 +134,11 @@ object GenScale {
     val nVecs = read("embeddings").count()
     if (want("embeddings")) requireDense("embeddings", "vec_id", nVecs)
     val emb0 = read("embeddings")
-    val dim = emb0.select(max(size(col("embedding")))).head.getInt(0)
-    val nLabels = emb0.agg(max(col("label"))).head.getInt(0) + 1
+    // getAs[Number] instead of getInt: the scaler must not depend on an
+    // undeclared INT width — a fixture storing label (or size()) as
+    // BIGINT would ClassCastException a bare getInt (ADVICE r14).
+    val dim = emb0.select(max(size(col("embedding")))).head.getAs[Number](0).intValue
+    val nLabels = emb0.agg(max(col("label"))).head.getAs[Number](0).intValue + 1
     def isometry(c: Int): org.apache.spark.sql.Column = {
       val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ c.toLong)
       val perm = rnd.shuffle((0 until dim).toVector)

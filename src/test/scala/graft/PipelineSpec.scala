@@ -1487,4 +1487,28 @@ class PipelineSpec extends SparkTestBase {
     assert(got(12L) == ((12L, "bb", "aa", 1L, 1L)), s"tie->min: ${got(12L)}")
     assert(got(0L) == ((0L, "zz", "zz", 0L, 0L)), s"isolated: ${got(0L)}")
   }
+
+  test("i95 quota select: a starved source reports fill_ppm=0, never vanishes") {
+    // s1: three IDENTICAL docs → ONE quality level; its cum (= stot)
+    // always exceeds quota (stot div 3), so all-or-nothing keeps zero
+    // levels — the starved case ADVICE r14 flagged as silently dropped.
+    // s2: two distinct quality levels, the better one fits its quota.
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta"),
+      ("s1", "alpha beta gamma delta"),
+      ("s1", "alpha beta gamma delta"),
+      ("s2", "one two three four five six seven eight nine ten"),
+      ("s2", "the the the the a a a a the a the a the a the a the a the a"),
+      ("s2", "the the the the a a a a the a the a the a the a the a the a")
+    ).toDF("source", "text")
+    val got = PipelineOps.quotaSelect(docs)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val s1 = got("s1")
+    assert(s1._2 == 0L && s1._3 == 0L && s1._5 == 0L,
+      s"starved source must report an explicit zero row: $s1")
+    assert(s1._4 == 4L, s"quota = 12 tokens div 3: $s1") // 3 docs x 4 tok
+    val s2 = got("s2")
+    assert(s2._2 >= 1L && s2._3 >= 1L && s2._5 > 0L,
+      s"non-starved source keeps its best level: $s2")
+  }
 }

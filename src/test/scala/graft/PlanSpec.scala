@@ -89,6 +89,11 @@ class PlanSpec extends SparkTestBase {
     // The only SortMergeJoin-eligible join is the boundary residual, and
     // it must stay broadcast too — the supplier side is the small side.
     assert(!p.contains("SortMergeJoin"), s"boundary residual must broadcast:\n$p")
+    // The residual's broadcast side must be PRUNED first: a LeftSemi
+    // against the probes' distinct boundary-bin set bounds the broadcast
+    // by boundary-bin membership, never |values| (ADVICE r14).
+    assert(p.contains("LeftSemi"),
+      s"boundary residual must semi-join-prune the value side before broadcasting:\n$p")
   }
 
   test("b10: the Q5 join tree broadcasts its dimension chain") {

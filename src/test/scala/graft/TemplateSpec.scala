@@ -45,6 +45,19 @@ class TemplateSpec extends SparkTestBase {
     assert(lines(1) == "h-2 level= k=") // unparseable/NULL payload → empty
   }
 
+  test("bare {{.Log}} renders the raw JSON string (documented divergence)") {
+    // The Go reference prints the DECODED map in fmt's map syntax
+    // (`map[k:7 level:warn]` — main.go:281-289 via reflect); we ship the
+    // raw JSON unparsed (see Template.scala header: round-trippable,
+    // type-faithful). This case pins the divergence so a future change
+    // toward the Go spelling is a deliberate decision, not drift.
+    val lines = df.orderBy("seq")
+      .select(Template.compile("payload={{.Log}}", fields).as("line"))
+      .as[String].collect()
+    assert(lines(0) == """payload={"level":"warn","k":7}""")
+    assert(lines(1) == "payload=") // NULL payload → empty, not "map[]"
+  }
+
   test("strftime call inside a template") {
     val lines = df.orderBy("seq")
       .select(Template.compile("""{{strftime "%Y/%m/%d" .Timestamp}}!""", fields).as("line"))

@@ -44,7 +44,7 @@ k = max(8, n // 250)
 print('codebook k', k)
 cmask = vec_id < k
 cents = emb[cmask]; cids = vec_id[cmask]
-d = emb @ cents.T                       # n x 8 dots, float64
+d = emb @ cents.T                       # n x k dots, float64
 rd = np.round(d, 6)                     # boundary audit below makes mode irrelevant
 # margin audit: distance to the nearest 1e-6 rounding boundary (x.xxxxx5)
 fr = np.abs(((d * 1e6) % 1.0) - 0.5)
