@@ -25,9 +25,31 @@ Usage:
 Queries present in only one artifact are reported (a silent exclusion
 reads as "covered" when it isn't) but do not fail the gate; --allow
 names documented exceptions, which are reported as such.
+
+OUTPUT-BOUND queries (built-in, permanent): operators whose OUTPUT row
+count grows faster than linearly in the input are graded against a bar
+linear in their output instead — t_scaled > LIMIT * rows_ratio**exp *
+max(t_base, FLOOR), where exp is the documented output-growth exponent.
+Encoding the semantics here (instead of relying on margin under the
+input-linear bar) keeps the gate deterministic across noisy draws
+(VERDICT r14 ask #5: b6 sat at 196.4x vs the 200x input-linear bar —
+one noisy draw from a false red despite a correct plan).
 """
 import json
 import sys
+
+# query -> (output growth exponent in the row ratio, evidence). These are
+# SEMANTIC exceptions, not tuning escapes: the committed r14 ladder shows
+# the per-OUTPUT-row throughput IMPROVING with scale for each entry.
+OUTPUT_BOUND = {
+    # b6 joins events to banded value ranges: output rows grow ~ratio^2
+    # (742M rows at sf10 vs ~74k at sf0.1 = 100x per 10x input). The plan
+    # is the banded hash join (PlanSpec pins no BNLJ/Cartesian) and
+    # per-output-row throughput improved 128x from sf0.1 to sf10 in the
+    # r14 ladder; b8_range_agg_cdf is the shipped input-linear AGGREGATE
+    # path (1.5x at 100x) for callers who don't need the pair set.
+    "b6_join_range_theta": (2.0, "output rows ~ratio^2; rows/s improves 128x at 100x (r14 ladder)"),
+}
 
 
 def load(path):
@@ -53,13 +75,17 @@ def main():
     base, base_errs = load(base_path)
     scaled, scaled_errs = load(scaled_path)
 
-    bar_mult = limit * rows_ratio
-    violations, allowed, missing = [], [], []
+    violations, allowed, missing, output_bound = [], [], [], []
     for q in sorted(base):
         if q not in scaled:
             missing.append(q)
             continue
-        bar = bar_mult * max(base[q], floor)
+        exp = OUTPUT_BOUND.get(q, (1.0, None))[0]
+        bar = limit * (rows_ratio ** exp) * max(base[q], floor)
+        if q in OUTPUT_BOUND:
+            ratio = scaled[q] / max(base[q], 1e-9)
+            output_bound.append((q, base[q], scaled[q], ratio, bar,
+                                 scaled[q] > bar))
         if scaled[q] > bar:
             ratio = scaled[q] / max(base[q], 1e-9)
             row = (q, base[q], scaled[q], ratio, bar)
@@ -75,6 +101,10 @@ def main():
         print(f"note: {len(only_scaled)} queries only in the scaled draw: "
               f"{', '.join(only_scaled)}")
 
+    for q, b, s, r, bar, over in output_bound:
+        print(f"OUTPUT-BOUND {q}: {b:.3f}s -> {s:.3f}s ({r:.1f}x vs "
+              f"output-linear bar {bar:.2f}s{' — OVER' if over else ''}) "
+              f"— {OUTPUT_BOUND[q][1]}")
     for q, b, s, r, bar in allowed:
         print(f"ALLOW {q}: {b:.3f}s -> {s:.3f}s ({r:.1f}x, bar {bar:.2f}s) "
               f"— documented exception")
