@@ -401,8 +401,8 @@ object PipelineOps {
     * θ=0.9-grade drop. Output: surviving (vec_id, cid), unordered.
     */
   def semDedup(emb: DataFrame, cent: DataFrame, theta: Double,
-      hotThreshold: Long = 4096, salts: Int = 16): DataFrame = {
-    val assigned = assignToCentroids(emb, cent).localCheckpoint(true)
+      hotThreshold: Long = 4096, salts: Int = 16, assignK: Int = 0): DataFrame = {
+    val assigned = assignToCentroids(emb, cent, assignK).localCheckpoint(true)
     // Candidate edges via the SALTED cluster self-join (saltedSelfPairs):
     // a semantically-hot cluster — the one shape IVF bucketing can't
     // bound, since cluster size is data-dependent — spreads its quadratic
@@ -424,7 +424,29 @@ object PipelineOps {
       .select(col("vec_id"), col("cid"))
   }
 
-  private[graft] def assignToCentroids(emb: DataFrame, cent: DataFrame): DataFrame =
+  /** Routing dispatcher: FLAT inline argmax below [[hierRouteMin]]
+    * centroids (every fixed-k fixture consumer and every driver-gate SF
+    * under the scaledK rule — k = 8 there, so CORRECTNESS plans are
+    * bit-identical to r14's), TWO-LEVEL hierarchical routing at or above
+    * it (the scaledK production consumers i24/i29 from sf1 up, where the
+    * flat form's O(N·k·dim) = O(N²·dim/250) total work is the one
+    * asymptotic defect VERDICT r14 found). Callers that size k
+    * dynamically pass it; the default 0 keeps fixed-small-codebook
+    * callers on the flat path with zero signature churn.
+    */
+  private[graft] def assignToCentroids(emb: DataFrame, cent: DataFrame,
+      k: Int = 0): DataFrame =
+    if (k >= hierRouteMin) assignToCentroidsTwoLevel(emb, cent, k)
+    else assignToCentroidsFlat(emb, cent)
+
+  /** k at and above which [[assignToCentroids]] routes hierarchically.
+    * Below it the flat argmax's k dots/row are cheaper than two routing
+    * stages (g + ~√k dots + the group lookup); 64 is where
+    * 2·√k + lookup ≈ k crosses over with margin.
+    */
+  private[graft] val hierRouteMin = 64
+
+  private[graft] def assignToCentroidsFlat(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(cent)))
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(
@@ -436,6 +458,72 @@ object PipelineOps {
         // the argmax struct) — the outlier screen (i33) reads it; every
         // other consumer projects it away before its first shuffle.
         col("best").getField("cd").as("best_sim"))
+
+  /** TWO-LEVEL hierarchical routing (VERDICT r14 ask #1): stage 1 routes
+    * each row to its nearest of g = ⌈√k⌉ SUPER-centroids (the g
+    * lowest-cid codebook entries — cids are 0..k−1 everywhere, stub and
+    * trained alike); stage 2 takes the argmax over only that group's
+    * members (centroids pre-assigned to their nearest super by the SAME
+    * flat argmax, run once over the k-row codebook — codebook-sized
+    * work, never corpus). Per-row multiply work drops from k·dim to
+    * (g + |group|)·dim ≈ 2√k·dim, so the scaledK consumers' assignment
+    * total falls from O(N²·dim/250) to O(N^1.5·dim/√250). Both corpus
+    * stages are the broadcast-inline shape — 1-row-array crossJoins,
+    * ZERO corpus shuffle (PlanSpec pins both stages; the only hash
+    * Exchange in the plan is the k-row member groupBy). Tie-breaks
+    * match the flat form stage-local ((6dp dot, −cid/−gid) argmax), and
+    * the stage-2 winner is exact WITHIN the routed group — the standard
+    * IVF approximation: a row whose true nearest centroid lives in
+    * another super's group takes its group-local best instead
+    * (PipelineSpec measures the agreement rate and pins the
+    * best_sim ≤ flat law). The contract consumers inherit is unchanged:
+    * (vec_id, embedding, cid, best_sim).
+    *
+    * Broadcast footprint: the grouped codebook is still one O(k·dim)
+    * broadcast (stage 2 needs every member reachable row-locally);
+    * the asymptotic win this round is the MULTIPLY count. When k itself
+    * outgrows a broadcast (≳10⁷·dim), the gid-partitioned join variant
+    * — rows hash-partitioned by gid against a (gid → members) table —
+    * is the documented next rung; it trades one corpus shuffle for an
+    * O(√k·dim) per-task footprint.
+    */
+  private[graft] def assignToCentroidsTwoLevel(emb: DataFrame, cent: DataFrame,
+      k: Int): DataFrame = {
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val supers = cent.filter(col("cid") < g)
+    // Codebook grouping: k rows through the flat argmax against the g
+    // supers, then one k-row groupBy — both codebook-sized. A super is
+    // PINNED to its own group: under unnormalized dot-argmax a super
+    // need not be its own nearest super, and rows route by the same
+    // argmax a super loses — a routed-to group must never be
+    // member-empty (stage 2's lookup would go NULL).
+    val groupArray = assignToCentroidsFlat(
+        cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")), supers)
+      .select(when(col("vec_id") < g, col("vec_id")).otherwise(col("cid")).as("gid"),
+        col("vec_id").as("mcid"), col("embedding").as("mcemb"))
+      .groupBy(col("gid"))
+      .agg(collect_list(struct(col("mcid").as("cid"),
+        col("mcemb").as("cemb"))).as("members"))
+      .agg(collect_list(struct(col("gid"), col("members"))).as("groups"))
+    emb.crossJoin(broadcast(centroidArray(supers)))
+      .withColumn("bestg", array_max(transform(col("cents"), c =>
+        struct(
+          round(VectorFunctions.dot(col("embedding"), c.getField("cemb")), 6).as("gd"),
+          (-c.getField("cid")).as("ngid")))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("bestg").getField("ngid")).as("gid"))
+      .crossJoin(broadcast(groupArray))
+      .withColumn("members", element_at(
+        filter(col("groups"), x => x.getField("gid") === col("gid")), 1)
+        .getField("members"))
+      .withColumn("best", array_max(transform(col("members"), c =>
+        struct(
+          round(VectorFunctions.dot(col("embedding"), c.getField("cemb")), 6).as("cd"),
+          (-c.getField("cid")).as("ncid")))))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best").getField("ncid")).as("cid"),
+        col("best").getField("cd").as("best_sim"))
+  }
 
   /** The batch-ANN pipeline (per-query nprobe routing + top-3), fully
     * parameterized over corpus, codebook, query batch and nprobe:
@@ -4196,8 +4284,12 @@ object PipelineOps {
     Q("i24_embed_near_dup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val cent = stubCodebook(emb, scaledK(emb))
-        val assigned = assignToCentroids(emb, cent).localCheckpoint(true)
+        val k = scaledK(emb)
+        val cent = stubCodebook(emb, k)
+        // k rides into the dispatcher: flat at every driver-gate SF
+        // (k = 8 there), TWO-LEVEL from sf1 up (k ≥ 80) — the r14
+        // asymptote fix (see assignToCentroidsTwoLevel).
+        val assigned = assignToCentroids(emb, cent, k).localCheckpoint(true)
         saltedSelfPairs(
             assigned.select(col("cid"), col("vec_id"), col("embedding")), "cid")
           .select(col("cid"), col("i"), col("j"),
@@ -4239,7 +4331,10 @@ object PipelineOps {
     Q("i29_semdedup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        semDedup(emb, stubCodebook(emb, scaledK(emb)), 0.4).orderBy("vec_id")
+        val k = scaledK(emb)
+        // assignK rides into the dispatcher: flat at every driver-gate
+        // SF (k = 8), two-level from sf1 up — the r14 asymptote fix.
+        semDedup(emb, stubCodebook(emb, k), 0.4, assignK = k).orderBy("vec_id")
       },
       Some(sql(s"""WITH RECURSIVE ${centroidAssignCte(scaledKSql)},
                   | pairs AS (

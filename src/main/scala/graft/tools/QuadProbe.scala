@@ -49,7 +49,7 @@ object QuadProbe {
 
     // Workload size: candidate pairs the bucketed self-join emits (the
     // quadratic term the sizing rule bounds).
-    val assigned = PipelineOps.assignToCentroids(emb, cent).localCheckpoint(true)
+    val assigned = PipelineOps.assignToCentroids(emb, cent, k).localCheckpoint(true)
     val pairs = PipelineOps.saltedSelfPairs(
       assigned.select(col("cid"), col("vec_id"), col("embedding")), "cid")
     val nPairs = pairs.count()
@@ -65,7 +65,7 @@ object QuadProbe {
 
     // i29 shape: threshold edges -> components -> anti-join survivors.
     val tI29 = timed {
-      PipelineOps.semDedup(emb, cent, theta)
+      PipelineOps.semDedup(emb, cent, theta, assignK = k)
         .write.format("noop").mode("overwrite").save()
     }
 

@@ -1511,4 +1511,66 @@ class PipelineSpec extends SparkTestBase {
     assert(s2._2 >= 1L && s2._3 >= 1L && s2._5 > 0L,
       s"non-starved source keeps its best level: $s2")
   }
+
+  test("two-level routing == the window-formulated two-stage oracle (k=256)") {
+    // The r15 hierarchical router's inline argmaxes (stage 1 supers,
+    // stage 2 group members, + the super self-pin in the grouping) must
+    // reproduce an INDEPENDENT row_number formulation of the same
+    // two-stage semantics exactly — the same law the flat form's SQL
+    // oracle pins at the gate SFs, where k stays below hierRouteMin.
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(spark, dir, "embeddings")
+    val k = 256
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
+    val supers = cent.filter(col("cid") < g)
+    def argmaxTo(rows: org.apache.spark.sql.DataFrame, idOut: String) =
+      rows.crossJoin(supers.select(col("cid").as("xid"), col("cemb").as("xemb")))
+        .withColumn("d", round(VectorFunctions.dot(col("embedding"), col("xemb")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("xid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("xid").as(idOut))
+    val grouping = argmaxTo(
+        cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")), "gid0")
+      .select(col("vec_id").as("mcid"),
+        when(col("vec_id") < g, col("vec_id")).otherwise(col("gid0")).as("gid"))
+      .join(cent.select(col("cid").as("mcid"), col("cemb")), "mcid")
+    val expect = argmaxTo(emb, "gid").join(grouping, "gid")
+      .withColumn("d", round(VectorFunctions.dot(col("embedding"), col("cemb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("mcid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("mcid").as("cid"), col("d").as("best_sim"))
+    val got = PipelineOps.assignToCentroids(emb, cent, k)
+      .select(col("vec_id"), col("cid"), col("best_sim"))
+    assertSameRows(got, expect)
+  }
+
+  test("two-level routing laws: best_sim never exceeds flat; dispatcher honors hierRouteMin") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val k = 256
+    val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
+    val two = PipelineOps.assignToCentroids(emb, cent, k)
+      .select(col("vec_id"), col("cid"), col("best_sim"))
+    val flat = PipelineOps.assignToCentroidsFlat(emb, cent)
+      .select(col("vec_id"), col("cid").as("fcid"), col("best_sim").as("fsim"))
+    val j = two.join(flat, "vec_id").localCheckpoint(true)
+    // Subset law: stage 2 argmaxes over a SUBSET of the codebook, so its
+    // winner can never beat the flat global argmax.
+    assert(j.filter(col("best_sim") > col("fsim")).count() == 0,
+      "routed best_sim must be <= the flat global best")
+    // Whenever the routed winner IS the flat winner, sims agree exactly.
+    assert(j.filter(col("cid") === col("fcid") &&
+      col("best_sim") =!= col("fsim")).count() == 0)
+    val tot = j.count()
+    val agree = j.filter(col("cid") === col("fcid")).count()
+    println(s"[two-level] flat-agreement $agree/$tot at k=$k")
+    assert(agree > 0, "routing must recover at least some flat winners")
+    // Dispatcher: below hierRouteMin the k hint still plans FLAT (the
+    // gate-SF guarantee — CORRECTNESS plans bit-identical to r14).
+    val small = PipelineOps.stubCodebook(emb, 8)
+    assertSameRows(PipelineOps.assignToCentroids(emb, small, 8),
+      PipelineOps.assignToCentroidsFlat(emb, small))
+  }
 }

@@ -96,6 +96,25 @@ class PlanSpec extends SparkTestBase {
       s"boundary residual must semi-join-prune the value side before broadcasting:\n$p")
   }
 
+  test("two-level assignment: two broadcast corpus stages, zero corpus hash Exchange") {
+    // The r15 hierarchical router (VERDICT r14 ask #1): the corpus flows
+    // through exactly two 1-row-array broadcast crossJoins (stage 1
+    // supers, stage 2 grouped members) — never a hash/sort-merge join —
+    // and the ONLY hash Exchange in the whole plan is the k-row codebook
+    // member groupBy (codebook-sized, not corpus).
+    import graft.operators.PipelineOps
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = plan(PipelineOps.assignToCentroids(
+      emb, PipelineOps.stubCodebook(emb, 256), 256))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 3, s"expected 2 corpus stages + 1 codebook grouping, got $bnlj:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"assignment must stay broadcast-inline:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1,
+      s"only the k-row member groupBy may hash-Exchange (codebook-sized), got $hashEx:\n$p")
+  }
+
   test("b10: the Q5 join tree broadcasts its dimension chain") {
     // supplier/nation/region are dimensions — each must plan as a
     // BroadcastHashJoin so the lineitem/orders fact side shuffles only

@@ -1,7 +1,8 @@
 """Independent i29 oracle for large SFs: exact semantics of
 PipelineOps.semDedup (assign to stub codebook by round6(dot) argmax with
-min-cid tiebreak; within-cluster edges round3(dot) >= 0.4; connected
-components; drop non-min members), implemented with numpy + union-find
+min-cid tiebreak — TWO-LEVEL routed when k >= 64, mirroring the
+assignToCentroids dispatcher; within-cluster edges round3(dot) >= 0.4;
+connected components; drop non-min members), implemented with numpy + union-find
 instead of the DuckDB recursive CTE (which disk-explodes on the 10x
 clone's cliques — >79 GB at sf1). This is the PERMANENT oracle for the
 CC family at SFs where the recursive CTE is infeasible (VERDICT r12 #4);
@@ -44,16 +45,50 @@ k = max(8, n // 250)
 print('codebook k', k)
 cmask = vec_id < k
 cents = emb[cmask]; cids = vec_id[cmask]
-d = emb @ cents.T                       # n x k dots, float64
-rd = np.round(d, 6)                     # boundary audit below makes mode irrelevant
-# margin audit: distance to the nearest 1e-6 rounding boundary (x.xxxxx5)
-fr = np.abs(((d * 1e6) % 1.0) - 0.5)
-print('min assign-boundary margin (ulp@1e-6):', fr.min())
-best = rd.max(axis=1)
-# min-cid tiebreak: first argmax along cid-ascending order
-cid = cids[np.argmax(rd == best[:, None], axis=1)]
-top2 = np.sort(rd, axis=1)[:, -2]
-print('rounded argmax ties:', int((top2 == best).sum()))
+
+
+def round6_argmax(mat, ids):
+    """(round6 dot, min-id tiebreak) argmax per row + boundary audit —
+    the exact assignToCentroidsFlat contract."""
+    rd = np.round(mat, 6)
+    fr = np.abs(((mat * 1e6) % 1.0) - 0.5)
+    print('min assign-boundary margin (ulp@1e-6):', fr.min())
+    best = rd.max(axis=1)
+    win = ids[np.argmax(rd == best[:, None], axis=1)]
+    if rd.shape[1] > 1:
+        top2 = np.sort(rd, axis=1)[:, -2]
+        print('rounded argmax ties:', int((top2 == best).sum()))
+    return win
+
+
+# Routing mirrors PipelineOps.assignToCentroids' dispatcher: FLAT below
+# hierRouteMin = 64, TWO-LEVEL at/above it (stage 1: nearest of the
+# g = ceil(sqrt(k)) lowest-cid supers; stage 2: argmax within that
+# super's member group, members pre-assigned by the same flat rule).
+HIER_ROUTE_MIN = 64
+if k < HIER_ROUTE_MIN:
+    cid = round6_argmax(emb @ cents.T, cids)          # n x k dots
+else:
+    g = int(np.ceil(np.sqrt(k)))
+    print('two-level routing: g =', g)
+    smask = cids < g
+    sups = cents[smask]; sids = cids[smask]
+    # codebook grouping: each centroid -> nearest super (flat rule),
+    # EXCEPT a super is pinned to its own group (a routed-to group must
+    # never be member-empty — mirrors assignToCentroidsTwoLevel).
+    cgrp = round6_argmax(cents @ sups.T, sids)        # k x g dots
+    cgrp = np.where(cids < g, cids, cgrp)
+    # stage 1: row -> nearest super
+    rgrp = round6_argmax(emb @ sups.T, sids)          # n x g dots
+    # stage 2: argmax within the routed group
+    cid = np.zeros(n, dtype=np.int64)
+    for gid in sids:
+        midx = np.where(cgrp == gid)[0]
+        rows = np.where(rgrp == gid)[0]
+        if len(rows) == 0:
+            continue
+        gd = np.round(emb[rows] @ cents[midx].T, 6)
+        cid[rows] = cids[midx][np.argmax(gd == gd.max(axis=1)[:, None], axis=1)]
 
 # within-cluster edges: round3(dot) >= 0.4  <=>  dot >= 0.3995 (HALF_UP)
 parent = np.arange(n)
