@@ -1524,19 +1524,22 @@ class PipelineSpec extends SparkTestBase {
     val g = math.ceil(math.sqrt(k.toDouble)).toInt
     val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
     val supers = cent.filter(col("cid") < g)
-    def argmaxTo(rows: org.apache.spark.sql.DataFrame, idOut: String) =
+    def rankTo(rows: org.apache.spark.sql.DataFrame, keep: Int, idOut: String) =
       rows.crossJoin(supers.select(col("cid").as("xid"), col("cemb").as("xemb")))
         .withColumn("d", round(VectorFunctions.dot(col("embedding"), col("xemb")), 6))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("xid"))))
-        .filter(col("rn") === 1)
+        .filter(col("rn") <= keep)
         .select(col("vec_id"), col("embedding"), col("xid").as(idOut))
-    val grouping = argmaxTo(
-        cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")), "gid0")
+    val grouping = rankTo(
+        cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")), 1, "gid0")
       .select(col("vec_id").as("mcid"),
         when(col("vec_id") < g, col("vec_id")).otherwise(col("gid0")).as("gid"))
       .join(cent.select(col("cid").as("mcid"), col("cemb")), "mcid")
-    val expect = argmaxTo(emb, "gid").join(grouping, "gid")
+    // stage 1 keeps the TOP-2 supers; joining both routed rows to the
+    // (disjoint) groups unions their members, and the final argmax over
+    // the union is the two-level winner.
+    val expect = rankTo(emb, 2, "gid").join(grouping, "gid")
       .withColumn("d", round(VectorFunctions.dot(col("embedding"), col("cemb")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("mcid"))))

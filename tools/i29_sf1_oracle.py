@@ -78,15 +78,22 @@ else:
     # never be member-empty — mirrors assignToCentroidsTwoLevel).
     cgrp = round6_argmax(cents @ sups.T, sids)        # k x g dots
     cgrp = np.where(cids < g, cids, cgrp)
-    # stage 1: row -> nearest super
-    rgrp = round6_argmax(emb @ sups.T, sids)          # n x g dots
-    # stage 2: argmax within the routed group
+    # stage 1: TOP-2 supers per row — sort by (round6 d desc, sid asc);
+    # stable argsort of -rd breaks ties by ascending column index, and
+    # columns are sid-ascending, so the tie-break matches the engine's
+    # (-d, gid) struct sort exactly.
+    rds = emb @ sups.T                                # n x g dots
+    fr2 = np.abs(((rds * 1e6) % 1.0) - 0.5)
+    print('min stage1-boundary margin (ulp@1e-6):', fr2.min())
+    srt = np.argsort(-np.round(rds, 6), axis=1, kind='stable')
+    g1 = sids[srt[:, 0]]
+    g2 = sids[srt[:, 1]] if g > 1 else g1
+    # stage 2: argmax within the UNION of the two routed groups,
+    # vectorized per distinct (g1, g2) pair (<= g^2 pairs).
     cid = np.zeros(n, dtype=np.int64)
-    for gid in sids:
-        midx = np.where(cgrp == gid)[0]
-        rows = np.where(rgrp == gid)[0]
-        if len(rows) == 0:
-            continue
+    for a, b in set(zip(g1.tolist(), g2.tolist())):
+        rows = np.where((g1 == a) & (g2 == b))[0]
+        midx = np.where((cgrp == a) | (cgrp == b))[0]
         gd = np.round(emb[rows] @ cents[midx].T, 6)
         cid[rows] = cids[midx][np.argmax(gd == gd.max(axis=1)[:, None], axis=1)]
 
