@@ -1119,6 +1119,74 @@ object PipelineOps {
        |sh AS (SELECT doc_id, min(source) AS source, $terms AS sh FROM hb GROUP BY doc_id)""".stripMargin
   }
 
+  // -------------------------------------- truth-table eval bodies (r15 #3)
+  // The three evals that consume the exact-pair truth machinery, each
+  // parameterized over its inputs so the registry (in-query truth) and
+  // the persisted-artifact read path (PersistedIndexSpec's
+  // truth_pairs_pt) run the SAME plan — an eval that re-derived its own
+  // truth could silently drift from the artifact being graded.
+
+  /** i98's sweep body: per threshold t ∈ {0.7, 0.8, 0.9}, how many of
+    * the true J ≥ t pairs (derived from the θ=0.7 `truth` stats by
+    * integer filter — nested truth sets) the banded candidate set
+    * surfaced. ONE left join + ONE aggregate.
+    */
+  private[graft] def lshRecallSweep(truth: DataFrame, lsh: DataFrame): DataFrame = {
+    val aggCols = (7 to 9).flatMap(th => Seq(
+      sum(when(col("inter") * 10 >= col("un") * th, 1L).otherwise(0L)).as(s"t$th"),
+      sum(when(col("inter") * 10 >= col("un") * th && col("is_cand").isNotNull,
+        1L).otherwise(0L)).as(s"h$th")))
+    truth.join(lsh, Seq("doc_id1", "doc_id2"), "left")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array((7 to 9).map(th =>
+        struct(lit(th * 100L).as("threshold_milli"),
+          col(s"t$th").as("n_true"), col(s"h$th").as("n_hit"),
+          expr(s"h$th * 1000000 div t$th").as("recall_ppm"))): _*)).as("z"))
+      .select(col("z.threshold_milli"), col("z.n_true"),
+        col("z.n_hit"), col("z.recall_ppm"))
+      .orderBy("threshold_milli")
+  }
+
+  /** i71's calibration body over any exact (doc_id1, doc_id2, jaccard)
+    * pair frame and i7 signature table: per-pair 8-component agreement
+    * count and the n_agree/8 estimate.
+    */
+  private[graft] def minhashEstimate(pairs: DataFrame, sig: DataFrame): DataFrame = {
+    val s1 = sig.select(col("doc_id").as("doc_id1") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val s2 = sig.select(col("doc_id").as("doc_id2") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    pairs.join(s1, "doc_id1").join(s2, "doc_id2")
+      .withColumn("n_agree", agree)
+      .select(col("doc_id1"), col("doc_id2"), col("jaccard"),
+        col("n_agree"),
+        round(col("n_agree") / lit(8.0), 3).as("est_jaccard"))
+      .orderBy("doc_id1", "doc_id2")
+  }
+
+  /** i75's precision/recall body over any flagged candidate frame
+    * (doc_id1, doc_id2, is_cand=1) and exact-true frame
+    * (doc_id1, doc_id2, is_true=1): one full outer join on the pair
+    * key, one 1-row rollup.
+    */
+  private[graft] def lshEval(cand: DataFrame, exact: DataFrame): DataFrame =
+    cand.join(exact, Seq("doc_id1", "doc_id2"), "full_outer")
+      .agg(
+        sum(when(col("is_cand") === 1 && col("is_true") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("is_cand") === 1 && col("is_true").isNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("is_cand").isNull && col("is_true") === 1, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp") / (col("tp") + col("fp")), 4)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp") / (col("tp") + col("fn")), 4)).as("recall"))
+
   // ---------------------------------------------------------- lang / quality
 
   /** Marker-word profiles over the corpus vocabulary: the classic
@@ -2723,41 +2791,11 @@ object PipelineOps {
     Q("i98_lsh_recall_sweep",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val sets = LlmOps.hashedTokenSets(docs).localCheckpoint(true)
-        // θ=0.7 lossless prefix — the SHARED PropertySpec-proven
-        // LlmOps.prefixLen, not a re-inlined formula (ADVICE r14).
-        val pref = sets.select(col("doc_id"), col("source"),
-          explode(slice(col("rks"), lit(1),
-            LlmOps.prefixLen(col("n_tok"), thetaTenths = 7).cast("int"))).as("rk"))
-        val cand7 = pref.alias("a").join(pref.alias("b"),
-            col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
-          .distinct()
-        val l = sets.select(col("doc_id").as("doc_id1"), col("rks").as("rks1"),
-          col("n_tok").as("n1"))
-        val r = sets.select(col("doc_id").as("doc_id2"), col("rks").as("rks2"),
-          col("n_tok").as("n2"))
-        val truth = cand7.join(l, "doc_id1").join(r, "doc_id2")
-          .withColumn("inter",
-            size(array_intersect(col("rks1"), col("rks2"))).cast("long"))
-          .withColumn("un", col("n1") + col("n2") - col("inter"))
-          .filter(col("inter") * 10 >= col("un") * 7)
-          .select(col("doc_id1"), col("doc_id2"), col("inter"), col("un"))
-        val lsh = bandCandidates(minhashSig(docs)).withColumn("is_cand", lit(1L))
-        val aggCols = (7 to 9).flatMap(th => Seq(
-          sum(when(col("inter") * 10 >= col("un") * th, 1L).otherwise(0L)).as(s"t$th"),
-          sum(when(col("inter") * 10 >= col("un") * th && col("is_cand").isNotNull,
-            1L).otherwise(0L)).as(s"h$th")))
-        truth.join(lsh, Seq("doc_id1", "doc_id2"), "left")
-          .agg(aggCols.head, aggCols.tail: _*)
-          .select(explode(array((7 to 9).map(th =>
-            struct(lit(th * 100L).as("threshold_milli"),
-              col(s"t$th").as("n_true"), col(s"h$th").as("n_hit"),
-              expr(s"h$th * 1000000 div t$th").as("recall_ppm"))): _*)).as("z"))
-          .select(col("z.threshold_milli"), col("z.n_true"),
-            col("z.n_hit"), col("z.recall_ppm"))
-          .orderBy("threshold_milli")
+        // θ=0.7 truth via the SHARED pairStats machinery (LlmOps —
+        // PropertySpec-proven lossless prefix; the persistable truth
+        // artifact PersistedIndexSpec reads back for the ...From path).
+        lshRecallSweep(LlmOps.pairStats(docs, 7),
+          bandCandidates(minhashSig(docs)).withColumn("is_cand", lit(1L)))
       },
       Some(sql("""WITH dt AS (SELECT DISTINCT doc_id, source,
                  |     unnest(string_split(text, ' ')) AS token FROM documents),
@@ -5735,21 +5773,8 @@ object PipelineOps {
     Q("i71_minhash_estimate",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val pairs = graft.operators.LlmOps.nearDupPairs(docs)
-        val sig = minhashSig(docs)
-        val s1 = sig.select(col("doc_id").as("doc_id1") +:
-          (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
-        val s2 = sig.select(col("doc_id").as("doc_id2") +:
-          (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
-        val agree = (0 until NumHashes)
-          .map(j => when(col(s"a$j") === col(s"b$j"), lit(1L)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        pairs.join(s1, "doc_id1").join(s2, "doc_id2")
-          .withColumn("n_agree", agree)
-          .select(col("doc_id1"), col("doc_id2"), col("jaccard"),
-            col("n_agree"),
-            round(col("n_agree") / lit(8.0), 3).as("est_jaccard"))
-          .orderBy("doc_id1", "doc_id2")
+        minhashEstimate(graft.operators.LlmOps.nearDupPairs(docs),
+          minhashSig(docs))
       },
       Some(sql(s"""WITH dtok AS (
                  |   SELECT doc_id, source, token,
@@ -5867,22 +5892,11 @@ object PipelineOps {
     Q("i75_lsh_eval",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val cand = bandCandidates(minhashSig(docs)).withColumn("is_cand", lit(1L))
-        val exact = LlmOps.nearDupPairs(docs)
-          .select(col("doc_id1"), col("doc_id2")).withColumn("is_true", lit(1L))
-        cand.join(exact, Seq("doc_id1", "doc_id2"), "full_outer")
-          .agg(
-            sum(when(col("is_cand") === 1 && col("is_true") === 1, 1L)
-              .otherwise(0L)).as("tp"),
-            sum(when(col("is_cand") === 1 && col("is_true").isNull, 1L)
-              .otherwise(0L)).as("fp"),
-            sum(when(col("is_cand").isNull && col("is_true") === 1, 1L)
-              .otherwise(0L)).as("fn"))
-          .select(col("tp"), col("fp"), col("fn"),
-            when(col("tp") + col("fp") > 0,
-              round(col("tp") / (col("tp") + col("fp")), 4)).as("precision"),
-            when(col("tp") + col("fn") > 0,
-              round(col("tp") / (col("tp") + col("fn")), 4)).as("recall"))
+        lshEval(
+          bandCandidates(minhashSig(docs)).withColumn("is_cand", lit(1L)),
+          LlmOps.nearDupPairs(docs)
+            .select(col("doc_id1"), col("doc_id2"))
+            .withColumn("is_true", lit(1L)))
       },
       Some(sql(s"""WITH $duckSigCte,
                  | bands AS (

@@ -26,11 +26,20 @@ class PersistedIndexSpec extends SparkTestBase {
     */
   private lazy val persistedTables: Unit = {
     Seq("corpus_sets_pt", "corpus_bands_pt", "corpus_grams_pt",
-      "coarse_assign_pt", "pq_codes_pt", "pq_cent_pt").foreach { tbl =>
+      "coarse_assign_pt", "pq_codes_pt", "pq_cent_pt",
+      "truth_pairs_pt").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       rmrf(new java.io.File(s"/tmp/graft-test-warehouse/$tbl"))
     }
     val docs = Tables.load(spark, dir, "documents")
+    // Exact-pair truth table at the loosest swept θ (0.7) — nested truth
+    // sets make this ONE artifact serve i98's sweep, i71's calibration,
+    // i75's banding eval and the CC family's θ=0.9 input (r15 ask #3).
+    // Bucketed on the full pair key: every consumer joins on exactly
+    // (doc_id1, doc_id2).
+    LlmOps.pairStats(docs, 7).write.format("parquet")
+      .bucketBy(8, "doc_id1", "doc_id2").sortBy("doc_id1", "doc_id2")
+      .mode("overwrite").saveAsTable("truth_pairs_pt")
     val corpusSets = LlmOps.hashedTokenSets(
       docs.filter(col("doc_id") < boundary)).localCheckpoint(true)
     // Sketch table (the i2 artifact): verify joins probe it by doc id.
@@ -153,6 +162,44 @@ class PersistedIndexSpec extends SparkTestBase {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 0, s"index read path must plan zero hash Exchange, got $n:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("truth-table read paths: i98/i71/i75/CC inputs from truth_pairs_pt == in-query; outer join keeps the bucket side unshuffled") {
+    persistedTables
+    val docs = Tables.load(spark, dir, "documents")
+    val truth = spark.table("truth_pairs_pt")
+    // The CC family's θ=0.9 input derives by integer filter + row-local
+    // jaccard — no candidate join, no tokenization.
+    assertSameRows(LlmOps.nearDupPairsFrom(truth), LlmOps.nearDupPairs(docs))
+    // i98's sweep over the persisted truth == the in-query registry row.
+    val lsh = PipelineOps.bandCandidates(PipelineOps.minhashSig(docs))
+      .withColumn("is_cand", lit(1L))
+    assertSameRows(PipelineOps.lshRecallSweep(truth, lsh),
+      Registry.byId("i98_lsh_recall_sweep").build(spark, dir))
+    // i71's calibration over truth-derived pairs == in-query.
+    assertSameRows(
+      PipelineOps.minhashEstimate(LlmOps.nearDupPairsFrom(truth),
+        PipelineOps.minhashSig(docs)),
+      Registry.byId("i71_minhash_estimate").build(spark, dir))
+    // i75's banding eval over the truth-derived exact set == in-query.
+    val exactFrom = truth.filter(col("inter") * 10 >= col("un") * 9)
+      .select(col("doc_id1"), col("doc_id2")).withColumn("is_true", lit(1L))
+    assertSameRows(PipelineOps.lshEval(lsh.localCheckpoint(true), exactFrom),
+      Registry.byId("i75_lsh_eval").build(spark, dir))
+    // Exchange pin: the i75 outer join on the FULL pair key must shuffle
+    // only the candidate side — the truth table's bucketing on
+    // (doc_id1, doc_id2) satisfies the join's co-partition requirement
+    // through the filter/flag projection.
+    withBroadcastDisabled {
+      val candCk = PipelineOps.bandCandidates(PipelineOps.minhashSig(docs))
+        .withColumn("is_cand", lit(1L)).localCheckpoint(true)
+      val j = candCk.join(exactFrom, Seq("doc_id1", "doc_id2"), "full_outer")
+      val p = j.queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n == 1,
+        s"truth side must stay unshuffled (1 Exchange for the cand side), got $n:\n$p")
+      assert(j.count() > 0)
+    }
   }
 
   private def rmrf(f: java.io.File): Unit = {
