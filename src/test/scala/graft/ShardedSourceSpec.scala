@@ -175,6 +175,113 @@ class ShardedSourceSpec extends SparkTestBase {
       batchDF.select("user_id", "event_type").distinct())
   }
 
+  test("h2 sliding twin survives kill+restart MID-WINDOW on the sharded source") {
+    // Phase 1 ends at the median event time — every 1h/30m window
+    // straddling the cut is half-filled when the first query stops, so
+    // the restarted query must ACCUMULATE into checkpointed window state,
+    // not recount (r14 ask #8: the native-source twin of StreamingSpec's
+    // MemoryStream h2 case, plus the recovery axis).
+    val root2 = tmp("graft-shards-h2")
+    val ckpt = tmp("ckpt")
+    val cutUs = batchDF
+      .select(expr("percentile_approx(unix_micros(ts), 0.5, 100)"))
+      .head().getLong(0)
+    ShardedEvents.dump(batchDF.filter(unix_micros(col("ts")) < cutUs), root2, 4)
+    def runOnce(qn: String): Unit = {
+      val q = StreamingOps.sliding(payload(ShardedEvents.readStream(spark, root2)))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000L))
+    }
+    runOnce("shard_h2_a") // "killed": AvailableNow stops mid-stream-life
+    ShardedEvents.dump(batchDF, root2, 4) // the stream grew
+    runOnce("shard_h2_b") // restart on the SAME checkpoint
+    assertSameRows(spark.table("shard_h2_b"), StreamingOps.sliding(batchDF))
+    // Cross-restart accumulation actually happened: some window straddling
+    // the cut has a strictly larger count in the final snapshot.
+    val snap1 = spark.table("shard_h2_a").collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val snap2 = spark.table("shard_h2_b").collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(snap1.exists { case (ws, c) => snap2.getOrElse(ws, 0L) > c },
+      "at least one mid-cut window must accumulate across the restart")
+  }
+
+  test("h3 session twin (append + watermark) == batch on the sharded source") {
+    // Sessions flush in append mode only when the watermark PROVES no
+    // more members can arrive; the tail sessions need a later event, so
+    // phase 2 extends the stream with one far-future sentinel — the
+    // restarted query's watermark then passes every real session. This
+    // is how a production tailer's session job drains on shutdown: one
+    // high-watermark heartbeat, then the final offsets commit.
+    val root3 = tmp("graft-shards-h3")
+    val ckpt = tmp("ckpt")
+    ShardedEvents.dump(batchDF, root3, 4)
+    val got = ArrayBuffer.empty[(Long, String, Long)]
+    def runOnce(): Unit = {
+      val q = StreamingOps.session(
+          payload(ShardedEvents.readStream(spark, root3))
+            .withWatermark("ts", "10 minutes"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            got.synchronized {
+              got += ((r.getLong(0), String.valueOf(r.get(1)), r.getLong(2)))
+            }
+          }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000L), "session stream did not drain")
+    }
+    runOnce() // real data
+    val sentinel = batchDF.agg(max(col("ts")).as("mx"))
+      .select(lit(-1L).as("event_id"),
+        (col("mx") + expr("INTERVAL 240 HOURS")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    ShardedEvents.dump(payload(batchDF).unionByName(sentinel), root3, 4)
+    runOnce() // restart: the sentinel advances the watermark past every session
+    runOnce() // idle restart: commits/evicts whatever the flush batch left
+    val want = StreamingOps.session(batchDF).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)), r.getLong(2))).toSet
+    val gotReal = got.filter(_._1 != -1L).toSet
+    assert(gotReal == want,
+      s"session stream≡batch: got ${gotReal.size}, want ${want.size}")
+  }
+
+  test("h8 stream-stream interval join twin runs green on the sharded source") {
+    // Two independent readers of the SAME dumped stream (the reference's
+    // two-consumer pattern), filtered to purchases/errors, joined on the
+    // watermark-bounded interval condition. Inner-join emission needs no
+    // flush — every match emits once both sides' rows have arrived — so
+    // one AvailableNow drain reproduces the batch join exactly.
+    val joined = StreamingOps.purchaseErrorJoin(
+      payload(ShardedEvents.readStream(spark, root))
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "purchase"),
+      payload(ShardedEvents.readStream(spark, root))
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "error"))
+    val q = joined.writeStream.format("memory").queryName("shard_h8")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000L))
+    val want = StreamingOps.purchaseErrorJoin(
+      batchDF.filter(col("event_type") === "purchase"),
+      batchDF.filter(col("event_type") === "error"))
+    assertSameRows(spark.table("shard_h8"), want)
+    assert(want.count() > 0, "the join must be non-vacuous at sf0.001")
+  }
+
   test("shard enumeration paginates past the page size (ListShards NextToken)") {
     // Route into 12 shards: hash routing leaves some empty (few distinct
     // partition keys at sf0.001 — empty shards write no directory), but
