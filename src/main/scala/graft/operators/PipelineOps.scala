@@ -490,6 +490,41 @@ object PipelineOps {
     * is the documented next rung; it trades one corpus shuffle for an
     * O(√k·dim) per-task footprint.
     */
+  /** OPT-IN routing-quality upgrade over [[assignToCentroidsTwoLevel]]:
+    * the supers are TRAINED (Lloyd over the k-row codebook — codebook-
+    * sized work, ~8 tiny jobs, never corpus) instead of the first-g
+    * stub, so they tile the centroid set instead of being g arbitrary
+    * directions. Trained supers are not codebook members, so the
+    * self-pin doesn't apply; member-empty groups are excluded from the
+    * stage-1 routing array instead (a super no centroid picked cannot
+    * be routed to — rows take their next-best super). Measured by
+    * RouteEval (BASELINE.md r15): closes most of the small-k recall gap
+    * the stub supers pay on isotropic fixtures. NOT wired into the
+    * default dispatcher: the scaledK consumers keep the stub form the
+    * sf1 numpy oracle mirrors; a deployment opts in at BuildIndexes
+    * time, where the training cost amortizes into the build.
+    */
+  private[graft] def assignToCentroidsTwoLevelTrained(emb: DataFrame,
+      cent: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val supers = trainCodebook(
+      cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
+      g, maxIters).localCheckpoint(true)
+    val grouped = assignToCentroidsFlat(
+        cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")), supers)
+      .select(col("cid").as("gid"), col("vec_id").as("mcid"),
+        col("embedding").as("mcemb")).localCheckpoint(true)
+    val presentSupers = supers.join(
+      grouped.select(col("gid")).distinct(),
+      supers("cid") === col("gid"), "left_semi")
+    val groupArray = grouped
+      .groupBy(col("gid"))
+      .agg(collect_list(struct(col("mcid").as("cid"),
+        col("mcemb").as("cemb"))).as("members"))
+      .agg(collect_list(struct(col("gid"), col("members"))).as("groups"))
+    twoLevelRoute(emb, presentSupers, groupArray)
+  }
+
   private[graft] def assignToCentroidsTwoLevel(emb: DataFrame, cent: DataFrame,
       k: Int): DataFrame = {
     val g = math.ceil(math.sqrt(k.toDouble)).toInt
@@ -508,12 +543,20 @@ object PipelineOps {
       .agg(collect_list(struct(col("mcid").as("cid"),
         col("mcemb").as("cemb"))).as("members"))
       .agg(collect_list(struct(col("gid"), col("members"))).as("groups"))
-    // Stage 1 routes to the TOP-2 supers (multi-probe, the standard
-    // IVF coarse-quantizer mitigation): a row near a super boundary
-    // evaluates BOTH groups' members, roughly halving the
-    // boundary-miss rate for one extra √k-sized group scan — per-row
-    // work stays (g + ~2√k)·dim. Tie-break: (−6dp dot, gid) sort,
-    // the annBatchTop3 probe idiom.
+    twoLevelRoute(emb, supers, groupArray)
+  }
+
+  /** The shared corpus stages of two-level routing over a prepared super
+    * table and 1-row grouped-member array — stage 1 routes to the TOP-2
+    * supers (multi-probe, the standard IVF coarse-quantizer mitigation:
+    * a row near a super boundary evaluates BOTH groups' members,
+    * roughly halving the boundary-miss rate for one extra √k-sized
+    * group scan — per-row work stays (g + ~2√k)·dim; tie-break the
+    * (−6dp dot, gid) sort, the annBatchTop3 probe idiom); stage 2 takes
+    * the argmax over the union of the two routed groups' members.
+    */
+  private def twoLevelRoute(emb: DataFrame, supers: DataFrame,
+      groupArray: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(supers)))
       .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
         struct(
@@ -537,7 +580,6 @@ object PipelineOps {
       .select(col("vec_id"), col("embedding"),
         (-col("best").getField("ncid")).as("cid"),
         col("best").getField("cd").as("best_sim"))
-  }
 
   /** The batch-ANN pipeline (per-query nprobe routing + top-3), fully
     * parameterized over corpus, codebook, query batch and nprobe:
@@ -549,8 +591,16 @@ object PipelineOps {
     */
   private[graft] def annBatchTop3(emb: DataFrame, cent: DataFrame,
       queries: DataFrame, nprobe: Int, topK: Int = 3,
-      assignK: Int = 0): DataFrame = {
-    val assigned = assignToCentroids(emb, cent, assignK)
+      assignK: Int = 0): DataFrame =
+    annBatchTop3Assigned(assignToCentroids(emb, cent, assignK),
+      cent, queries, nprobe, topK)
+
+  /** [[annBatchTop3]] over a PREBUILT assignment frame — the form the
+    * persisted-index read path and RouteEval's router re-grades use
+    * (any router's assignment can be scored by the same probe plan).
+    */
+  private[graft] def annBatchTop3Assigned(assigned: DataFrame, cent: DataFrame,
+      queries: DataFrame, nprobe: Int, topK: Int = 3): DataFrame = {
     // nprobe routing, same shuffle-free shape as the assignment: sort
     // the k inline scores, keep nprobe — no per-qid window needed.
     val probes = queries.crossJoin(broadcast(centroidArray(cent)))
@@ -589,7 +639,16 @@ object PipelineOps {
     * registry grades. Output: (qid, n_hit, recall), unordered.
     */
   private[graft] def annRecall(emb: DataFrame, cent: DataFrame,
-      queries: DataFrame, nprobe: Int, assignK: Int = 0): DataFrame = {
+      queries: DataFrame, nprobe: Int, assignK: Int = 0): DataFrame =
+    annRecallAssigned(assignToCentroids(emb, cent, assignK),
+      emb, cent, queries, nprobe)
+
+  /** [[annRecall]] over a PREBUILT assignment — RouteEval's router
+    * re-grade path; exact truth is brute force over the query batch
+    * either way.
+    */
+  private[graft] def annRecallAssigned(assigned: DataFrame, emb: DataFrame,
+      cent: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
     val exact = emb.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
         round(VectorFunctions.dot(col("embedding"), col("qemb")), 3).as("sim"))
@@ -597,7 +656,7 @@ object PipelineOps {
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("vec_id"))
-    val hits = annBatchTop3(emb, cent, queries, nprobe, assignK = assignK)
+    val hits = annBatchTop3Assigned(assigned, cent, queries, nprobe)
       .join(exact, Seq("qid", "vec_id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
     queries.select(col("qid")).join(hits, Seq("qid"), "left")

@@ -92,11 +92,19 @@ object BuildIndexes {
 
     // ANN-side artifacts: coarse assignment at the production scaledK
     // (two-level routed at k >= hierRouteMin), plus the PQ pair.
+    // --trained-routing opts into trained supers (RouteEval: +15 pp
+    // agreement and half the bucket skew at sf1 k=80 vs stub supers —
+    // the training cost amortizes into the build, which is exactly
+    // where a deployment should pay it).
+    val trainedRouting = args.contains("--trained-routing")
     val k = PipelineOps.scaledK(emb)
     val coarse = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
     write("coarse_codebook", coarse, Seq())
-    write("coarse_assign",
-      PipelineOps.assignToCentroids(emb, coarse, k).select(col("vec_id"), col("cid")),
+    val assigned =
+      if (trainedRouting && k >= PipelineOps.hierRouteMin)
+        PipelineOps.assignToCentroidsTwoLevelTrained(emb, coarse, k)
+      else PipelineOps.assignToCentroids(emb, coarse, k)
+    write("coarse_assign", assigned.select(col("vec_id"), col("cid")),
       Seq("vec_id"))
     val sub = PipelineOps.pqBlocks(emb, nBlocks = 4, blockDim = 16)
       .localCheckpoint(true)

@@ -41,28 +41,39 @@ object RouteEval {
 
     val rows = ks.map { k =>
       val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
-      def recallSum(assignK: Int, nprobe: Int): Long =
-        PipelineOps.annRecall(emb, cent, q, nprobe, assignK = assignK)
+      val flat = PipelineOps.assignToCentroidsFlat(emb, cent)
+        .localCheckpoint(true)
+      val two = PipelineOps.assignToCentroids(emb, cent, k)
+        .localCheckpoint(true)
+      val trained = PipelineOps.assignToCentroidsTwoLevelTrained(emb, cent, k)
+        .localCheckpoint(true)
+      def recallSum(assigned: org.apache.spark.sql.DataFrame, nprobe: Int): Long =
+        PipelineOps.annRecallAssigned(assigned, emb, cent, q, nprobe)
           .agg(sum(col("n_hit"))).head.getLong(0)
       val probes = Seq(1, 2, math.max(1, k / 4))
-      val flatR = probes.map(p => p -> recallSum(0, p))
-      val twoR = probes.map(p => p -> recallSum(k, p))
-      val flat = PipelineOps.assignToCentroidsFlat(emb, cent)
-        .select(col("vec_id"), col("cid").as("fcid"), col("best_sim").as("fsim"))
-      val two = PipelineOps.assignToCentroids(emb, cent, k)
-        .select(col("vec_id"), col("cid"), col("best_sim"))
-      val j = two.join(flat, "vec_id").localCheckpoint(true)
-      val agree = j.filter(col("cid") === col("fcid")).count()
-      val lawViolations = j.filter(col("best_sim") > col("fsim")).count()
-      def maxBucket(df: org.apache.spark.sql.DataFrame): Long =
-        df.groupBy(col("cid")).agg(count(lit(1)).as("c"))
-          .agg(max(col("c"))).head.getLong(0)
-      val (mbF, mbT) = (maxBucket(flat.select(col("fcid").as("cid"))), maxBucket(two))
-      val rj = probes.indices.map { i =>
-        s"""{"nprobe":${probes(i)},"flat_hits":${flatR(i)._2},"two_level_hits":${twoR(i)._2}}"""
+      def stats(a: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val f = flat.select(col("vec_id"), col("cid").as("fcid"),
+          col("best_sim").as("fsim"))
+        val j = a.select(col("vec_id"), col("cid"), col("best_sim"))
+          .join(f, "vec_id").localCheckpoint(true)
+        (j.filter(col("cid") === col("fcid")).count(),
+          j.filter(col("best_sim") > col("fsim")).count(),
+          a.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+            .agg(max(col("c"))).head.getLong(0))
+      }
+      val (agreeT, lawT, mbT) = stats(two)
+      val (agreeTr, lawTr, mbTr) = stats(trained)
+      val mbF = flat.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head.getLong(0)
+      val rj = probes.map { p =>
+        s"""{"nprobe":$p,"flat_hits":${recallSum(flat, p)},""" +
+          s""""two_level_hits":${recallSum(two, p)},""" +
+          s""""trained_hits":${recallSum(trained, p)}}"""
       }.mkString("[", ",", "]")
-      s"""{"k":$k,"agreement":$agree,"n":$n,"law_violations":$lawViolations,""" +
-        s""""max_bucket_flat":$mbF,"max_bucket_two_level":$mbT,"recall":$rj}"""
+      s"""{"k":$k,"n":$n,"agreement":$agreeT,"agreement_trained":$agreeTr,""" +
+        s""""law_violations":${lawT + lawTr},""" +
+        s""""max_bucket_flat":$mbF,"max_bucket_two_level":$mbT,""" +
+        s""""max_bucket_trained":$mbTr,"recall":$rj}"""
     }
     val tag = java.nio.file.Paths.get(dir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")

@@ -1576,4 +1576,29 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(PipelineOps.assignToCentroids(emb, small, 8),
       PipelineOps.assignToCentroidsFlat(emb, small))
   }
+
+  test("trained-supers router: subset law holds, every row assigned, cids valid") {
+    // The opt-in trained router (Lloyd over the k-row codebook) obeys
+    // the same laws as the stub router: its winner is an argmax over a
+    // SUBSET of the codebook (best_sim <= flat's global best, exact-sim
+    // agreement when the winner matches), every row gets a valid cid
+    // (member-empty groups are excluded from stage-1 routing, so the
+    // lookup can never go NULL), and no row is dropped.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val k = 64
+    val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
+    val tr = PipelineOps.assignToCentroidsTwoLevelTrained(emb, cent, k)
+      .select(col("vec_id"), col("cid"), col("best_sim"))
+      .localCheckpoint(true)
+    assert(tr.count() == emb.count(), "every row must be assigned")
+    assert(tr.filter(col("cid").isNull || col("cid") < 0 || col("cid") >= k)
+      .count() == 0, "cids must be valid codebook members")
+    val flat = PipelineOps.assignToCentroidsFlat(emb, cent)
+      .select(col("vec_id"), col("cid").as("fcid"), col("best_sim").as("fsim"))
+    val j = tr.join(flat, "vec_id")
+    assert(j.filter(col("best_sim") > col("fsim")).count() == 0,
+      "trained-routed best_sim must not exceed the flat global best")
+    assert(j.filter(col("cid") === col("fcid") &&
+      col("best_sim") =!= col("fsim")).count() == 0)
+  }
 }
