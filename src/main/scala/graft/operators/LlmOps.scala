@@ -191,15 +191,22 @@ object LlmOps {
     */
   def containmentPairs(docs: DataFrame): DataFrame = {
     val sets = hashedTokenSets(docs).localCheckpoint(true)
-    val aPref = sets.select(col("doc_id"), col("source"),
+    val aPref = sets.select(col("doc_id"), col("source"), col("n_tok").as("na"),
       explode(slice(col("rks"), lit(1),
         prefixLen(col("n_tok"), thetaTenths = 9).cast("int"))).as("rk"))
-    val bAll = sets.select(col("doc_id"), col("source"),
+    val bAll = sets.select(col("doc_id"), col("source"), col("n_tok").as("nb"),
       explode(col("rks")).as("rk"))
+    // LOSSLESS length filter inside the candidate join (the PPJoin
+    // companion to the prefix filter): C(A→B) ≥ θ ⇒ |A∩B| ≥ ceil(θ·|A|)
+    // and |A∩B| ≤ |B|, so |B|·10 ≥ |A|·9 — a too-short B can't contain
+    // enough of A, and the pair dies BEFORE the distinct instead of at
+    // the verify stage. The oracle computes the unfiltered form, so the
+    // filter must be (and is) implied by the verify predicate.
     val cand = aPref.alias("a")
       .join(bAll.alias("b"),
         col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.nb") * 10 >= col("a.na") * 9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val l = sets.select(col("doc_id").as("doc_a"), col("rks").as("rks_a"),
