@@ -6763,6 +6763,78 @@ object PipelineOps {
           * col("cfac"), 4).as("dsir_weight"))
   }
 
+  /** BPE TRAINER loop (the lifecycle closer for the tokenizer family —
+    * i55 is one merge's argmax, i59 one merge's apply; this iterates
+    * them to a merge LIST, the artifact a tokenizer deployment ships,
+    * exactly as [[trainCodebook]] closes the i23 Lloyd step). Each
+    * round: count adjacent symbol pairs over the CURRENT |vocab|-row
+    * word table weighted by corpus frequency (i55's plan — the corpus
+    * collapses to the counted vocabulary once, before any per-character
+    * work), pick the (count desc, pair asc) argmax — ONE 1-row driver
+    * read per round, the trainCodebook scalar rule — and apply it with
+    * i59's greedy non-overlapping `replace`. Each merged pair becomes a
+    * fresh PRIVATE-USE-AREA symbol (U+E000+round), so later rounds can
+    * merge a merged symbol with its neighbors — real BPE's recursion,
+    * which a fixed '#' placeholder would corrupt (round 2 could not
+    * tell pair₁ from pair₂). Stops early when no pair repeats (max
+    * count ≤ 1 — merging singletons buys nothing) or the vocabulary
+    * runs out of 2-symbol words. Returns (merge list in training
+    * order, final word table (w, n)); the corpus-weighted symbol count
+    * strictly decreases every emitted round (PipelineSpec law, tied to
+    * i59's total_merges arithmetic). Cost per round: one vocab-sized
+    * projection + pair aggregate — never a corpus pass after round 0's
+    * word count.
+    */
+  private[graft] def trainBpeMerges(docs: DataFrame,
+      nMerges: Int): (Seq[String], DataFrame) = {
+    var words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done && merges.size < nMerges) {
+      val top = words.filter(length(col("w")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(1) <= 1L) done = true
+      else {
+        val pair = top(0).getString(0)
+        val sym = (0xE000 + merges.size).toChar.toString
+        merges += pair
+        // replace(w, pair, sym) via the codegen'd ternary replace —
+        // lit() operands, no string interpolation into SQL.
+        words = words
+          .groupBy(replaceExpr(col("w"), pair, sym).as("w"))
+          .agg(sum(col("n")).as("n"))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** `replace(src, search, rep)` as a Column over literal search/rep —
+    * the exact greedy non-overlapping semantics i59's oracle pins.
+    */
+  private def replaceExpr(src: Column, search: String, rep: String): Column =
+    call_function("replace", src, lit(search), lit(rep))
+
+  /** Apply a trained merge list to any (w, n) word table, in training
+    * order — the deployment-side half of [[trainBpeMerges]]: the merge
+    * list is tiny and rides in the plan; each merge is one vocab-sized
+    * projection.
+    */
+  private[graft] def bpeApplyMerges(words: DataFrame,
+      merges: Seq[String]): DataFrame =
+    merges.zipWithIndex.foldLeft(words) { case (acc, (pair, i)) =>
+      acc.groupBy(replaceExpr(col("w"), pair,
+          (0xE000 + i).toChar.toString).as("w"))
+        .agg(sum(col("n")).as("n"))
+    }
+
   /** The i61 matvec over any (vec_id, embedding) frame — factored so
     * PipelineSpec can assert the exact integer result on crafted
     * vectors through the SAME code path the registry runs.

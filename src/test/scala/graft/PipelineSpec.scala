@@ -1577,6 +1577,33 @@ class PipelineSpec extends SparkTestBase {
       PipelineOps.assignToCentroidsFlat(emb, small))
   }
 
+  test("BPE trainer: deterministic merge list, strict per-round compression, replay == trainer state") {
+    val docs = Tables.load(spark, dir, "documents")
+    val (merges, finalWords) = PipelineOps.trainBpeMerges(docs, 6)
+    assert(merges.nonEmpty && merges.size <= 6)
+    // Training is deterministic end to end (the i55 tie-break rule).
+    assert(merges == PipelineOps.trainBpeMerges(docs, 6)._1)
+    // Round 1's merge IS the oracled i55 argmax.
+    val i55top = Registry.byId("i55_bpe_merge_step").build(spark, dir)
+      .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+      .head.getString(0)
+    assert(merges.head == i55top, s"first merge ${merges.head} != i55 $i55top")
+    // Corpus-weighted symbol count strictly decreases at every emitted
+    // merge (each argmax had cnt > 1, and i59's replace arithmetic
+    // removes total_merges symbols).
+    val base = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n")).localCheckpoint(true)
+    def symCount(ws: org.apache.spark.sql.DataFrame): Long =
+      ws.agg(sum(length(col("w")) * col("n"))).head.getLong(0)
+    val counts = (0 to merges.size).map(k =>
+      symCount(PipelineOps.bpeApplyMerges(base, merges.take(k))))
+    assert(counts.sliding(2).forall(p => p(1) < p(0)),
+      s"symbol counts must strictly decrease: $counts")
+    // Deployment replay of the merge list reproduces the trainer's
+    // final word table exactly.
+    assertSameRows(PipelineOps.bpeApplyMerges(base, merges), finalWords)
+  }
+
   test("trained-supers router: subset law holds, every row assigned, cids valid") {
     // The opt-in trained router (Lloyd over the k-row codebook) obeys
     // the same laws as the stub router: its winner is an argmax over a
