@@ -163,6 +163,45 @@ object LlmOps {
       .select(col("doc_id1"), col("doc_id2"), col("inter"), col("un"))
   }
 
+  /** INGEST form of [[pairStats]] — the truth artifact's lifecycle
+    * closer (the i25/i36/i41 find→artifact→incremental symmetry): given
+    * the persisted corpus sketch table and an arriving batch's sketches,
+    * emit exactly the truth pairs that involve ≥ 1 batch doc — the rows
+    * a daily crawl APPENDS to the persisted truth table, leaving the
+    * corpus×corpus join untouched (at 100 TB that join is the 227 s/sf10
+    * build cost paid once, not per day). Candidates are the lossless
+    * prefix join of batch prefixes against (corpus ∪ batch) prefixes —
+    * the PropertySpec-proven symmetric prefix theorem applies unchanged;
+    * pair keys normalize to (min, max) so either arrival order yields
+    * the canonical key. ADDITIVITY LAW (PersistedIndexSpec):
+    * pairStats(corpus ∪ batch) ≡ pairStats(corpus) ∪ this — the two
+    * sides partition the truth set by "touches a batch doc".
+    */
+  def pairStatsIngest(corpusSets: DataFrame, batchSets: DataFrame,
+      thetaTenths: Int): DataFrame = {
+    val allSets = corpusSets.unionByName(batchSets).localCheckpoint(true)
+    def pref(s: DataFrame) = s.select(col("doc_id"), col("source"),
+      explode(slice(col("rks"), lit(1),
+        prefixLen(col("n_tok"), thetaTenths).cast("int"))).as("rk"))
+    val cand = pref(batchSets).alias("a")
+      .join(pref(allSets).alias("b"),
+        col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id2"))
+      .distinct()
+    val l = allSets.select(col("doc_id").as("doc_id1"), col("rks").as("rks1"),
+      col("n_tok").as("n1"))
+    val r = allSets.select(col("doc_id").as("doc_id2"), col("rks").as("rks2"),
+      col("n_tok").as("n2"))
+    cand.join(l, "doc_id1").join(r, "doc_id2")
+      .withColumn("inter",
+        size(array_intersect(col("rks1"), col("rks2"))).cast("long"))
+      .withColumn("un", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * thetaTenths)
+      .select(col("doc_id1"), col("doc_id2"), col("inter"), col("un"))
+  }
+
   /** The θ=0.9 near-dup pair set DERIVED from a persisted [[pairStats]]
     * table (built at any θ ≤ 0.9): integer-threshold filter + row-local
     * jaccard — no candidate join, no tokenization, no corpus scan.

@@ -202,6 +202,23 @@ class PersistedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("truth-table INGEST additivity: pairStats(all) == pairStats(corpus) UNION ingest(persisted sets, batch)") {
+    persistedTables
+    val docs = Tables.load(spark, dir, "documents")
+    val batchSets = LlmOps.hashedTokenSets(docs.filter(col("doc_id") >= boundary))
+    // The daily-crawl append: batch-touching truth pairs derived against
+    // the PERSISTED corpus sketch table — the corpus×corpus join (the
+    // expensive build) is never re-run.
+    val ingested = LlmOps.pairStatsIngest(
+      spark.table("corpus_sets_pt"), batchSets, 7)
+    assert(ingested.count() > 0, "ingest must be non-vacuous at sf0.001")
+    val corpusOnly = LlmOps.pairStats(docs.filter(col("doc_id") < boundary), 7)
+    assertSameRows(corpusOnly.unionByName(ingested), LlmOps.pairStats(docs, 7))
+    // The partition is exact: no pair appears on both sides.
+    assert(corpusOnly.join(ingested, Seq("doc_id1", "doc_id2"), "inner")
+      .count() == 0)
+  }
+
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(rmrf)
     f.delete(): Unit
