@@ -701,6 +701,69 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("streaming truth-pair maintenance == batch pairStatsIngest (shuffled feed)") {
+    // The truth artifact's streaming twin (r15): the within-stream pairs
+    // come from TruthPairStream's keyed state (each doc scored once, at
+    // its own arrival — final pair SET is arrival-order free); the
+    // stream-static pairs against the persisted corpus sketches are
+    // STATELESS (the i33/i21 rule) and computed batch-side here. Their
+    // union must equal pairStatsIngest on the same split, (inter, un)
+    // stats included — the nightly batch build and the continuous tailer
+    // maintain the SAME artifact.
+    import graft.streaming.{TruthArrival, TruthPairStream}
+    val boundary = 100L
+    val corpus = Seq(
+      (1L, "s0", "a b c d e f g h i j"),
+      (2L, "s1", "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"))
+    val batch = Seq(
+      (101L, "s0", "a b c d e f g h i k"),
+      (102L, "s0", "a b c d e f g h j k"),
+      (103L, "s0", (1 to 10).map(i => s"x$i").mkString(" ")),
+      (104L, "s0", (1 to 9).map(i => s"x$i").mkString(" ") + " y1"),
+      (105L, "s1", "p1 p2 p3 p4 p5 p6 p7 p8 p9 q1"),
+      (106L, "s1", (1 to 10).map(i => s"r$i").mkString(" ")))
+    val all = (corpus ++ batch).toDF("doc_id", "source", "text")
+    val corpusSets = LlmOps.hashedTokenSets(
+      all.filter(col("doc_id") < boundary)).localCheckpoint(true)
+    val batchSets = LlmOps.hashedTokenSets(all.filter(col("doc_id") >= boundary))
+    val want = LlmOps.pairStatsIngest(corpusSets, batchSets, 7)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Both pair kinds must be non-vacuous by construction.
+    assert(want.exists(_._1 < boundary), s"corpus-batch pair expected: $want")
+    assert(want.exists(_._1 >= boundary), s"batch-batch pair expected: $want")
+    // Within-stream pairs: keyed state over a SHUFFLED micro-batch feed.
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+    val feed = new scala.util.Random(43).shuffle(batch)
+    Replay.runForeach(spark, feed, 3, OutputMode.Update())(ds =>
+      TruthPairStream(
+        ds.toDF("doc_id", "source", "text")
+          .withColumn("rks", array_sort(array_distinct(
+            transform(split(col("text"), " "), t => xxhash64(t)))))
+          .select(col("source"), col("doc_id"), col("rks"))
+          .as[TruthArrival], 7).toDF()
+    ) { (df, _) =>
+      val rows = df.select(explode(col("pairs")).as("p")).select("p.*")
+        .as[(Long, Long, Long, Long)].collect()
+      got.synchronized { got ++= rows }
+      ()
+    }
+    // Stream-static pairs are stateless — one pass of the batch side
+    // against the persisted corpus sketches.
+    val cs = corpusSets.select(col("source"), col("doc_id").as("cid"),
+      col("rks").as("crks"), col("n_tok").as("cn"))
+    val static = batchSets.join(cs, "source")
+      .withColumn("inter",
+        size(array_intersect(col("rks"), col("crks"))).cast("long"))
+      .withColumn("un", col("n_tok") + col("cn") - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * 7)
+      .select(least(col("doc_id"), col("cid")).as("doc_id1"),
+        greatest(col("doc_id"), col("cid")).as("doc_id2"),
+        col("inter"), col("un"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert((got.toSet ++ static) == want,
+      s"stream+static=${got.toSet ++ static}\nwant=$want")
+  }
+
   test("streaming outlier screen == batch i33 (stateless, arrival-order free)") {
     // The semantic outlier screen is a pure projection + filter against
     // the broadcast codebook — no state store; the SAME expression maps
