@@ -546,6 +546,51 @@ object PipelineOps {
     twoLevelRoute(emb, supers, groupArray)
   }
 
+  /** The GID-PARTITIONED form of two-level routing — the documented next
+    * rung when k itself outgrows a comfortable broadcast (≳10⁷·dim):
+    * stage 1 is unchanged (the supers broadcast is only O(√k·dim)), but
+    * stage 2 JOINS the probe rows against a distributed (gid → members)
+    * table instead of broadcasting the whole grouped codebook — each
+    * task holds only the ≤√k·dim member arrays of the gids it received.
+    * The trade is explicit: two corpus shuffles (probe rows by gid, then
+    * the 2-probe merge by vec_id) for an O(√k·dim) per-task footprint;
+    * below broadcast-comfort the broadcast form wins and stays the
+    * dispatcher default. Output-identical to
+    * [[assignToCentroidsTwoLevel]] (PipelineSpec pins equality at
+    * k=256): same grouping (self-pinned supers), same top-2 stage 1,
+    * same (6dp, −cid) argmax — only the DISTRIBUTION of stage 2 moves.
+    */
+  private[graft] def assignToCentroidsTwoLevelPartitioned(emb: DataFrame,
+      cent: DataFrame, k: Int): DataFrame = {
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val supers = cent.filter(col("cid") < g)
+    val groupTable = assignToCentroidsFlat(
+        cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")), supers)
+      .select(when(col("vec_id") < g, col("vec_id")).otherwise(col("cid")).as("gid"),
+        col("vec_id").as("mcid"), col("embedding").as("mcemb"))
+      .groupBy(col("gid"))
+      .agg(collect_list(struct(col("mcid").as("cid"),
+        col("mcemb").as("cemb"))).as("members"))
+    val probes = emb.crossJoin(broadcast(centroidArray(supers)))
+      .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
+        struct(
+          (-round(VectorFunctions.dot(col("embedding"), c.getField("cemb")), 6)).as("ngd"),
+          c.getField("cid").as("gid")))), 1, 2))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("array_distinct(transform(pr, x -> x.gid))")).as("gid"))
+    probes.join(groupTable, Seq("gid"))
+      .withColumn("best", array_max(transform(col("members"), c =>
+        struct(
+          round(VectorFunctions.dot(col("embedding"), c.getField("cemb")), 6).as("cd"),
+          (-c.getField("cid")).as("ncid")))))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(col("best")).as("gbest"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("gbest").getField("ncid")).as("cid"),
+        col("gbest").getField("cd").as("best_sim"))
+  }
+
   /** The shared corpus stages of two-level routing over a prepared super
     * table and 1-row grouped-member array — stage 1 routes to the TOP-2
     * supers (multi-probe, the standard IVF coarse-quantizer mitigation:

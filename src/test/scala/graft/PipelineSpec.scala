@@ -1604,6 +1604,30 @@ class PipelineSpec extends SparkTestBase {
     assertSameRows(PipelineOps.bpeApplyMerges(base, merges), finalWords)
   }
 
+  test("gid-partitioned two-level routing == the broadcast form (k=256), incl. no-broadcast plan") {
+    // The documented next rung for k beyond broadcast comfort: stage 2
+    // joins a distributed (gid -> members) table instead of broadcasting
+    // the grouped codebook. Semantics must be IDENTICAL — only the
+    // distribution moves — and the plan must survive with broadcasts
+    // disabled (the regime it exists for).
+    val emb = Tables.load(spark, dir, "embeddings")
+    val k = 256
+    val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
+    val want = PipelineOps.assignToCentroidsTwoLevel(emb, cent, k)
+      .select("vec_id", "cid", "best_sim")
+    val gotDefault = PipelineOps.assignToCentroidsTwoLevelPartitioned(emb, cent, k)
+      .select("vec_id", "cid", "best_sim")
+    assertSameRows(gotDefault, want)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val gotShuffled = PipelineOps.assignToCentroidsTwoLevelPartitioned(emb, cent, k)
+        .select("vec_id", "cid", "best_sim")
+      assertSameRows(gotShuffled, want)
+    } finally spark.conf.set(key, old)
+  }
+
   test("trained-supers router: subset law holds, every row assigned, cids valid") {
     // The opt-in trained router (Lloyd over the k-row codebook) obeys
     // the same laws as the stub router: its winner is an argmax over a
