@@ -105,6 +105,46 @@ class PropertySpec extends SparkTestBase {
     assert(seen == want, s"missing=${want -- seen} extra=${seen -- want}")
   }
 
+  test("truth-pair ingest additivity holds on random corpora at theta in {0.5, 0.9}") {
+    // Random same-source docs over a tiny vocabulary (dense overlaps),
+    // random corpus/batch split: pairStats(all) must equal
+    // pairStats(corpus) ∪ pairStatsIngest(corpusSets, batchSets) as an
+    // exact disjoint partition, and the union must match the
+    // brute-force set model — at BOTH a loose and a tight θ (the prefix
+    // lengths differ, so this exercises two candidate geometries).
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = sample(docGen, 50, seed = 7L).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "s0", ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "source", "text")
+    val cut = 30L
+    val corpusSets = LlmOps.hashedTokenSets(df.filter(col("doc_id") < cut))
+      .localCheckpoint(true)
+    val batchSets = LlmOps.hashedTokenSets(df.filter(col("doc_id") >= cut))
+    val sets = docs.map { case (id, _, t) => id -> t.split(" ").toSet }.toMap
+    Seq(5, 9).foreach { th =>
+      val all = LlmOps.pairStats(df, th)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val corpusOnly = LlmOps.pairStats(df.filter(col("doc_id") < cut), th)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val ingested = LlmOps.pairStatsIngest(corpusSets, batchSets, th)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(corpusOnly.intersect(ingested).isEmpty, s"theta=$th overlap")
+      assert(corpusOnly ++ ingested == all,
+        s"theta=$th: missing=${all -- corpusOnly -- ingested} " +
+          s"extra=${(corpusOnly ++ ingested) -- all}")
+      // brute-force model over raw token sets
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = sets(a).intersect(sets(b)).size.toLong
+        un = sets(a).union(sets(b)).size.toLong
+        if inter * 10 >= un * th
+      } yield (a, b, inter, un)).toSet
+      assert(all == want,
+        s"theta=$th vs model: missing=${want -- all} extra=${all -- want}")
+    }
+  }
+
   test("semdedup matches the assign/threshold/union-find model on random unit vectors") {
     // Random 2-D unit vectors from integer angles (no integer-degree
     // cosine lands within 5e-4 of the θ=0.9 round boundary, so the
