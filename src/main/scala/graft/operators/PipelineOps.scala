@@ -6895,6 +6895,51 @@ object PipelineOps {
       .select(col("pos").cast("long").as("pos"), col("u_q"))
       .orderBy("pos")
 
+  /** PCA POWER-ITERATION trainer — the third trainer loop (after
+    * [[trainCodebook]] and [[trainBpeMerges]]), closing i61's documented
+    * caller-owned iteration: v ← normalize(Gv) with G = XᵀX the corpus
+    * Gram matrix, run until the direction stabilizes or `maxIters`.
+    * Each round is ONE linear corpus pass: d = ⟨x, v⟩ row-local in
+    * double (deterministic — no cross-row float order), then the
+    * per-position sums of round(1e6·d·x_pos) as int64 — PRODUCT-then-
+    * quantize, so partial-sum order can't flip a bit (the i23 rule) and
+    * magnitudes stay ≲1e8/row — collected as ≤dim rows (a bounded
+    * driver read, the clusterLabels scalar rule) and normalized driver-
+    * side. G is PSD, so the Rayleigh quotient vᵀGv is non-decreasing
+    * round over round and no sign oscillation occurs (PipelineSpec pins
+    * both, plus convergence to a planted dominant direction and
+    * partition invariance). Returns the unit direction; callers project
+    * with one more row-local dot (i27's quantize shape). i61's registry
+    * step IS round 1 at v = e₁ modulo its quantize-then-multiply
+    * spelling (oracle-exact there; product-quantized here for overflow
+    * headroom at 100 TB row counts).
+    */
+  private[graft] def trainPcaDirection(emb: DataFrame,
+      maxIters: Int = 16): Seq[Double] = {
+    val dim = emb.select(size(col("embedding"))).head.getAs[Number](0).intValue
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val vCol = array(v.map(lit): _*)
+      val u = emb
+        .withColumn("d", VectorFunctions.dot(col("embedding"), vCol))
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("d"))
+        .select(col("pos"),
+          round(lit(1e6) * col("d") * col("x")).cast("long").as("p"))
+        .groupBy(col("pos")).agg(sum(col("p")).as("uq"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val raw = Array.tabulate(dim)(i => u.getOrElse(i, 0L).toDouble / 1e6)
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      require(norm > 0, "degenerate corpus: Gv = 0 — no dominant direction")
+      val next = raw.map(_ / norm)
+      converged = (0 until dim).forall(i => math.abs(next(i) - v(i)) < 1e-9)
+      v = next
+      iters += 1
+    }
+    v.toSeq
+  }
+
   /** The i48/i52 placement arithmetic over a frame carrying
     * (doc_id, tok, cum_before): first/last sequence, in-sequence offset,
     * straddle count — pure integer div/mod on the exclusive running

@@ -1628,6 +1628,37 @@ class PipelineSpec extends SparkTestBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("PCA power trainer: planted direction recovered, Rayleigh quotient non-decreasing, partition-invariant") {
+    // Planted spectrum: many vectors along e2 (the dominant direction),
+    // a few along e3 — the trainer must turn its e1 start into ±e2.
+    val planted = ((1 to 40).map(i => (i.toLong,
+        Seq(0.01f, 1.0f, 0.0f, 0.0f))) ++
+      (41 to 45).map(i => (i.toLong, Seq(0.0f, 0.0f, 1.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val v = PipelineOps.trainPcaDirection(planted, maxIters = 24)
+    assert(math.abs(v(1)) > 0.99,
+      s"dominant direction must be ~e2: $v")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9,
+      "result must be unit-norm")
+    // Partition invariance (the product-then-quantize sums are
+    // order-free) on the real fixture.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val a = PipelineOps.trainPcaDirection(emb, maxIters = 4)
+    val b = PipelineOps.trainPcaDirection(emb.repartition(7), maxIters = 4)
+    assert(a == b, "trainer must be partition-invariant")
+    // Rayleigh quotient non-decreasing (PSD Gram): RQ after k rounds =
+    // |Gv_k| · (v_kᵀ v_{k+1}) — proxy: RQ(v) = vᵀGv computed per round
+    // via the same machinery, strictly tracked over the fixture.
+    def rq(vv: Seq[Double]): Double = {
+      val vCol = array(vv.map(lit): _*)
+      emb.withColumn("d", graft.functions.VectorFunctions.dot(col("embedding"), vCol))
+        .agg(sum(col("d") * col("d"))).head.getDouble(0)
+    }
+    val rqs = (1 to 4).map(k => rq(PipelineOps.trainPcaDirection(emb, maxIters = k)))
+    assert(rqs.sliding(2).forall(p => p(1) >= p(0) - 1e-6),
+      s"Rayleigh quotient must be non-decreasing: $rqs")
+  }
+
   test("trained-supers router: subset law holds, every row assigned, cids valid") {
     // The opt-in trained router (Lloyd over the k-row codebook) obeys
     // the same laws as the stub router: its winner is an argmax over a
