@@ -28,6 +28,8 @@ import graft.operators.{LlmOps, PipelineOps}
   * | pq_cent          | per-block PQ codebooks        | i39/i42/i44      |
   * | pq_codes         | PQ codes per vector           | i42/i44          |
   * | pack_state       | 1-row total-token scalar      | i52 ingest       |
+  * | bpe_merges       | trained BPE merge list        | tokenizer apply  |
+  * | pca_direction    | dominant PCA direction        | projection/eval  |
   *
   * Bucketing note: bucket metadata lives in the session catalog; in this
   * offline build the warehouse directory is the artifact (a deployment
@@ -119,6 +121,19 @@ object BuildIndexes {
     write("pack_state",
       docs.agg(coalesce(sum(size(split(col("text"), " ")).cast("long")),
         lit(0L)).as("base_tok")), Seq())
+
+    // Trained artifacts (r15 trainer loops): the BPE merge list in
+    // training order and the corpus's dominant PCA direction — both
+    // dimension-sized tables a deployment reads back instead of
+    // re-training per job.
+    val (bpe, _) = PipelineOps.trainBpeMerges(docs, nMerges = 16)
+    write("bpe_merges",
+      spark.createDataFrame(bpe.zipWithIndex.map { case (p, i) =>
+        (i.toLong, p) }).toDF("merge_idx", "pair"), Seq())
+    val pca = PipelineOps.trainPcaDirection(emb)
+    write("pca_direction",
+      spark.createDataFrame(pca.zipWithIndex.map { case (x, i) =>
+        (i.toLong, x) }).toDF("pos", "v"), Seq())
 
     // Read-path measurement: persisted-artifact form vs in-query form,
     // same session, noop-drained (the Bench rule).
