@@ -40,7 +40,7 @@ import graft.operators.{LlmOps, PipelineOps}
   * the comparison to the manifest — the build-once vs read-path evidence
   * BASELINE.md records at sf1.
   *
-  * Usage: BuildIndexes <sfDir> <outDir> [--measure]
+  * Usage: BuildIndexes <sfDir> <outDir> [--measure] [--trained-routing]
   */
 object BuildIndexes {
   def main(args: Array[String]): Unit = {
