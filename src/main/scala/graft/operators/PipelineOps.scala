@@ -191,7 +191,11 @@ object PipelineOps {
     * k — their cost is N·k, so scaling k with N would MAKE them
     * quadratic, the exact inversion of the problem here; a production
     * deployment that scales their k recovers the probed-fraction
-    * contract by scaling nprobe with it (see IvfParams scaladoc).
+    * contract by scaling nprobe with it (see IvfParams scaladoc) and
+    * the assignment cost by passing k into the dispatcher, which routes
+    * hierarchically from [[hierRouteMin]] up (r15 — the scaledK
+    * consumers i24/i29 already do; O(N·√k·dim) multiplies, recall
+    * parity at the sf10 k=800 point per BASELINE.md).
     */
   private[graft] def scaledK(emb: DataFrame): Int =
     math.max(8, (emb.count() / 250).toInt)
