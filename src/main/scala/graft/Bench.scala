@@ -14,7 +14,36 @@ import org.apache.spark.sql.SparkSession
   *     the projections being measured).
   */
 object Bench {
+  /** `/proc/loadavg`'s three load fields as a JSON array ("[]" off-Linux).
+    * Stamped at start AND end of the run so a contended draw — another
+    * Spark JVM sharing the box, the diagnosed ~1.2× uniform-inflation
+    * signature of the r15 driver draw — is mechanically flaggable from
+    * the artifact instead of requiring forensics (VERDICT r15 ask #2).
+    */
+  private def loadavg(): String =
+    try {
+      val f = scala.io.Source.fromFile("/proc/loadavg")
+      try f.mkString.trim.split("\\s+").take(3).mkString("[", ",", "]")
+      finally f.close()
+    } catch { case _: Throwable => "[]" }
+
+  /** Count of OTHER live JVMs on the box that look like Spark/sbt work
+    * (commandline mentions spark or sbt) — >0 at either stamp means the
+    * draw shared the machine and its envelope is suspect.
+    */
+  private def otherSparkJvms(): Long = {
+    val self = ProcessHandle.current().pid()
+    import scala.jdk.CollectionConverters._
+    ProcessHandle.allProcesses().iterator().asScala.count { p =>
+      p.pid() != self && p.info().command().map[Boolean](_.contains("java")).orElse(false) &&
+        p.info().commandLine().map[Boolean](c =>
+          c.contains("spark") || c.contains("sbt")).orElse(false)
+    }.toLong
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
+    val jvmsStart = otherSparkJvms()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -100,10 +129,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val loadJson = s""""load_start":$loadStart,"load_end":${loadavg()},""" +
+      s""""other_spark_jvms_start":$jvmsStart,"other_spark_jvms_end":${otherSparkJvms()}"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",$loadJson}"""
     // Self-contained artifact: the FULL-precision line is also written to
     // a file. The default name carries the sf directory's basename so
     // back-to-back runs at different SFs (sf0.1 then sf1) land in
@@ -128,7 +159,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":$errJson,"queries_file":"$outFile","slowest10":$slowest}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":$errJson,"queries_file":"$outFile",$loadJson,"slowest10":$slowest}""")
     spark.stop()
   }
 }

@@ -357,11 +357,13 @@ object PipelineOps {
   /** The i95 quota-capped per-source selection over any
     * (source, text) frame: per-(source, quality-level) token histogram,
     * greedy best-levels-first fill of a per-source quota (⅓ of its
-    * tokens), all-or-nothing at level granularity. The fill report is
-    * LEFT-joined onto the full source set so a STARVED source — one
-    * whose single best level already exceeds its quota, keeping zero
-    * levels — reports an explicit fill_ppm=0 row instead of silently
-    * vanishing (ADVICE r14). Factored out of the registry entry so the
+    * tokens), all-or-nothing at level granularity. Starved-source
+    * retention is by CONDITIONAL AGGREGATION, not a join: every source
+    * keeps its one group row unconditionally, and kept-ness is a CASE
+    * inside the sums — so a STARVED source (one whose single best level
+    * already exceeds its quota, keeping zero levels) reports an explicit
+    * fill_ppm=0 row instead of silently vanishing (ADVICE r14), with
+    * ONE corpus Exchange. Factored out of the registry entry so the
     * starved path is testable on a crafted corpus (the fixture has
     * none). Output: (source, n_levels_kept, tokens_kept, quota_tok,
     * fill_ppm), one row per source, ordered by source.
@@ -3172,9 +3174,9 @@ object PipelineOps {
           .agg(sort_array(collect_set(col("s"))).as("rks"))
           .withColumn("n", size(col("rks")).cast("long"))
           .localCheckpoint(true)
-        val prefixLen = (col("n") - ((col("n") + 1) / 2).cast("long") + 1)
         val prefixed = docSets.select(col("doc_id"), col("source"),
-          explode(slice(col("rks"), lit(1), prefixLen.cast("int"))).as("rk"))
+          explode(slice(col("rks"), lit(1),
+            LlmOps.prefixLen(col("n"), thetaTenths = 5).cast("int"))).as("rk"))
         val cand = prefixed.alias("a")
           .join(prefixed.alias("b"),
             col("a.source") === col("b.source") && col("a.rk") === col("b.rk") &&
@@ -4449,7 +4451,11 @@ object PipelineOps {
         val cent = stubCodebook(emb, k)
         // k rides into the dispatcher: flat at every driver-gate SF
         // (k = 8 there), TWO-LEVEL from sf1 up (k ≥ 80) — the r14
-        // asymptote fix (see assignToCentroidsTwoLevel).
+        // asymptote fix (see assignToCentroidsTwoLevel). The SQL
+        // oracle below interpolates the FLAT centroidAssignCte, so it
+        // is valid only below hierRouteMin (every driver-gate SF); at
+        // sf >= 1 the gate swaps to tools/i24_sf1_oracle.py, which
+        // mirrors the dispatcher exactly (check.py --cc-numpy).
         val assigned = assignToCentroids(emb, cent, k).localCheckpoint(true)
         saltedSelfPairs(
             assigned.select(col("cid"), col("vec_id"), col("embedding")), "cid")
@@ -4495,6 +4501,10 @@ object PipelineOps {
         val k = scaledK(emb)
         // assignK rides into the dispatcher: flat at every driver-gate
         // SF (k = 8), two-level from sf1 up — the r14 asymptote fix.
+        // The SQL oracle below is flat-CTE (valid below hierRouteMin
+        // only) AND recursive-CTE (disk-explodes above sf0.1); at
+        // sf >= 1 the gate swaps to tools/i29_sf1_oracle.py, the
+        // dispatcher-mirroring numpy oracle (check.py --cc-numpy).
         semDedup(emb, stubCodebook(emb, k), 0.4, assignK = k).orderBy("vec_id")
       },
       Some(sql(s"""WITH RECURSIVE ${centroidAssignCte(scaledKSql)},
@@ -6926,13 +6936,28 @@ object PipelineOps {
     var converged = false
     while (!converged && iters < maxIters) {
       val vCol = array(v.map(lit): _*)
+      // Per-position sums in DECIMAL(38,0), not int64: each |p| is
+      // ≲1e8, so an int64 sum silently wraps past ~9e10 rows — a wrong
+      // direction with no error. The decimal sum has 1e30 rows of
+      // headroom; the abs-sum (an upper bound on |uq|) is checked
+      // against Long.MaxValue LOUDLY before narrowing (ADVICE r15).
       val u = emb
         .withColumn("d", VectorFunctions.dot(col("embedding"), vCol))
         .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("d"))
         .select(col("pos"),
           round(lit(1e6) * col("d") * col("x")).cast("long").as("p"))
-        .groupBy(col("pos")).agg(sum(col("p")).as("uq"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .groupBy(col("pos")).agg(
+          sum(col("p").cast("decimal(38,0)")).as("uq"),
+          sum(abs(col("p")).cast("decimal(38,0)")).as("uabs"))
+        .collect().map { r =>
+          val uabs = r.getDecimal(2)
+          require(uabs.compareTo(
+              new java.math.BigDecimal(Long.MaxValue)) <= 0,
+            s"trainPcaDirection: quantized moment sum $uabs exceeds " +
+              s"int64 at pos ${r.getInt(0)} — corpus too large for the " +
+              "1e-6 quantization; lower the scale or shard the pass")
+          r.getInt(0) -> r.getDecimal(1).longValueExact()
+        }.toMap
       val raw = Array.tabulate(dim)(i => u.getOrElse(i, 0L).toDouble / 1e6)
       val norm = math.sqrt(raw.map(x => x * x).sum)
       require(norm > 0, "degenerate corpus: Gv = 0 — no dominant direction")

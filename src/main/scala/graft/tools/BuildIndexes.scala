@@ -158,6 +158,9 @@ object BuildIndexes {
         s"""{"path":"cc_pairs","from_artifact_sec":$ccFrom,"in_query_sec":$ccIn}""")
     }
 
+    // Manifest name carries the corpus tag (sanitized sfDir basename):
+    // two builds into the same outDir from different corpora keep
+    // distinct manifests instead of silently overwriting (ADVICE r15).
     val tag = java.nio.file.Paths.get(dir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val line = s"""{"sf_dir":"$dir","out_dir":"$outDir",""" +
@@ -165,7 +168,7 @@ object BuildIndexes {
       s""""read_paths":${measured.mkString("[", ",", "]")}}"""
     println(line)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/manifest.json"), line + "\n")
+      java.nio.file.Paths.get(s"$outDir/manifest_$tag.json"), line + "\n")
     spark.stop()
   }
 

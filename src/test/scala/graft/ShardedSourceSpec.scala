@@ -282,6 +282,73 @@ class ShardedSourceSpec extends SparkTestBase {
     assert(want.count() > 0, "the join must be non-vacuous at sf0.001")
   }
 
+  test("h5 watermark drops a late row arriving through the native source") {
+    // The one h-row not yet exercised on `sharded-events` (r15 ask #8):
+    // a record that is IN-ORDER within its own shard (per-shard files
+    // are (ts, event_id)-sorted, the Kinesis per-shard contract) but
+    // LATE against the query's GLOBAL watermark — another shard already
+    // advanced event time past its window. Shard routing is by
+    // hash(user_id), so two users on different shards craft it:
+    //   phase 1  u1-shard: 10:05, 10:15, 11:30   (watermark -> 11:20)
+    //            u2-shard: 10:01
+    //   phase 2  u2-shard appends 10:30 — a legal suffix of ITS shard
+    //            (10:30 > 10:01), but below the checkpointed 11:20
+    //            watermark: the closed [10:00, 11:00) window must not
+    //            count it. u1-shard appends 12:40, closing [11:00).
+    import java.sql.Timestamp
+    import spark.implicits._
+    val u1 = 1L
+    // First user id routing to a DIFFERENT shard than u1 under the
+    // 4-way hash (routing is Murmur3 — probe, don't predict).
+    val shardOf = spark.range(1, 32)
+      .select(col("id"), pmod(hash(col("id")), lit(4)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val u2 = (2L to 31L).find(shardOf(_) != shardOf(u1)).get
+    def ev(id: Long, ts: String, user: Long): (Long, Timestamp, Long, String, Double, String) =
+      (id, Timestamp.valueOf(ts), user, "t", 0.0, null)
+    def df(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): DataFrame =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val phase1 = Seq(
+      ev(1, "2024-01-01 10:05:00", u1), ev(2, "2024-01-01 10:15:00", u1),
+      ev(3, "2024-01-01 11:30:00", u1), ev(4, "2024-01-01 10:01:00", u2))
+    val phase2 = phase1 ++ Seq(
+      ev(5, "2024-01-01 10:30:00", u2), // LATE: < watermark 11:20
+      ev(6, "2024-01-01 12:40:00", u1)) // closes [11:00, 12:00)
+    val root5 = tmp("graft-shards-h5")
+    val ckpt = tmp("ckpt")
+    val got = scala.collection.mutable.Map.empty[String, Long]
+    def runOnce(): Unit = {
+      val q = StreamingOps.watermarkedTumbling(
+          payload(ShardedEvents.readStream(spark, root5)))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("ws").cast("string"), col("cnt")).collect().foreach { r =>
+            got.synchronized { got(r.getString(0)) = r.getLong(1) }
+          }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000L), "h5 stream did not drain")
+    }
+    ShardedEvents.dump(df(phase1), root5, 4)
+    runOnce() // watermark advances to 11:20, checkpointed
+    ShardedEvents.dump(df(phase2), root5, 4)
+    runOnce() // the late row arrives; 12:40 moves the watermark on
+    runOnce() // idle restart flushes the last closed window
+    // The source itself DELIVERED the late row (drop happens in the
+    // aggregation, not by record loss): a fresh full drain sees all 6.
+    val all = ArrayBuffer.empty[(Long, String, Long, Long)]
+    drain(ShardedEvents.readStream(spark, root5), tmp("ckpt"), all)
+    assert(all.map(_._4).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      "the dumped stream must carry the late record")
+    assert(got("2024-01-01 10:00:00") == 3L,
+      s"late row must not increment the closed window (got $got)")
+    assert(got("2024-01-01 11:00:00") == 1L, s"got $got")
+  }
+
   test("shard enumeration paginates past the page size (ListShards NextToken)") {
     // Route into 12 shards: hash routing leaves some empty (few distinct
     // partition keys at sf0.001 — empty shards write no directory), but

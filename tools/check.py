@@ -76,14 +76,21 @@ def main():
             print(f"FAIL {name}: no spark output written")
             n_fail += 1
             continue
-        if cc_numpy and name == "i29_semdedup":
+        # Large-SF numpy oracles: i29's recursive-CTE SQL oracle
+        # disk-explodes above sf0.1, and BOTH i29's and i24's SQL
+        # oracles assign with the FLAT CTE while the Spark dispatcher
+        # goes two-level at k >= 64 (sf1 up) — so at sf >= 1 these two
+        # swap to dispatcher-mirroring numpy oracles (ADVICE r15).
+        numpy_oracles = {"i29_semdedup": "i29_sf1_oracle.py",
+                         "i24_embed_near_dup": "i24_sf1_oracle.py"}
+        if cc_numpy and name in numpy_oracles:
             r = subprocess.run(
                 [sys.executable,
-                 os.path.join(os.path.dirname(__file__), "i29_sf1_oracle.py"),
+                 os.path.join(os.path.dirname(__file__), numpy_oracles[name]),
                  sf_dir, out_dir],
                 capture_output=True, text=True)
             if r.returncode == 0:
-                print(f"PASS {name} (numpy union-find oracle)")
+                print(f"PASS {name} (numpy dispatcher-mirror oracle)")
                 n_pass += 1
             else:
                 print(f"FAIL {name}: numpy oracle mismatch\n{r.stdout[-500:]}")

@@ -1,0 +1,107 @@
+"""Shared numpy mirror of PipelineOps' IVF routing — the ONE dispatcher
+definition for every large-SF oracle (i29 semdedup, i24 embed-near-dup).
+Mirrors exactly:
+  - scaledK (PipelineOps.scaledK): k = max(8, N // 250);
+  - stubCodebook: centroids are the vectors with vec_id < k;
+  - assignToCentroids' dispatcher: FLAT round6-dot argmax (min-cid
+    tiebreak) below hierRouteMin = 64, TWO-LEVEL at/above it
+    (stage 1: top-2 of the g = ceil(sqrt(k)) lowest-cid supers by
+    (round6 d desc, sid asc); stage 2: argmax within the union of the
+    two routed member groups, members pre-assigned by the flat rule
+    with each super pinned to its own group).
+Every rounding decision's boundary margin is audited and returned so a
+summation-order difference between engines provably cannot flip any
+argmax or threshold (the i29 oracle contract, extended to stage-2 dots
+per ADVICE r15).
+"""
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+HIER_ROUTE_MIN = 64
+
+
+def load_embeddings(data_dir):
+    """(vec_id, emb) sorted by vec_id, from single-file or directory
+    parquet layouts."""
+    emb_path = os.path.join(data_dir, 'embeddings.parquet')
+    emb_files = sorted(glob.glob(os.path.join(emb_path, '*.parquet'))) \
+        if os.path.isdir(emb_path) else [emb_path]
+    t = pq.read_table(emb_files)
+    vec_id = np.asarray(t['vec_id'])
+    emb = np.stack([np.asarray(x, dtype=np.float64)
+                    for x in t['embedding'].to_pylist()])
+    order = np.argsort(vec_id)
+    return vec_id[order], emb[order]
+
+
+def scaled_k(n):
+    return max(8, n // 250)
+
+
+def _margin(raw):
+    """Distance of raw*1e6 from the nearest .5 — how far every value
+    sits from a round-half-up boundary at the 1e-6 quantum."""
+    return float(np.abs(((raw * 1e6) % 1.0) - 0.5).min()) if raw.size else 1.0
+
+
+def round6_argmax(mat, ids, label='assign'):
+    """(round6 dot, min-id tiebreak) argmax per row + boundary audit —
+    the exact assignToCentroidsFlat contract."""
+    rd = np.round(mat, 6)
+    print(f'min {label}-boundary margin (ulp@1e-6):', _margin(mat))
+    best = rd.max(axis=1)
+    win = ids[np.argmax(rd == best[:, None], axis=1)]
+    if rd.shape[1] > 1:
+        top2 = np.sort(rd, axis=1)[:, -2]
+        print(f'rounded {label} argmax ties:', int((top2 == best).sum()))
+    return win
+
+
+def route(emb, vec_id, k):
+    """cid per row under the assignToCentroids dispatcher. Also returns
+    (cids, cents) so callers can reuse the codebook."""
+    cmask = vec_id < k
+    cents = emb[cmask]
+    cids = vec_id[cmask]
+    n = emb.shape[0]
+    if k < HIER_ROUTE_MIN:
+        return round6_argmax(emb @ cents.T, cids), cids, cents
+    g = int(np.ceil(np.sqrt(k)))
+    print('two-level routing: g =', g)
+    smask = cids < g
+    sups = cents[smask]
+    sids = cids[smask]
+    # codebook grouping: each centroid -> nearest super (flat rule),
+    # EXCEPT a super is pinned to its own group (a routed-to group must
+    # never be member-empty — mirrors assignToCentroidsTwoLevel).
+    cgrp = round6_argmax(cents @ sups.T, sids, label='grouping')
+    cgrp = np.where(cids < g, cids, cgrp)
+    # stage 1: TOP-2 supers per row — sort by (round6 d desc, sid asc);
+    # stable argsort of -rd breaks ties by ascending column index, and
+    # columns are sid-ascending, so the tie-break matches the engine's
+    # (-d, gid) struct sort exactly.
+    rds = emb @ sups.T
+    print('min stage1-boundary margin (ulp@1e-6):', _margin(rds))
+    srt = np.argsort(-np.round(rds, 6), axis=1, kind='stable')
+    g1 = sids[srt[:, 0]]
+    g2 = sids[srt[:, 1]] if g > 1 else g1
+    # stage 2: argmax within the UNION of the two routed groups,
+    # vectorized per distinct (g1, g2) pair (<= g^2 pairs). The stage-2
+    # dots get the same boundary audit as stage 1 (ADVICE r15): the
+    # min margin across every (g1, g2) group is printed below, so the
+    # stated contract — no rounding decision is summation-order
+    # flippable — is evidenced for ALL three decision layers.
+    cid = np.zeros(n, dtype=np.int64)
+    stage2_margin = 1.0
+    for a, b in set(zip(g1.tolist(), g2.tolist())):
+        rows = np.where((g1 == a) & (g2 == b))[0]
+        midx = np.where((cgrp == a) | (cgrp == b))[0]
+        raw = emb[rows] @ cents[midx].T
+        stage2_margin = min(stage2_margin, _margin(raw))
+        gd = np.round(raw, 6)
+        cid[rows] = cids[midx][np.argmax(gd == gd.max(axis=1)[:, None], axis=1)]
+    print('min stage2-boundary margin (ulp@1e-6):', stage2_margin)
+    return cid, cids, cents
