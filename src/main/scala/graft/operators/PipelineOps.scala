@@ -6762,6 +6762,52 @@ object PipelineOps {
     (rat, cfac)
   }
 
+  /** The DSIR state at COUNT level — the artifact form a daily-crawl
+    * ingest can actually append to: per distinct bigram hash, its
+    * corpus occurrence count `cs` and its target-language (en) count
+    * `ct`. Counts are what's ADDITIVE — the (rat, cfac) pair i62 scores
+    * against is a nonlinear function of totals, so the persisted
+    * artifact stores counts and derives the state on read
+    * ([[dsirStateFromCounts]]). Laws pinned in PersistedIndexSpec:
+    * dsirCounts(corpus ∪ batch) ≡ merge-by-sum of the two counts (the
+    * group-sum of a union splits over the union), and
+    * dsirState(x) ≡ dsirStateFromCounts(dsirCounts(x)).
+    */
+  def dsirCounts(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("lang"), explode(gramZip(col("text"), 2)).as("z"))
+      .select(col("lang"), xxhash64(col("z.0"), col("z.1")).as("bk"))
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("cs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+
+  /** Merge two count tables by summed counts — the i62 ingest's
+    * merge-on-read (a delta segment groups with the base segment; a
+    * compaction materializes the same sum).
+    */
+  def dsirMergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bk"))
+      .agg(sum(col("cs")).as("cs"), sum(col("ct")).as("ct"))
+
+  /** Derive the (rat, cfac) scoring state from a persisted count table —
+    * output-identical to [[dsirState]] on the same corpus: q is the
+    * same add-1 quantized ratio (ct = 0 rows ARE the left-join misses),
+    * s_tot/v/t_tot are the same totals (t_tot = Σct — every en bigram
+    * occurrence is counted once in ct).
+    */
+  def dsirStateFromCounts(counts: DataFrame): (DataFrame, DataFrame) = {
+    val rat = counts.select(col("bk"),
+      round(lit(1e6) * (col("ct") + lit(1L)) / (col("cs") + lit(1L)))
+        .cast("long").as("q"))
+    val cfac = counts
+      .agg(sum(col("cs")).cast("double").as("s_tot"),
+        count(lit(1)).cast("double").as("v"),
+        sum(col("ct")).cast("double").as("t_tot"))
+      .select(((col("s_tot") + col("v")) / (col("t_tot") + col("v")))
+        .as("cfac"))
+    (rat, cfac)
+  }
+
   /** Score a batch against a persisted (rat, cfac) state — the i62
     * apply side, shared verbatim by the batch registry entry and the
     * StreamingSpec stream-static twin. A bigram the corpus has never

@@ -28,6 +28,7 @@ import graft.operators.{LlmOps, PipelineOps}
   * | pq_cent          | per-block PQ codebooks        | i39/i42/i44      |
   * | pq_codes         | PQ codes per vector           | i42/i44          |
   * | pack_state       | 1-row total-token scalar      | i52 ingest       |
+  * | dsir_counts      | per-bigram (cs, ct) counts    | i62 ingest/score |
   * | bpe_merges       | trained BPE merge list        | tokenizer apply  |
   * | pca_direction    | dominant PCA direction        | projection/eval  |
   *
@@ -121,6 +122,12 @@ object BuildIndexes {
     write("pack_state",
       docs.agg(coalesce(sum(size(split(col("text"), " ")).cast("long")),
         lit(0L)).as("base_tok")), Seq())
+
+    // DSIR count state (i62's additive artifact): per-bigram corpus and
+    // target-language counts, bucketed on the 8-byte hash the score
+    // join keys on. Counts, not ratios — counts are what an ingest can
+    // merge by sum (dsirStateFromCounts derives the scoring state).
+    write("dsir_counts", PipelineOps.dsirCounts(docs), Seq("bk"))
 
     // Trained artifacts (r15 trainer loops): the BPE merge list in
     // training order and the corpus's dominant PCA direction — both

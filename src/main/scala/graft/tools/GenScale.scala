@@ -48,6 +48,12 @@ object GenScale {
     val onlyTables: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
+    // Optional 5th arg: first copy index (default 0). Generating copies
+    // [offset, offset+copies) yields a table DISJOINT from the
+    // [0, offset) build — the "day-2 crawl" batch for the IngestBatch
+    // lifecycle (e.g. `... /tmp/batch 1 documents,embeddings 10` is
+    // exactly copy 10, id- and token-disjoint from the 10-copy sf1).
+    val copyOffset = if (args.length > 4) args(4).toInt else 0
     def want(n: String): Boolean = onlyTables.isEmpty || onlyTables(n)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -86,7 +92,9 @@ object GenScale {
     }
     def scaled(name: String, sortKey: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
       val base = read(name)
-      write(name, (0 until copies).map(c => tx(base, c)).reduce(_ unionByName _),
+      write(name,
+        (copyOffset until copyOffset + copies).map(c => tx(base, c))
+          .reduce(_ unionByName _),
         sortKey)
     }
     def shiftCols(d: DataFrame, c: Int, cols: String*): DataFrame =

@@ -1,0 +1,169 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LlmOps, PipelineOps}
+
+/** PRODUCTION incremental ingest — the daily-crawl command composing the
+  * whole persisted-index lifecycle (VERDICT r15 ask #3): given a
+  * [[BuildIndexes]] output directory and an arriving batch's tables,
+  * compute every artifact's DELTA and land it as a bucketed delta
+  * segment next to the base, plus a delta manifest. The corpus-side
+  * artifacts are READ, never rebuilt — at 100 TB the base build is the
+  * once-per-snapshot cost, and a day's crawl touches corpus data only
+  * through the (small, bucketed) artifact tables.
+  *
+  * Per-family delta rules (each one's additivity law — build(corpus ∪
+  * batch) ≡ base ∪ delta — is asserted through THIS code path in
+  * PersistedIndexSpec):
+  *
+  * | artifact      | delta                                    | law      |
+  * |---------------|------------------------------------------|----------|
+  * | corpus_fp     | batch md5 fingerprints (i25 rule)        | per-row  |
+  * | corpus_sets   | batch token-set sketches                 | per-row  |
+  * | corpus_bands  | batch minhash bands (i36 screen side)    | per-row  |
+  * | corpus_grams  | batch-new distinct grams (i41, anti-join)| set-union|
+  * | truth_pairs   | pairStatsIngest (pairs touching batch)   | partition|
+  * | coarse_assign | batch routed vs PERSISTED codebook (i43) | per-row* |
+  * | pq_codes      | batch encoded vs PERSISTED pq_cent (i43) | per-row* |
+  * | pack_state    | batch token-total segment (i52 scalar)   | sum      |
+  * | dsir_counts   | batch bigram counts (i62)                | sum-merge|
+  *
+  * (*) The ANN families ingest under the annIndexIngest contract: an
+  * ingest NEVER retrains — arrivals are encoded against the persisted
+  * codebooks so old and new codes stay comparable under one LUT. Given
+  * the FIXED codebooks the encodings are row-local, hence additive; a
+  * codebook retrain (scaledK crossing its next rung, a drifted corpus)
+  * is a REBUILD, not an ingest, exactly as a production IVF/PQ index
+  * versions its codebooks.
+  *
+  * Delta segments are bucketed identically to their base tables
+  * (merge-on-read: a consumer unions base ∪ deltas and keeps the
+  * co-located join per segment; a compaction materializes the union —
+  * the LSM shape every 100 TB index store uses). The two aggregate
+  * artifacts (pack_state, dsir_counts) merge by SUM on read —
+  * PipelineOps.dsirMergeCounts / a 1-row scalar add.
+  *
+  * Usage: IngestBatch <indexDir> <batchSfDir> [tag]
+  *   indexDir   = a BuildIndexes output/warehouse directory
+  *   batchSfDir = directory holding the batch's documents.parquet +
+  *                embeddings.parquet
+  *   tag        = delta segment name (default: sanitized batch basename)
+  */
+object IngestBatch {
+
+  /** Bucket keys per artifact — the SAME keys BuildIndexes buckets the
+    * base tables on (a delta segment must co-locate like its base).
+    */
+  val bucketKeys: Map[String, Seq[String]] = Map(
+    "corpus_fp" -> Seq("fp"),
+    "corpus_sets" -> Seq("doc_id"),
+    "corpus_bands" -> Seq("b", "v", "source"),
+    "corpus_grams" -> Seq("g"),
+    "truth_pairs" -> Seq("doc_id1", "doc_id2"),
+    "coarse_assign" -> Seq("vec_id"),
+    "pq_codes" -> Seq("vec_id"),
+    "pack_state" -> Seq(),
+    "dsir_counts" -> Seq("bk"))
+
+  /** The delta of every artifact, as pure frames — shared verbatim by
+    * the tool main and PersistedIndexSpec's additivity assertions.
+    * `corpusSets`/`corpusGrams` are the persisted base artifacts the
+    * truth-pair and gram deltas read; `coarseCodebook`/`pqCent` are the
+    * persisted codebooks the ANN deltas encode against.
+    */
+  def deltas(
+      corpusSets: DataFrame, corpusGrams: DataFrame,
+      coarseCodebook: DataFrame, pqCent: DataFrame,
+      batchDocs: DataFrame, batchEmb: DataFrame): Seq[(String, DataFrame)] = {
+    val batchSets = LlmOps.hashedTokenSets(batchDocs).localCheckpoint(true)
+    // Encode against the persisted codebook at ITS k (the dispatcher
+    // picks flat/two-level from the codebook's own size — the same k
+    // the base build routed with).
+    val k = coarseCodebook.count().toInt
+    Seq(
+      "corpus_fp" ->
+        batchDocs.select(col("doc_id"), md5(col("text")).as("fp")),
+      "corpus_sets" -> batchSets,
+      "corpus_bands" -> PipelineOps.minhashBands(batchSets),
+      // Only batch-NEW grams: base ∪ delta stays a distinct set (the
+      // anti-join is the i41 screen run against the persisted table).
+      "corpus_grams" ->
+        PipelineOps.gramOcc(batchDocs, 5).select(col("g")).distinct()
+          .join(corpusGrams, Seq("g"), "left_anti"),
+      "truth_pairs" -> LlmOps.pairStatsIngest(corpusSets, batchSets, 7),
+      "coarse_assign" ->
+        PipelineOps.assignToCentroids(batchEmb, coarseCodebook, k)
+          .select(col("vec_id"), col("cid")),
+      "pq_codes" ->
+        PipelineOps.pqAssign(
+            PipelineOps.pqBlocks(batchEmb, nBlocks = 4, blockDim = 16), pqCent)
+          .select(col("vec_id"), col("b"), col("cid").as("pcid")),
+      "pack_state" ->
+        batchDocs.agg(coalesce(sum(size(split(col("text"), " "))
+          .cast("long")), lit(0L)).as("base_tok")),
+      "dsir_counts" -> PipelineOps.dsirCounts(batchDocs))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val indexDir = args(0)
+    val batchDir = args(1)
+    val tag = (if (args.length > 2) args(2)
+      else java.nio.file.Paths.get(batchDir).getFileName.toString)
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir", indexDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Base artifacts by path (the in-memory catalog died with the build
+    // JVM; the parquet files ARE the artifact — reading them directly
+    // is output-identical, BuildIndexes' documented contract).
+    def base(name: String): DataFrame =
+      spark.read.parquet(s"$indexDir/$name")
+    val batchDocs = spark.read.parquet(s"$batchDir/documents.parquet")
+      .localCheckpoint(true)
+    val batchEmb = spark.read.parquet(s"$batchDir/embeddings.parquet")
+      .localCheckpoint(true)
+
+    val written = deltas(
+      base("corpus_sets"), base("corpus_grams"),
+      base("coarse_codebook"), base("pq_cent"),
+      batchDocs, batchEmb).map { case (name, df) =>
+      val delta = s"${name}__delta_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $delta")
+      rmrf(new java.io.File(s"$indexDir/$delta"))
+      val t0 = System.nanoTime()
+      val keys = bucketKeys(name)
+      val w = df.write.format("parquet").mode("overwrite")
+      (if (keys.nonEmpty)
+        w.bucketBy(8, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
+      else w).saveAsTable(delta)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = spark.table(delta).count()
+      val baseRows = base(name).count()
+      println(s"[ingest-batch] $delta: $rows rows (+$baseRows base) in ${f"$sec%.1f"}s")
+      s"""{"artifact":"$name","delta_table":"$delta","rows_delta":$rows,""" +
+        s""""rows_base":$baseRows,"ingest_sec":$sec}"""
+    }
+    val line = s"""{"index_dir":"$indexDir","batch_dir":"$batchDir",""" +
+      s""""tag":"$tag","deltas":${written.mkString("[", ",", "]")}}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/ingest_manifest_$tag.json"),
+      line + "\n")
+    spark.stop()
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmrf)
+    f.delete(): Unit
+  }
+}
