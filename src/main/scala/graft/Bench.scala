@@ -29,13 +29,18 @@ object Bench {
 
   /** Count of OTHER live JVMs on the box that look like Spark/sbt work
     * (commandline mentions spark or sbt) — >0 at either stamp means the
-    * draw shared the machine and its envelope is suspect.
+    * draw shared the machine and its envelope is suspect. The run's own
+    * ancestor chain (the sbt launcher that forked this JVM) is excluded,
+    * so an sbt-launched idle draw reads 0, not a constant false 1.
     */
   private def otherSparkJvms(): Long = {
-    val self = ProcessHandle.current().pid()
+    val ancestors = Iterator.iterate(Option(ProcessHandle.current())) {
+      _.flatMap(p => Option(p.parent().orElse(null)))
+    }.takeWhile(_.isDefined).take(16).map(_.get.pid()).toSet
     import scala.jdk.CollectionConverters._
     ProcessHandle.allProcesses().iterator().asScala.count { p =>
-      p.pid() != self && p.info().command().map[Boolean](_.contains("java")).orElse(false) &&
+      !ancestors.contains(p.pid()) &&
+        p.info().command().map[Boolean](_.contains("java")).orElse(false) &&
         p.info().commandLine().map[Boolean](c =>
           c.contains("spark") || c.contains("sbt")).orElse(false)
     }.toLong

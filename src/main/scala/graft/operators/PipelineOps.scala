@@ -436,13 +436,19 @@ object PipelineOps {
     * bit-identical to r14's), TWO-LEVEL hierarchical routing at or above
     * it (the scaledK production consumers i24/i29 from sf1 up, where the
     * flat form's O(N·k·dim) = O(N²·dim/250) total work is the one
-    * asymptotic defect VERDICT r14 found). Callers that size k
-    * dynamically pass it; the default 0 keeps fixed-small-codebook
-    * callers on the flat path with zero signature churn.
+    * asymptotic defect VERDICT r14 found), and GID-PARTITIONED stage 2
+    * from [[partitionedRouteMin]] up (r16 — the sf100 measurement; all
+    * three rungs are output-identical, so the sf1 numpy oracle mirrors
+    * ONE semantic function regardless of the physical rung). Callers
+    * that size k dynamically pass it; the default 0 keeps
+    * fixed-small-codebook callers on the flat path with zero signature
+    * churn.
     */
   private[graft] def assignToCentroids(emb: DataFrame, cent: DataFrame,
       k: Int = 0): DataFrame =
-    if (k >= hierRouteMin) assignToCentroidsTwoLevel(emb, cent, k)
+    if (k >= partitionedRouteMin)
+      assignToCentroidsTwoLevelPartitioned(emb, cent, k)
+    else if (k >= hierRouteMin) assignToCentroidsTwoLevel(emb, cent, k)
     else assignToCentroidsFlat(emb, cent)
 
   /** k at and above which [[assignToCentroids]] routes hierarchically.
@@ -451,6 +457,22 @@ object PipelineOps {
     * 2·√k + lookup ≈ k crosses over with margin.
     */
   private[graft] val hierRouteMin = 64
+
+  /** k at and above which the dispatcher takes the GID-PARTITIONED
+    * stage 2 instead of the broadcast form — the r16 sf100 measurement
+    * (2M vectors, `data/ROUTEEVAL_sf100_r16.json`): the broadcast
+    * form's per-row scan of the g-group array is interpreted
+    * expression work that grows with g, and by g ≈ 54 (k = 2828) the
+    * partitioned join's two corpus shuffles are 3.8× cheaper (25.7 s
+    * vs 98.4 s; 51.1 vs 142.9 at k = 8000) — outputs bit-identical
+    * (diff_rows = 0 at full 2M scale; PipelineSpec pins the law at
+    * k = 256). 1024 keeps every driver-gate and bench-ladder path
+    * (k ≤ 800 through sf10) on the zero-shuffle broadcast plan the
+    * PlanSpec pins, and moves only the k ≳ 10³ regime where the
+    * shuffle pays for itself (at k = 800/N = 2M the gap is only 1.3×,
+    * inside shuffle-amortization noise).
+    */
+  private[graft] val partitionedRouteMin = 1024
 
   private[graft] def assignToCentroidsFlat(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroidArray(cent)))
@@ -617,17 +639,28 @@ object PipelineOps {
         col("pr").getItem(0).getField("gid").as("gid1"),
         col("pr").getItem(1).getField("gid").as("gid2"))
       .crossJoin(broadcast(groupArray))
-      // flatten-of-filter instead of two element_at lookups: a missing
-      // gid2 (g = 1, or an ungrouped super id) contributes nothing
-      // instead of NULLing the concat.
-      .withColumn("members", flatten(transform(
-        filter(col("groups"), x =>
-          x.getField("gid") === col("gid1") || x.getField("gid") === col("gid2")),
-        x => x.getField("members"))))
-      .withColumn("best", array_max(transform(col("members"), c =>
-        struct(
-          round(VectorFunctions.dot(col("embedding"), c.getField("cemb")), 6).as("cd"),
-          (-c.getField("cid")).as("ncid")))))
+      // MAX-OF-GROUP-MAXES, not flatten-of-filter: building the union
+      // member array per row deep-copies ~2√k·dim floats of broadcast
+      // structs per row, and at sf100 k=8000 that copy dominated the
+      // dots 5.7× (data/ROUTEEVAL_sf100_r16.json: 255.7 s vs the
+      // copy-free partitioned form's 45.0 s). Taking each group's local
+      // argmax in place and max-ing the ≤2 winners evaluates the same
+      // dots over the same members with ZERO per-row array
+      // materialization — argmax(A ∪ B) = max(argmax A, argmax B) under
+      // the same total (cd, ncid) struct order, so the output is
+      // bit-identical (the sf1 numpy oracle and PipelineSpec's k=256
+      // window-oracle equality both still pin it). A missing gid2
+      // (g = 1, or an ungrouped super id) contributes no candidate
+      // (filter-of-nulls) instead of NULLing a concat.
+      .withColumn("best", array_max(filter(
+        transform(col("groups"), x =>
+          when(x.getField("gid") === col("gid1") ||
+              x.getField("gid") === col("gid2"),
+            array_max(transform(x.getField("members"), c =>
+              struct(
+                round(VectorFunctions.dot(col("embedding"), c.getField("cemb")), 6).as("cd"),
+                (-c.getField("cid")).as("ncid")))))),
+        b => b.isNotNull)))
       .select(col("vec_id"), col("embedding"),
         (-col("best").getField("ncid")).as("cid"),
         col("best").getField("cd").as("best_sim"))

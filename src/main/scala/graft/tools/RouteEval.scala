@@ -19,12 +19,27 @@ import graft.operators.PipelineOps
   *   - bucket balance (max cluster size) under each routing — the
   *     quadratic-dedup-bound axis i24/i29 inherit.
   *
-  * Usage: RouteEval <sfDir> <k1,k2,...> [out=ROUTEEVAL_<basename>.json]
+  * `--scale` (the 1000× mode, VERDICT r15 ask #5): the flat global
+  * argmax is ANALYTICALLY out of the race at sf100 (k = scaledK = 8000
+  * → k·dim = 512k multiplies/row, ~30× two-level's (g + ~2√k)·dim), so
+  * instead of burning an hour measuring a router nobody would run, the
+  * scale mode measures what matters at 2M vectors:
+  *   - assignment WALL for two-level (broadcast) vs gid-partitioned
+  *     (the past-broadcast-comfort rung) — eager-materialization timed;
+  *   - their output equality at full scale (the PipelineSpec k=256 law,
+  *     re-asserted at the production k);
+  *   - max bucket (the dedup-bound axis) and recall@3 vs exact truth;
+  *   - the flat wall PROJECTED from a measured 1% sample (where
+  *     "intractable" actually lands, with numbers).
+  *
+  * Usage: RouteEval <sfDir> <k1,k2,...> [out=ROUTEEVAL_<basename>.json] [--scale]
   */
 object RouteEval {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val ks = args(1).split(",").map(_.trim.toInt)
+    val scaleMode = args.contains("--scale")
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = pos(0)
+    val ks = pos(1).split(",").map(_.trim.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +54,44 @@ object RouteEval {
     val n = emb.count()
     val q = PipelineOps.queryBatch(emb, 20)
 
-    val rows = ks.map { k =>
+    def timedCk(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Double) = {
+      val t0 = System.nanoTime()
+      val c = df.localCheckpoint(true) // eager: times the full materialization
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val rows = if (scaleMode) ks.map { k =>
+      val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
+      val (two, wTwo) = timedCk(PipelineOps.assignToCentroidsTwoLevel(emb, cent, k))
+      val (part, wPart) = timedCk(
+        PipelineOps.assignToCentroidsTwoLevelPartitioned(emb, cent, k))
+      // Full-scale output-equality law (PipelineSpec pins it at k=256;
+      // this is the production-k re-assertion).
+      val diff = two.select(col("vec_id"), col("cid"))
+        .exceptAll(part.select(col("vec_id"), col("cid"))).count()
+      val mb = two.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head.getLong(0)
+      // Flat projected from a measured contiguous 1% sample: the flat
+      // cost is exactly linear in rows at fixed (k, dim), so
+      // wall(sample) · N/m bounds the full run from below (same
+      // broadcast, same codegen, less data).
+      val m = math.max(1L, n / 100L)
+      val sample = emb.filter(col("vec_id") < m).localCheckpoint(true)
+      val (_, wFlatS) = timedCk(PipelineOps.assignToCentroidsFlat(sample, cent))
+      def recallSum(assigned: org.apache.spark.sql.DataFrame, nprobe: Int): Long =
+        PipelineOps.annRecallAssigned(assigned, emb, cent, q, nprobe)
+          .agg(sum(col("n_hit"))).head.getLong(0)
+      val rj = Seq(1, 2, math.max(1, k / 4)).map { p =>
+        s"""{"nprobe":$p,"two_level_hits":${recallSum(two, p)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"k":$k,"n":$n,"wall_two_level_sec":$wTwo,""" +
+        s""""wall_partitioned_sec":$wPart,"two_vs_partitioned_diff_rows":$diff,""" +
+        s""""max_bucket_two_level":$mb,"flat_sample_rows":$m,""" +
+        s""""wall_flat_sample_sec":$wFlatS,""" +
+        s""""wall_flat_projected_sec":${wFlatS * n / m},"recall":$rj}"""
+    }
+    else ks.map { k =>
       val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
       val flat = PipelineOps.assignToCentroidsFlat(emb, cent)
         .localCheckpoint(true)

@@ -4,7 +4,10 @@ Mirrors exactly:
   - scaledK (PipelineOps.scaledK): k = max(8, N // 250);
   - stubCodebook: centroids are the vectors with vec_id < k;
   - assignToCentroids' dispatcher: FLAT round6-dot argmax (min-cid
-    tiebreak) below hierRouteMin = 64, TWO-LEVEL at/above it
+    tiebreak) below hierRouteMin = 64, TWO-LEVEL at/above it (the
+    engine additionally swaps stage 2's PHYSICAL form to a
+    gid-partitioned join at k >= 1024 — output bit-identical, proven
+    at 2M vectors, so this mirror models the one semantic function)
     (stage 1: top-2 of the g = ceil(sqrt(k)) lowest-cid supers by
     (round6 d desc, sid asc); stage 2: argmax within the union of the
     two routed member groups, members pre-assigned by the flat rule
