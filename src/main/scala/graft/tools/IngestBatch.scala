@@ -106,6 +106,37 @@ object IngestBatch {
       "dsir_counts" -> PipelineOps.dsirCounts(batchDocs))
   }
 
+  /** MERGE-ON-READ: the artifact as consumers see it after any number
+    * of ingests — base ∪ delta segments, with the per-family rule for
+    * the two aggregate artifacts (pack_state rows SUM to the current
+    * scalar; dsir_counts segments merge by summed counts). For the
+    * per-row/set families the union IS the artifact (the additivity
+    * laws PersistedIndexSpec pins); a compaction materializes the same
+    * frame back into one bucketed segment.
+    */
+  def merged(name: String, base: DataFrame, deltas: Seq[DataFrame]): DataFrame = {
+    val all = (base +: deltas).reduce(_ unionByName _)
+    name match {
+      case "pack_state" =>
+        all.agg(coalesce(sum(col("base_tok")), lit(0L)).as("base_tok"))
+      case "dsir_counts" => all.groupBy(col("bk"))
+        .agg(sum(col("cs")).as("cs"), sum(col("ct")).as("ct"))
+      case _ => all
+    }
+  }
+
+  /** Path-level [[merged]]: reads the base table and every
+    * `<name>__delta_*` segment directory under `indexDir`.
+    */
+  def readMerged(spark: SparkSession, indexDir: String,
+      name: String): DataFrame = {
+    val deltas = Option(new java.io.File(indexDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${name}__delta_"))
+      .map(f => spark.read.parquet(f.getAbsolutePath)).toSeq
+    merged(name, spark.read.parquet(s"$indexDir/$name"), deltas)
+  }
+
   def main(args: Array[String]): Unit = {
     val indexDir = args(0)
     val batchDir = args(1)
@@ -133,13 +164,24 @@ object IngestBatch {
     val batchEmb = spark.read.parquet(s"$batchDir/embeddings.parquet")
       .localCheckpoint(true)
 
+    // Idempotence: a re-run of the SAME tag must not read its own stale
+    // delta back as prior corpus state (a duplicated doc_id in the
+    // merged sketch table would explode the candidate join), so this
+    // tag's segments are dropped BEFORE the merge-on-read below.
+    IngestBatch.bucketKeys.keys.foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}__delta_$tag")
+      rmrf(new java.io.File(s"$indexDir/${name}__delta_$tag"))
+    }
+    // The sketch/gram state a NEW batch diffs against must include every
+    // PRIOR delta segment (merge-on-read): day-3 docs can truth-pair
+    // with day-2 docs, and day-3's "new grams" must exclude day-2's.
+    // The codebooks stay the base build's (never retrained on ingest).
     val written = deltas(
-      base("corpus_sets"), base("corpus_grams"),
+      readMerged(spark, indexDir, "corpus_sets"),
+      readMerged(spark, indexDir, "corpus_grams"),
       base("coarse_codebook"), base("pq_cent"),
       batchDocs, batchEmb).map { case (name, df) =>
       val delta = s"${name}__delta_$tag"
-      spark.sql(s"DROP TABLE IF EXISTS $delta")
-      rmrf(new java.io.File(s"$indexDir/$delta"))
       val t0 = System.nanoTime()
       val keys = bucketKeys(name)
       val w = df.write.format("parquet").mode("overwrite")

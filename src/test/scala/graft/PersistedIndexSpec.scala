@@ -365,6 +365,57 @@ class PersistedIndexSpec extends SparkTestBase {
       PipelineOps.dsirScoreAgainst(bd, r2, c2))
   }
 
+  test("sequential ingest: two day-batches through deltas + merge-on-read == one build over everything") {
+    // The multi-segment (LSM) half of the lifecycle: day-2's deltas are
+    // computed against the MERGED day-1 state (sets for the truth
+    // candidate join, grams for the new-gram anti-join), and
+    // IngestBatch.merged over (base, delta1, delta2) equals the
+    // artifact built over corpus ∪ batch1 ∪ batch2 — i.e.
+    // ingest(ingest(build(c), b1), b2) ≡ build(c ∪ b1 ∪ b2), the law
+    // that makes a daily cadence sound without ever compacting.
+    import graft.tools.IngestBatch
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cd = docs.filter(col("doc_id") < 300)
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < boundary)
+    val b2 = docs.filter(col("doc_id") >= boundary)
+    val ce = emb.filter(col("vec_id") < 300)
+    val e1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < boundary)
+    val e2 = emb.filter(col("vec_id") >= boundary)
+    val k = PipelineOps.scaledK(emb)
+    val cb = PipelineOps.stubCodebook(ce, k).localCheckpoint(true)
+    val sub = PipelineOps.pqBlocks(ce, nBlocks = 4, blockDim = 16)
+      .localCheckpoint(true)
+    val pqCent = PipelineOps.pqTrainStep(
+      sub, PipelineOps.pqStubCodebook(sub, 8)).localCheckpoint(true)
+    val sets0 = LlmOps.hashedTokenSets(cd).localCheckpoint(true)
+    val grams0 = PipelineOps.gramOcc(cd, 5).select(col("g")).distinct()
+      .localCheckpoint(true)
+    val d1 = IngestBatch.deltas(sets0, grams0, cb, pqCent, b1, e1).toMap
+    val sets1 = IngestBatch.merged("corpus_sets", sets0,
+      Seq(d1("corpus_sets"))).localCheckpoint(true)
+    val grams1 = IngestBatch.merged("corpus_grams", grams0,
+      Seq(d1("corpus_grams"))).localCheckpoint(true)
+    val d2 = IngestBatch.deltas(sets1, grams1, cb, pqCent, b2, e2).toMap
+    def m2(name: String, base: org.apache.spark.sql.DataFrame) =
+      IngestBatch.merged(name, base, Seq(d1(name), d2(name)))
+    assertSameRows(m2("truth_pairs", LlmOps.pairStats(cd, 7)),
+      LlmOps.pairStats(docs, 7))
+    assertSameRows(m2("corpus_grams", grams0),
+      PipelineOps.gramOcc(docs, 5).select(col("g")).distinct())
+    assertSameRows(m2("corpus_sets", sets0), LlmOps.hashedTokenSets(docs))
+    def tok(x: org.apache.spark.sql.DataFrame) =
+      x.agg(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("base_tok"))
+    assert(m2("pack_state", tok(cd)).head.getLong(0) ==
+      tok(docs).head.getLong(0))
+    val (r1, c1) = PipelineOps.dsirStateFromCounts(
+      m2("dsir_counts", PipelineOps.dsirCounts(cd)))
+    val (r2, c2) = PipelineOps.dsirState(docs)
+    assertSameRows(PipelineOps.dsirScoreAgainst(b2, r1, c1),
+      PipelineOps.dsirScoreAgainst(b2, r2, c2))
+  }
+
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(rmrf)
     f.delete(): Unit
