@@ -54,6 +54,19 @@ object GenScale {
     // lifecycle (e.g. `... /tmp/batch 1 documents,embeddings 10` is
     // exactly copy 10, id- and token-disjoint from the 10-copy sf1).
     val copyOffset = if (args.length > 4) args(4).toInt else 0
+    // Optional 6th arg: isometry seed salt (default 0 = the historical
+    // seeds). CASCADED scaling hazard (r16): when src is ITSELF a
+    // GenScale clone, the outer copy c of src's copy-0 block is
+    // isometry(c) of the original — the SAME operator as src's own
+    // internal copy c (the seed formula depends only on c) — so an
+    // unsalted cascade manufactures exact-duplicate cliques across
+    // blocks (cos = 1.0 pairs), precisely the fixture artifact the
+    // isometry design exists to avoid. A nonzero salt makes every outer
+    // seed fresh; compositions of fresh isometries over src's internal
+    // ones are new isometries, so cross-block cosines stay noise, while
+    // ids keep the dense 0-based layout a standalone corpus needs
+    // (e.g. sf100 from the 100-copy sf10: copies 0-9, salt 1).
+    val seedSalt = if (args.length > 5) args(5).toLong else 0L
     def want(n: String): Boolean = onlyTables.isEmpty || onlyTables(n)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -148,7 +161,8 @@ object GenScale {
     val dim = emb0.select(max(size(col("embedding")))).head.getAs[Number](0).intValue
     val nLabels = emb0.agg(max(col("label"))).head.getAs[Number](0).intValue + 1
     def isometry(c: Int): org.apache.spark.sql.Column = {
-      val rnd = new scala.util.Random(0x9E3779B97F4A7C15L ^ c.toLong)
+      val rnd = new scala.util.Random(
+        0x9E3779B97F4A7C15L ^ c.toLong ^ (seedSalt << 32))
       val perm = rnd.shuffle((0 until dim).toVector)
       val sign = Vector.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
       array((0 until dim).map(i =>

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ivf_common import load_embeddings, route, scaled_k
+from ivf_common import TIE_RISK, load_embeddings, route, scaled_k, seq_dot
 
 if len(sys.argv) != 3:
     print(__doc__)
@@ -53,7 +53,15 @@ for c in np.unique(cid):
     D = emb[idx] @ emb[idx].T
     iu, ju = np.triu_indices(len(idx), k=1)
     s = D[iu, ju]
-    round_margin = min(round_margin, float(np.abs(((s * 1e3) % 1.0) - 0.5).min()))
+    fr = np.abs(((s * 1e3) % 1.0) - 0.5)
+    round_margin = min(round_margin, float(fr.min()))
+    # Knife-edge refinement (the r16 ivf_common rule): a sim within
+    # TIE_RISK quanta of a 3dp boundary is re-derived in the engine's
+    # fold order before rounding.
+    rr = np.where(fr < TIE_RISK)[0]
+    if rr.size:
+        s = s.copy()
+        s[rr] = seq_dot(emb[idx[iu[rr]]], emb[idx[ju[rr]]])
     sr = np.round(s, 3)
     ii = vec_id[idx[iu]]; jj = vec_id[idx[ju]]
     # vec_id ascends with idx (sorted load), so idx[iu] < idx[ju] => i < j

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ivf_common import load_embeddings, route, scaled_k
+from ivf_common import TIE_RISK, load_embeddings, route, scaled_k, seq_dot
 
 if len(sys.argv) != 3:
     print(__doc__)
@@ -48,12 +48,22 @@ def find(i):
     return i
 min_margin = 1.0
 edge_count = 0
+refined = 0
 for c in np.unique(cid):
     idx = np.where(cid == c)[0]
     D = emb[idx] @ emb[idx].T
     iu, ju = np.triu_indices(len(idx), k=1)
     s = D[iu, ju]
     min_margin = min(min_margin, np.abs(s - 0.3995).min())
+    # Knife-edge refinement (the r16 ivf_common rule): a pair within
+    # TIE_RISK quanta of the threshold is re-derived in the ENGINE's
+    # left-to-right fold order, so the >= decision is bit-faithful
+    # regardless of BLAS reordering.
+    rr = np.where(np.abs(s - 0.3995) < TIE_RISK * 1e-3)[0]
+    if rr.size:
+        s = s.copy()
+        s[rr] = seq_dot(emb[idx[iu[rr]]], emb[idx[ju[rr]]])
+        refined += int(rr.size)
     hit = s >= 0.3995
     edge_count += int(hit.sum())
     for a, b in zip(idx[iu[hit]], idx[ju[hit]]):
@@ -62,7 +72,8 @@ for c in np.unique(cid):
             # union by min id keeps the min-label invariant recoverable
             if ra < rb: parent[rb] = ra
             else: parent[ra] = rb
-print('edges:', edge_count, 'min edge-threshold margin:', min_margin)
+print('edges:', edge_count, 'min edge-threshold margin:', min_margin,
+      'refined:', refined)
 roots = np.array([find(i) for i in range(n)])
 # component label = min vec_id in component (vec_id sorted asc => index root IS min index)
 comp_min = np.zeros(n, dtype=np.int64)
