@@ -1575,6 +1575,19 @@ class PipelineSpec extends SparkTestBase {
     val small = PipelineOps.stubCodebook(emb, 8)
     assertSameRows(PipelineOps.assignToCentroids(emb, small, 8),
       PipelineOps.assignToCentroidsFlat(emb, small))
+    // Dispatcher, third rung (r16): at k >= partitionedRouteMin the
+    // SAME call routes stage 2 through the distributed gid join — the
+    // plan gains hash Exchanges (the broadcast form has none) and the
+    // output stays identical to the broadcast form at the same k.
+    val kp = PipelineOps.partitionedRouteMin
+    val dispatched = PipelineOps.assignToCentroids(emb, cent, kp)
+    assert("Exchange hashpartitioning".r
+        .findAllIn(dispatched.queryExecution.executedPlan.toString).nonEmpty,
+      "k >= partitionedRouteMin must plan the partitioned stage 2")
+    assertSameRows(
+      dispatched.select(col("vec_id"), col("cid"), col("best_sim")),
+      PipelineOps.assignToCentroidsTwoLevel(emb, cent, kp)
+        .select(col("vec_id"), col("cid"), col("best_sim")))
   }
 
   test("BPE trainer: deterministic merge list, strict per-round compression, replay == trainer state") {
