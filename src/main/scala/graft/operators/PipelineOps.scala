@@ -533,11 +533,44 @@ object PipelineOps {
     * time, where the training cost amortizes into the build.
     */
   private[graft] def assignToCentroidsTwoLevelTrained(emb: DataFrame,
-      cent: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
-    val g = math.ceil(math.sqrt(k.toDouble)).toInt
-    val supers = trainCodebook(
+      cent: DataFrame, k: Int, maxIters: Int = 8): DataFrame =
+    assignToCentroidsTwoLevelFromSupers(emb, cent,
+      trainRoutingSupers(cent, k, maxIters), k)
+
+  /** The trained stage-1 supers on their own: Lloyd over the k-row
+    * codebook (codebook-sized work, ~`maxIters` tiny jobs, never
+    * corpus). Split out of [[assignToCentroidsTwoLevelTrained]] so
+    * BuildIndexes can PERSIST them (the `route_supers` artifact) and an
+    * ingest can route a batch with the build's exact router instead of
+    * silently re-deriving one (VERDICT r16 ask #2 — a trained base and
+    * a stub-routed delta in one merged table is two routing semantics
+    * in one artifact, and the additivity law fails).
+    */
+  private[graft] def trainRoutingSupers(cent: DataFrame, k: Int,
+      maxIters: Int = 8): DataFrame =
+    trainCodebook(
       cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")),
-      g, maxIters).localCheckpoint(true)
+      math.ceil(math.sqrt(k.toDouble)).toInt, maxIters).localCheckpoint(true)
+
+  /** Two-level routing against EXTERNALLY-SUPPLIED supers — the form
+    * both the trained build ([[trainRoutingSupers]] fresh) and the
+    * trained-base ingest (route_supers read back) share, so base and
+    * delta provably route identically. Trained supers are not codebook
+    * members, so the stub form's self-pin doesn't apply; member-empty
+    * groups are excluded from the stage-1 routing array instead (a
+    * super no centroid picked cannot be routed to — rows take their
+    * next-best super). Stage 2 dispatches like the stub dispatcher:
+    * broadcast below [[partitionedRouteMin]], the gid-partitioned join
+    * at/above it (VERDICT r16 ask #3 — at the sf100 k = 8000 point the
+    * broadcast form costs 2.8× the partitioned rung, and trained
+    * routing exists precisely for the large-k regime). The two rungs
+    * are output-identical (PipelineSpec pins it at k = 256 via the
+    * `partitionedStage2` override, which exists only for that law —
+    * production callers leave it None and take the k dispatch).
+    */
+  private[graft] def assignToCentroidsTwoLevelFromSupers(emb: DataFrame,
+      cent: DataFrame, supers: DataFrame, k: Int,
+      partitionedStage2: Option[Boolean] = None): DataFrame = {
     val grouped = assignToCentroidsFlat(
         cent.select(col("cid").as("vec_id"), col("cemb").as("embedding")), supers)
       .select(col("cid").as("gid"), col("vec_id").as("mcid"),
@@ -545,12 +578,15 @@ object PipelineOps {
     val presentSupers = supers.join(
       grouped.select(col("gid")).distinct(),
       supers("cid") === col("gid"), "left_semi")
-    val groupArray = grouped
+    val groupTable = grouped
       .groupBy(col("gid"))
       .agg(collect_list(struct(col("mcid").as("cid"),
         col("mcemb").as("cemb"))).as("members"))
-      .agg(collect_list(struct(col("gid"), col("members"))).as("groups"))
-    twoLevelRoute(emb, presentSupers, groupArray)
+    if (partitionedStage2.getOrElse(k >= partitionedRouteMin))
+      twoLevelRoutePartitioned(emb, presentSupers, groupTable)
+    else twoLevelRoute(emb, presentSupers,
+      groupTable.agg(collect_list(struct(col("gid"), col("members")))
+        .as("groups")))
   }
 
   private[graft] def assignToCentroidsTwoLevel(emb: DataFrame, cent: DataFrame,
@@ -599,6 +635,21 @@ object PipelineOps {
       .groupBy(col("gid"))
       .agg(collect_list(struct(col("mcid").as("cid"),
         col("mcemb").as("cemb"))).as("members"))
+    twoLevelRoutePartitioned(emb, supers, groupTable)
+  }
+
+  /** The shared GID-PARTITIONED stage 2 over a prepared super table and
+    * a DISTRIBUTED (gid → members) table — stub and trained routing
+    * differ only in how they prepare those two inputs (self-pinned
+    * grouping vs present-super exclusion), so the partitioned physical
+    * form is one definition, exactly as [[twoLevelRoute]] is for the
+    * broadcast form. Stage 1 is unchanged (the supers broadcast is only
+    * O(√k·dim)); stage 2 joins the exploded top-2 probe rows against
+    * the member table — two corpus shuffles for an O(√k·dim) per-task
+    * footprint, the trade that wins from [[partitionedRouteMin]] up.
+    */
+  private def twoLevelRoutePartitioned(emb: DataFrame, supers: DataFrame,
+      groupTable: DataFrame): DataFrame = {
     val probes = emb.crossJoin(broadcast(centroidArray(supers)))
       .withColumn("pr", slice(array_sort(transform(col("cents"), c =>
         struct(
@@ -2692,12 +2743,13 @@ object PipelineOps {
     // token histogram on ONE Exchange; the greedy walk is a running
     // sum over the ≤1001-row per-source frame; quotas come from the
     // same frame's full-window total (no second corpus pass). Output
-    // is the per-source fill report — LEFT-joined onto the full source
-    // set, so a STARVED source (one whose single best level already
-    // exceeds its quota, keeping zero levels all-or-nothing) still
-    // reports a fill_ppm=0 row instead of silently vanishing (ADVICE
-    // r14); the doc-level cut is the keep-set broadcast back (the i63
-    // shape).
+    // is the per-source fill report — conditional aggregation over the
+    // per-source frame (sum(kept)/sum(all), NO join — see the
+    // quotaSelect scaladoc), so a STARVED source (one whose single
+    // best level already exceeds its quota, keeping zero levels
+    // all-or-nothing) still reports a fill_ppm=0 row instead of
+    // silently vanishing (ADVICE r14); the doc-level cut is the
+    // keep-set broadcast back (the i63 shape).
     Q("i95_quota_select",
       (s, dir) => quotaSelect(t(s, dir, "documents")),
       Some(sql("""WITH st AS (SELECT source,

@@ -31,6 +31,8 @@ import graft.operators.{LlmOps, PipelineOps}
   * | dsir_counts      | per-bigram (cs, ct) counts    | i62 ingest/score |
   * | bpe_merges       | trained BPE merge list        | tokenizer apply  |
   * | pca_direction    | dominant PCA direction        | projection/eval  |
+  * | route_supers     | trained stage-1 supers (only  | IngestBatch      |
+  * |                  |  with --trained-routing)      |  same-router law |
   *
   * Bucketing note: bucket metadata lives in the session catalog; in this
   * offline build the warehouse directory is the artifact (a deployment
@@ -103,10 +105,24 @@ object BuildIndexes {
     val k = PipelineOps.scaledK(emb)
     val coarse = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
     write("coarse_codebook", coarse, Seq())
+    // A trained build PERSISTS its stage-1 supers (route_supers, the
+    // 14th artifact) and the manifest records the router, so IngestBatch
+    // can route a later batch with the build's EXACT router — without
+    // it an ingest into a trained base silently mixes two routing
+    // semantics in one merged coarse_assign and the additivity law
+    // breaks (VERDICT r16 ask #2). A stub build removes any stale
+    // route_supers so artifact presence always equals manifest truth.
+    val useTrained = trainedRouting && k >= PipelineOps.hierRouteMin
     val assigned =
-      if (trainedRouting && k >= PipelineOps.hierRouteMin)
-        PipelineOps.assignToCentroidsTwoLevelTrained(emb, coarse, k)
-      else PipelineOps.assignToCentroids(emb, coarse, k)
+      if (useTrained) {
+        val supers = PipelineOps.trainRoutingSupers(coarse, k)
+        write("route_supers", supers, Seq())
+        PipelineOps.assignToCentroidsTwoLevelFromSupers(emb, coarse, supers, k)
+      } else {
+        spark.sql("DROP TABLE IF EXISTS route_supers")
+        rmrf(new java.io.File(s"$outDir/route_supers"))
+        PipelineOps.assignToCentroids(emb, coarse, k)
+      }
     write("coarse_assign", assigned.select(col("vec_id"), col("cid")),
       Seq("vec_id"))
     val sub = PipelineOps.pqBlocks(emb, nBlocks = 4, blockDim = 16)
@@ -171,6 +187,7 @@ object BuildIndexes {
     val tag = java.nio.file.Paths.get(dir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val line = s"""{"sf_dir":"$dir","out_dir":"$outDir",""" +
+      s""""trained_routing":$useTrained,""" +
       s""""artifacts":${built.mkString("[", ",", "]")},""" +
       s""""read_paths":${measured.mkString("[", ",", "]")}}"""
     println(line)

@@ -30,7 +30,11 @@ import graft.operators.PipelineOps
   *     re-asserted at the production k);
   *   - max bucket (the dedup-bound axis) and recall@3 vs exact truth;
   *   - the flat wall PROJECTED from a measured 1% sample (where
-  *     "intractable" actually lands, with numbers).
+  *     "intractable" actually lands, with numbers);
+  *   - (r17) the TRAINED router through both physical stage-2 rungs
+  *     over the same trained supers — the gap the partitionedRouteMin
+  *     dispatch buys a --trained-routing deployment, plus their
+  *     full-scale output equality and the training wall itself.
   *
   * Usage: RouteEval <sfDir> <k1,k2,...> [out=ROUTEEVAL_<basename>.json] [--scale]
   */
@@ -72,6 +76,24 @@ object RouteEval {
         .exceptAll(part.select(col("vec_id"), col("cid"))).count()
       val mb = two.groupBy(col("cid")).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).head.getLong(0)
+      // TRAINED router at scale (VERDICT r16 ask #3): both physical
+      // stage-2 rungs over the SAME trained supers — the wall gap is
+      // what the partitionedRouteMin dispatch buys a --trained-routing
+      // deployment, and diff_rows re-asserts the PipelineSpec k=256
+      // equality law at production scale. Training cost (Lloyd over the
+      // k-row codebook) is timed separately — it amortizes into the
+      // build.
+      val tTr0 = System.nanoTime()
+      val sup = PipelineOps.trainRoutingSupers(cent, k)
+      val wTrain = (System.nanoTime() - tTr0) / 1e9
+      val (trB, wTrB) = timedCk(PipelineOps.assignToCentroidsTwoLevelFromSupers(
+        emb, cent, sup, k, partitionedStage2 = Some(false)))
+      val (trP, wTrP) = timedCk(PipelineOps.assignToCentroidsTwoLevelFromSupers(
+        emb, cent, sup, k, partitionedStage2 = Some(true)))
+      val diffTr = trB.select(col("vec_id"), col("cid"))
+        .exceptAll(trP.select(col("vec_id"), col("cid"))).count()
+      val mbTr = trB.groupBy(col("cid")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head.getLong(0)
       // Flat projected from a measured contiguous 1% sample: the flat
       // cost is exactly linear in rows at fixed (k, dim), so
       // wall(sample) · N/m bounds the full run from below (same
@@ -83,11 +105,17 @@ object RouteEval {
         PipelineOps.annRecallAssigned(assigned, emb, cent, q, nprobe)
           .agg(sum(col("n_hit"))).head.getLong(0)
       val rj = Seq(1, 2, math.max(1, k / 4)).map { p =>
-        s"""{"nprobe":$p,"two_level_hits":${recallSum(two, p)}}"""
+        s"""{"nprobe":$p,"two_level_hits":${recallSum(two, p)},""" +
+          s""""trained_hits":${recallSum(trP, p)}}"""
       }.mkString("[", ",", "]")
       s"""{"k":$k,"n":$n,"wall_two_level_sec":$wTwo,""" +
         s""""wall_partitioned_sec":$wPart,"two_vs_partitioned_diff_rows":$diff,""" +
-        s""""max_bucket_two_level":$mb,"flat_sample_rows":$m,""" +
+        s""""max_bucket_two_level":$mb,""" +
+        s""""wall_train_supers_sec":$wTrain,""" +
+        s""""wall_trained_broadcast_sec":$wTrB,""" +
+        s""""wall_trained_partitioned_sec":$wTrP,""" +
+        s""""trained_bcast_vs_partitioned_diff_rows":$diffTr,""" +
+        s""""max_bucket_trained":$mbTr,"flat_sample_rows":$m,""" +
         s""""wall_flat_sample_sec":$wFlatS,""" +
         s""""wall_flat_projected_sec":${wFlatS * n / m},"recall":$rj}"""
     }
@@ -131,7 +159,9 @@ object RouteEval {
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val line = s"""{"dir":"$dir","n_vectors":$n,"evals":${rows.mkString("[", ",", "]")}}"""
     println(line)
-    val out = if (args.length > 2) args(2) else s"ROUTEEVAL_$tag.json"
+    // Optional out file comes from the FLAG-FILTERED positionals — raw
+    // args(2) would read "--scale" as the filename (ADVICE r16).
+    val out = if (pos.length > 2) pos(2) else s"ROUTEEVAL_$tag.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }

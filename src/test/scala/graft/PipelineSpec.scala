@@ -1696,4 +1696,45 @@ class PipelineSpec extends SparkTestBase {
     assert(j.filter(col("cid") === col("fcid") &&
       col("best_sim") =!= col("fsim")).count() == 0)
   }
+
+  test("trained router: gid-partitioned stage 2 == broadcast stage 2 (k=256), dispatched at partitionedRouteMin") {
+    // VERDICT r16 ask #3: the trained router gets the same partitioned
+    // stage-2 rung the stub dispatcher has — at the sf100 k=8000 point
+    // the broadcast form costs 2.8× the partitioned one, and trained
+    // routing exists precisely for that large-k regime. Laws: the two
+    // physical rungs are output-identical over TRAINED supers, the
+    // partitioned form survives with broadcasts disabled, and the k
+    // dispatch inside assignToCentroidsTwoLevelFromSupers plans the
+    // partitioned stage 2 (hash Exchanges appear) from
+    // partitionedRouteMin up.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val k = 256
+    val cent = PipelineOps.stubCodebook(emb, k).localCheckpoint(true)
+    val sup = PipelineOps.trainRoutingSupers(cent, k)
+    val want = PipelineOps.assignToCentroidsTwoLevelFromSupers(
+        emb, cent, sup, k, partitionedStage2 = Some(false))
+      .select("vec_id", "cid", "best_sim")
+    val got = PipelineOps.assignToCentroidsTwoLevelFromSupers(
+        emb, cent, sup, k, partitionedStage2 = Some(true))
+      .select("vec_id", "cid", "best_sim")
+    assertSameRows(got, want)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val gotShuffled = PipelineOps.assignToCentroidsTwoLevelFromSupers(
+          emb, cent, sup, k, partitionedStage2 = Some(true))
+        .select("vec_id", "cid", "best_sim")
+      assertSameRows(gotShuffled, want)
+    } finally spark.conf.set(key, old)
+    // The k dispatch: at k >= partitionedRouteMin the default (no
+    // override) plans the distributed stage 2; below it, it doesn't.
+    val kp = PipelineOps.partitionedRouteMin
+    val dispatched = PipelineOps.assignToCentroidsTwoLevelFromSupers(
+      emb, cent, sup, kp)
+    assert("Exchange hashpartitioning".r
+        .findAllIn(dispatched.queryExecution.executedPlan.toString).nonEmpty,
+      "trained k >= partitionedRouteMin must plan the partitioned stage 2")
+    assertSameRows(dispatched.select("vec_id", "cid", "best_sim"), want)
+  }
 }

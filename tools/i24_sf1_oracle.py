@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ivf_common import TIE_RISK, load_embeddings, route, scaled_k, seq_dot
+from ivf_common import (TIE_RISK, load_embeddings, round_half_up, route,
+                        scaled_k, seq_dot)
 
 if len(sys.argv) != 3:
     print(__doc__)
@@ -62,7 +63,7 @@ for c in np.unique(cid):
     if rr.size:
         s = s.copy()
         s[rr] = seq_dot(emb[idx[iu[rr]]], emb[idx[ju[rr]]])
-    sr = np.round(s, 3)
+    sr = round_half_up(s, 3)
     ii = vec_id[idx[iu]]; jj = vec_id[idx[ju]]
     # vec_id ascends with idx (sorted load), so idx[iu] < idx[ju] => i < j
     order = np.lexsort((jj, ii, -sr))[:20]

@@ -21,6 +21,10 @@ matters from sf100 up: with ~2e8 audited dots the MIN margin
 statistically shrinks to ~1e-9 quantum units (~1e-15 absolute) — inside
 BLAS-vs-fold reordering noise — so margin auditing alone stops being a
 proof there (it still is at sf1, where margins are >=2.7e-6 quantum).
+Rounding itself is HALF_UP (round_half_up below), matching Spark's
+round(): np.round is half-EVEN, which differs exactly ON a boundary —
+the one place a refined knife-edge value can land — so a fold-order
+match could still round-flip under np.round (ADVICE r16).
 """
 import glob
 import os
@@ -35,6 +39,17 @@ HIER_ROUTE_MIN = 64
 # absolute at the 1e-6 quantum — four orders above worst-case 64-term
 # double reorder noise (~1e-14), and cheap (expected ~4e-4 of entries).
 TIE_RISK = 1e-4
+
+
+def round_half_up(x, decimals):
+    """Engine-exact rounding: Spark's round() is HALF_UP (half away from
+    zero); np.round is half-even. They agree everywhere except exactly ON
+    a .5 boundary at the target quantum — which is exactly where the
+    knife-edge refinement can land a value — so every oracle rounding
+    goes through this instead of np.round (ADVICE r16). Same scale-then-
+    divide float path as np.round, only the half rule differs."""
+    q = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * q + 0.5) / q
 
 
 def seq_dot(X, C):
@@ -86,7 +101,7 @@ def _margin(raw):
 def round6_argmax(mat, ids, label='assign'):
     """(round6 dot, min-id tiebreak) argmax per row + boundary audit —
     the exact assignToCentroidsFlat contract."""
-    rd = np.round(mat, 6)
+    rd = round_half_up(mat, 6)
     print(f'min {label}-boundary margin (ulp@1e-6):', _margin(mat))
     best = rd.max(axis=1)
     win = ids[np.argmax(rd == best[:, None], axis=1)]
@@ -124,7 +139,7 @@ def route(emb, vec_id, k):
     # (-d, gid) struct sort exactly.
     rds = refine_boundary(emb @ sups.T, emb, sups, label='stage1 dots')
     print('min stage1-boundary margin (ulp@1e-6):', _margin(rds))
-    srt = np.argsort(-np.round(rds, 6), axis=1, kind='stable')
+    srt = np.argsort(-round_half_up(rds, 6), axis=1, kind='stable')
     g1 = sids[srt[:, 0]]
     g2 = sids[srt[:, 1]] if g > 1 else g1
     # stage 2: argmax within the UNION of the two routed groups,
@@ -147,7 +162,7 @@ def route(emb, vec_id, k):
         if rr.size:
             raw[rr, cc] = seq_dot(emb[rows][rr], cents[midx][cc])
             refined2 += int(rr.size)
-        gd = np.round(raw, 6)
+        gd = round_half_up(raw, 6)
         cid[rows] = cids[midx][np.argmax(gd == gd.max(axis=1)[:, None], axis=1)]
     print('min stage2-boundary margin (ulp@1e-6):', stage2_margin)
     if refined2:
