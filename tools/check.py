@@ -34,6 +34,29 @@ def cell(v):
     return str(v)
 
 
+def fast_equal(a: pd.Series, b: pd.Series) -> bool:
+    """True only when the cell()-string compare would also pass; False
+    means "don't know — run the canonical loop", never "mismatch"."""
+    import numpy as np
+    if a.dtype != b.dtype or len(a) != len(b):
+        return False
+    if a.dtype == np.float64:
+        av, bv = a.to_numpy(), b.to_numpy()
+        return bool(np.array_equal(av.view(np.int64), bv.view(np.int64)))
+    if a.dtype == object:
+        # Safe only when every non-null value is a plain str on both
+        # sides (Decimal's == ignores scale; mixed types stay slow).
+        an, bn = a.dropna(), b.dropna()
+        if an.map(type).eq(str).all() and bn.map(type).eq(str).all():
+            return a.equals(b)
+        return False
+    # int*/uint*/bool/datetime64 — exact-identity dtypes. Any other
+    # floating width (float32 has the same -0.0 hazard) stays slow.
+    if np.issubdtype(a.dtype, np.floating):
+        return False
+    return a.equals(b)
+
+
 def main():
     argv = sys.argv[1:]
     cc_numpy = "--cc-numpy" in argv
@@ -114,6 +137,22 @@ def main():
             continue
         bad = None
         for c in got.columns:
+            # Vectorized fast path (sf10 outputs reach 60M rows — the
+            # per-cell Python loop costs hours there). A fast-path True
+            # must IMPLY cell()-string equality, so each dtype gets the
+            # strictest cheap test and anything uncertain falls through
+            # to the canonical loop below (the driver-gate semantics):
+            #   - float64: BITWISE equality (view as int64) — repr() is
+            #     injective on doubles, and bit-equality refuses the
+            #     -0.0==0.0 / NaN-payload cases `==` would wave through;
+            #   - int/bool/datetime64 (same dtype both sides): .equals —
+            #     exact value identity == str identity for these;
+            #   - str objects: .equals — Python == on str IS cell
+            #     equality (None/NaN treated NULL on both paths);
+            #   - Decimals & anything else: no fast path (Decimal ==
+            #     ignores scale, "1.0" vs "1.00" must still FAIL).
+            if fast_equal(got[c], exp[c]):
+                continue
             gv = [cell(v) for v in got[c]]
             ev = [cell(v) for v in exp[c]]
             if gv != ev:
