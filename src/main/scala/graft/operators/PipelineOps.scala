@@ -5269,6 +5269,13 @@ object PipelineOps {
     // computed from explicit sufficient statistics (Σx, Σy, Σxy, Σx²)
     // so both engines run the same arithmetic; ln products over 30 O(5)
     // values carry ~1e-14 relative error against the round(4) contract.
+    // The `+ 0.0` on the slope canonicalizes IEEE zero sign: on a
+    // degenerate fixture whose top-30 counts are ALL EQUAL (sf10 — 100
+    // token-disjoint GenScale copies of one distribution, so rank 1-30
+    // is one word under 30 suffixes at identical n), the numerator is a
+    // ±ε rounding residual of an exact zero and the engines can land on
+    // oppositely-signed zeros ('0.0' vs '-0.0' under repr). x + 0.0
+    // maps -0.0 to +0.0 and is the identity for every nonzero slope.
     Q("j13_zipf_slope",
       (s, dir) => {
         // Materialized once (the nearDupPairs rule): the word table feeds
@@ -5289,7 +5296,8 @@ object PipelineOps {
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"))
           .select(round((col("m") * col("sxy") - col("sx") * col("sy")) /
-            (col("m") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+            (col("m") * col("sxx") - col("sx") * col("sx")), 4)
+            .plus(lit(0.0)).as("zipf_slope"))
         corpus.crossJoin(broadcast(fit))
           .select(col("n_types"), col("n_tokens"), col("zipf_slope"))
       },
@@ -5303,7 +5311,7 @@ object PipelineOps {
                  |   FROM w ORDER BY n DESC, w LIMIT 30),
                  | fit AS (SELECT round(
                  |     (count(*) * sum(x*y) - sum(x) * sum(y)) /
-                 |     (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope
+                 |     (count(*) * sum(x*x) - sum(x) * sum(x)), 4) + 0.0 AS zipf_slope
                  |   FROM ranked)
                  | SELECT n_types, n_tokens, zipf_slope FROM corpus, fit"""))),
 

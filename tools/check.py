@@ -65,6 +65,14 @@ def main():
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
+    # An in-memory DuckDB connection has NO temp directory, so an
+    # oracle whose intermediates exceed the memory cap hard-fails
+    # ("Out of Memory Error") instead of spilling — and the failed
+    # query's buffers can poison the connection for the NEXT oracle's
+    # trivial allocations (observed at sf10: i41 OOMs, then i42 fails
+    # to allocate 16 KB). Give the oracle session a spill path, the
+    # same courtesy the Spark side gets from its shuffle dirs.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     paths = {}
     for t in TABLES:
         # Driver testdata ships single-file tables; GenScale (data/sf1)
