@@ -46,9 +46,31 @@ object Bench {
     }.toLong
   }
 
+  /** Anonymous-page fault-in latency in µs/page, measured by touching a
+    * fresh 64 MiB allocation. Normal is well under 1 µs/page; the r17
+    * session caught a HOST-side memory-pressure episode where this read
+    * 60-195 µs/page (a 200 MB fault-in took 12-39 s) while every
+    * guest-visible counter — loadavg, free memory, buddyinfo, user-space
+    * CPU speed — looked healthy, uniformly ~2×-inflating a whole draw.
+    * Stamping it makes that failure mode flaggable from the artifact,
+    * like the load/JVM stamps: a draw with fault_us_per_page ≫ 1 at
+    * either end shared its machine with something the guest cannot see.
+    */
+  private def faultLatencyUsPerPage(): Double = {
+    val bytes = 64 * 1024 * 1024
+    val pages = bytes / 4096
+    val t0 = System.nanoTime()
+    val a = new Array[Byte](bytes)
+    var i = 0
+    while (i < bytes) { a(i) = 1; i += 4096 }
+    val us = (System.nanoTime() - t0) / 1e3
+    math.rint(us / pages * 1000) / 1000
+  }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadavg()
     val jvmsStart = otherSparkJvms()
+    val faultStart = faultLatencyUsPerPage()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -135,7 +157,8 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val loadJson = s""""load_start":$loadStart,"load_end":${loadavg()},""" +
-      s""""other_spark_jvms_start":$jvmsStart,"other_spark_jvms_end":${otherSparkJvms()}"""
+      s""""other_spark_jvms_start":$jvmsStart,"other_spark_jvms_end":${otherSparkJvms()},""" +
+      s""""fault_us_per_page_start":$faultStart,"fault_us_per_page_end":${faultLatencyUsPerPage()}"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir"}"""
     val fullLine =
