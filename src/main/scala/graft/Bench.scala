@@ -14,63 +14,18 @@ import org.apache.spark.sql.SparkSession
   *     the projections being measured).
   */
 object Bench {
-  /** `/proc/loadavg`'s three load fields as a JSON array ("[]" off-Linux).
-    * Stamped at start AND end of the run so a contended draw — another
-    * Spark JVM sharing the box, the diagnosed ~1.2× uniform-inflation
-    * signature of the r15 driver draw — is mechanically flaggable from
-    * the artifact instead of requiring forensics (VERDICT r15 ask #2).
-    */
-  private def loadavg(): String =
-    try {
-      val f = scala.io.Source.fromFile("/proc/loadavg")
-      try f.mkString.trim.split("\\s+").take(3).mkString("[", ",", "]")
-      finally f.close()
-    } catch { case _: Throwable => "[]" }
-
-  /** Count of OTHER live JVMs on the box that look like Spark/sbt work
-    * (commandline mentions spark or sbt) — >0 at either stamp means the
-    * draw shared the machine and its envelope is suspect. The run's own
-    * ancestor chain (the sbt launcher that forked this JVM) is excluded,
-    * so an sbt-launched idle draw reads 0, not a constant false 1.
-    */
-  private def otherSparkJvms(): Long = {
-    val ancestors = Iterator.iterate(Option(ProcessHandle.current())) {
-      _.flatMap(p => Option(p.parent().orElse(null)))
-    }.takeWhile(_.isDefined).take(16).map(_.get.pid()).toSet
-    import scala.jdk.CollectionConverters._
-    ProcessHandle.allProcesses().iterator().asScala.count { p =>
-      !ancestors.contains(p.pid()) &&
-        p.info().command().map[Boolean](_.contains("java")).orElse(false) &&
-        p.info().commandLine().map[Boolean](c =>
-          c.contains("spark") || c.contains("sbt")).orElse(false)
-    }.toLong
-  }
-
-  /** Anonymous-page fault-in latency in µs/page, measured by touching a
-    * fresh 64 MiB allocation. Normal is well under 1 µs/page; the r17
-    * session caught a HOST-side memory-pressure episode where this read
-    * 60-195 µs/page (a 200 MB fault-in took 12-39 s) while every
-    * guest-visible counter — loadavg, free memory, buddyinfo, user-space
-    * CPU speed — looked healthy, uniformly ~2×-inflating a whole draw.
-    * Stamping it makes that failure mode flaggable from the artifact,
-    * like the load/JVM stamps: a draw with fault_us_per_page ≫ 1 at
-    * either end shared its machine with something the guest cannot see.
-    */
-  private def faultLatencyUsPerPage(): Double = {
-    val bytes = 64 * 1024 * 1024
-    val pages = bytes / 4096
-    val t0 = System.nanoTime()
-    val a = new Array[Byte](bytes)
-    var i = 0
-    while (i < bytes) { a(i) = 1; i += 4096 }
-    val us = (System.nanoTime() - t0) / 1e3
-    math.rint(us / pages * 1000) / 1000
-  }
+  // Host-health stamps (loadavg / foreign-JVM / page-fault latency)
+  // live in the shared [[HealthStamp]] so the ladder rungs, RouteEval
+  // and the index-lifecycle manifests stamp identically (VERDICT r17
+  // ask #2); the fault probe is off-heap per ADVICE r17 — a warm JVM's
+  // heap pages are pre-committed, so the in-heap r17 "end" stamp
+  // measured memset speed rather than host fault-in.
+  import HealthStamp.{loadavg, otherSparkJvms, faultUsPerPage}
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadavg()
     val jvmsStart = otherSparkJvms()
-    val faultStart = faultLatencyUsPerPage()
+    val faultStart = faultUsPerPage()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -158,7 +113,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val loadJson = s""""load_start":$loadStart,"load_end":${loadavg()},""" +
       s""""other_spark_jvms_start":$jvmsStart,"other_spark_jvms_end":${otherSparkJvms()},""" +
-      s""""fault_us_per_page_start":$faultStart,"fault_us_per_page_end":${faultLatencyUsPerPage()}"""
+      s""""fault_us_per_page_start":$faultStart,"fault_us_per_page_end":${faultUsPerPage()}"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir"}"""
     val fullLine =

@@ -112,10 +112,15 @@ object EnvelopeOps {
 
     // Oracle renders with concat + coalesce('' for NULL) to match the
     // compiled template's null semantics exactly (a NULL field renders
-    // empty; it must not null the whole line — ADVICE r1 low).
+    // empty; it must not null the whole line — ADVICE r1 low). The
+    // timestamp body reproduces Go time.Time.String()'s trailing-zero
+    // trim (bare {{.Timestamp}} renders Go-natively since r18): %f is
+    // DuckDB's 6-digit microseconds; rtrim-'0' eats only fraction
+    // zeros (it stops at the dot), rtrim-'.' drops a fully-zero
+    // fraction's dot.
     Q("a4_template_render",
       (s, dir) => renderPipeline(ev(s, dir)).orderBy("event_id"),
-      Some(s"""SELECT event_id, concat($duckShort, ' ', strftime(ts, '%Y-%m-%dT%H:%M:%S'), ' ', coalesce(props, '')) AS line
+      Some(s"""SELECT event_id, concat($duckShort, ' ', rtrim(rtrim(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '0'), '.'), ' +0000 UTC ', coalesce(props, '')) AS line
               | FROM (SELECT event_id, ts, props, $duckHostId AS host_id FROM events)
               | ORDER BY event_id""".stripMargin.replace("\n", " "))),
 

@@ -47,6 +47,9 @@ import graft.operators.{LlmOps, PipelineOps}
   */
 object BuildIndexes {
   def main(args: Array[String]): Unit = {
+    // Health stamps bracket the run so a build wall measured through a
+    // host-pressure episode self-flags in the manifest (VERDICT r17 #2).
+    val healthStart = graft.HealthStamp.json()
     val dir = args(0)
     val outDir = args(1)
     val measure = args.contains("--measure")
@@ -189,7 +192,8 @@ object BuildIndexes {
     val line = s"""{"sf_dir":"$dir","out_dir":"$outDir",""" +
       s""""trained_routing":$useTrained,""" +
       s""""artifacts":${built.mkString("[", ",", "]")},""" +
-      s""""read_paths":${measured.mkString("[", ",", "]")}}"""
+      s""""read_paths":${measured.mkString("[", ",", "]")},""" +
+      s""""health_start":$healthStart,"health_end":${graft.HealthStamp.json()}}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/manifest_$tag.json"), line + "\n")

@@ -199,6 +199,9 @@ object IngestBatch {
     }
 
   def main(args: Array[String]): Unit = {
+    // Health stamps bracket the run so an ingest/compaction wall taken
+    // through a host-pressure episode self-flags (VERDICT r17 #2).
+    val healthStart = graft.HealthStamp.json()
     val verbose = args.contains("--verbose")
     val compactMode = args.contains("--compact")
     val pos = args.filterNot(_.startsWith("--"))
@@ -216,10 +219,17 @@ object IngestBatch {
       spark.sparkContext.setLogLevel("WARN")
       val rows = compactIndex(spark, indexDir)
       val line = s"""{"index_dir":"$indexDir",""" +
-        s""""compacted":${rows.mkString("[", ",", "]")}}"""
+        s""""compacted":${rows.mkString("[", ",", "]")},""" +
+        s""""health_start":$healthStart,""" +
+        s""""health_end":${graft.HealthStamp.json()}}"""
       println(line)
+      // Sequence-tagged like the ingest manifests (VERDICT r17 #6): a
+      // later compaction must not erase the record of an earlier one,
+      // so each run takes the next free compact_manifest_<n>.json.
+      val n = Iterator.from(1).find(i => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexDir/compact_manifest_$i.json"))).get
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$indexDir/compact_manifest.json"),
+        java.nio.file.Paths.get(s"$indexDir/compact_manifest_$n.json"),
         line + "\n")
       spark.stop()
       return
@@ -323,7 +333,9 @@ object IngestBatch {
         s""""rows_base":$baseRows,"ingest_sec":$sec}"""
     }
     val line = s"""{"index_dir":"$indexDir","batch_dir":"$batchDir",""" +
-      s""""tag":"$tag","deltas":${written.mkString("[", ",", "]")}}"""
+      s""""tag":"$tag","deltas":${written.mkString("[", ",", "]")},""" +
+      s""""health_start":$healthStart,""" +
+      s""""health_end":${graft.HealthStamp.json()}}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$indexDir/ingest_manifest_$tag.json"),

@@ -40,6 +40,11 @@ import graft.operators.PipelineOps
   */
 object RouteEval {
   def main(args: Array[String]): Unit = {
+    // Health stamps bracket the run (VERDICT r17 #2): the r17 sf100
+    // stub rungs silently overlapped the sf10 DuckDB sweep and read
+    // 955 s where the idle r16 point read 125 s — stamps make that
+    // adjudicatable from the artifact.
+    val healthStart = graft.HealthStamp.json()
     val scaleMode = args.contains("--scale")
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos(0)
@@ -157,7 +162,8 @@ object RouteEval {
     }
     val tag = java.nio.file.Paths.get(dir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    val line = s"""{"dir":"$dir","n_vectors":$n,"evals":${rows.mkString("[", ",", "]")}}"""
+    val line = s"""{"dir":"$dir","n_vectors":$n,"evals":${rows.mkString("[", ",", "]")},""" +
+      s""""health_start":$healthStart,"health_end":${graft.HealthStamp.json()}}"""
     println(line)
     // Optional out file comes from the FLAG-FILTERED positionals — raw
     // args(2) would read "--scale" as the filename (ADVICE r16).

@@ -21,9 +21,16 @@ Usage:
   python3 tools/check_heavy_cc.py <sfDir> <verifyOutDir> \
       [--validate <smallSfDir>] [query ...]
 
-Default query set: the ten CC-family oracles that embed the shared
-block (i36 i45 i66 i70 i71 i74 i79 i80 i82 i83 i84 minus any already
-named). Appends PASS/FAIL lines in check.py's format to stdout.
+Query set: the eleven CC-family oracles that embed the shared block
+(i36 i45 i66 i70 i71 i74 i79 i80 i82 i83 i84) when no names are given;
+with names, ONLY the named queries run. Appends PASS/FAIL lines in
+check.py's format to stdout.
+
+NOTE on --validate: it is optional per invocation, but a PASS without
+it rests on the regex rewrite alone — the round ritual runs the first
+sweep of any query set WITH --validate (sf0.01) so the rewrite's
+frame-identity is proven before the rewritten SQL is trusted as
+ground truth at the big SF.
 """
 import json
 import os
@@ -89,6 +96,11 @@ def rewrite(sql):
 
 
 def setup(con, sf_dir):
+    # In-memory DuckDB hard-OOMs without a spill path at sf10 (the
+    # reason check.py sets this), and THIS runner materializes the
+    # heaviest block of all (pairs_mat) — so both the validate and the
+    # main connection get the same spill directory (ADVICE r17).
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
@@ -149,9 +161,22 @@ def main():
     setup(con, sf_dir)
     n_pass = n_fail = 0
     for name in names:
-        exp = canon(con.execute(rewritten[name]).df())
-        got = canon(con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+        # Per-query isolation (ADVICE r17): a missing Spark output dir
+        # or an oracle execution error FAILs that query and moves on,
+        # mirroring check.py, instead of aborting the whole sweep.
+        try:
+            exp = canon(con.execute(rewritten[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}", flush=True)
+            n_fail += 1
+            continue
+        try:
+            got = canon(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+        except Exception as e:
+            print(f"FAIL {name}: no spark output written: {e}", flush=True)
+            n_fail += 1
+            continue
         bad = frames_equal(got, exp)
         if bad:
             print(f"FAIL {name}: {bad}", flush=True)
