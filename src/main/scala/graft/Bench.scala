@@ -14,18 +14,15 @@ import org.apache.spark.sql.SparkSession
   *     the projections being measured).
   */
 object Bench {
-  // Host-health stamps (loadavg / foreign-JVM / page-fault latency)
-  // live in the shared [[HealthStamp]] so the ladder rungs, RouteEval
-  // and the index-lifecycle manifests stamp identically (VERDICT r17
-  // ask #2); the fault probe is off-heap per ADVICE r17 — a warm JVM's
-  // heap pages are pre-committed, so the in-heap r17 "end" stamp
-  // measured memset speed rather than host fault-in.
-  import HealthStamp.{loadavg, otherSparkJvms, faultUsPerPage}
-
+  // Host-health stamps (loadavg / foreign-JVM / page-fault latency /
+  // page-cache occupancy / O_DIRECT cold-read rate) live in the shared
+  // [[HealthStamp]] so the ladder rungs, RouteEval and the
+  // index-lifecycle manifests stamp identically (VERDICT r17 ask #2);
+  // since r19 Bench embeds the same NESTED health_start/health_end
+  // objects as every other tool (ADVICE r18 — the flat r17 key layout
+  // was the one remaining artifact-shape exception).
   def main(args: Array[String]): Unit = {
-    val loadStart = loadavg()
-    val jvmsStart = otherSparkJvms()
-    val faultStart = faultUsPerPage()
+    val healthStart = HealthStamp.json()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -111,9 +108,8 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val loadJson = s""""load_start":$loadStart,"load_end":${loadavg()},""" +
-      s""""other_spark_jvms_start":$jvmsStart,"other_spark_jvms_end":${otherSparkJvms()},""" +
-      s""""fault_us_per_page_start":$faultStart,"fault_us_per_page_end":${faultUsPerPage()}"""
+    val loadJson =
+      s""""health_start":$healthStart,"health_end":${HealthStamp.json()}"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir"}"""
     val fullLine =
@@ -123,9 +119,26 @@ object Bench {
     // back-to-back runs at different SFs (sf0.1 then sf1) land in
     // distinct files instead of overwriting each other;
     // $SPARK_GRAFT_OUT still overrides.
+    //
+    // PROMOTE gating (VERDICT r18 ask #4): the committed-envelope file
+    // `BENCH_FULL_<sf>.json` is written ONLY when the caller opts in
+    // with `--promote` or SPARK_GRAFT_PROMOTE=1 — every other run
+    // (including the driver's unprompted per-round invocation) lands in
+    // a timestamped `BENCH_full_draw_<sf>_<ts>.json`, so a driver run
+    // can never overwrite the round's adjudicated envelope and the
+    // round-close ritual no longer needs a manual `git checkout`.
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", s"BENCH_FULL_$sfTag.json")
+    val promote = args.contains("--promote") ||
+      sys.env.get("SPARK_GRAFT_PROMOTE").contains("1")
+    val defaultOut =
+      if (promote) s"BENCH_FULL_$sfTag.json"
+      else {
+        val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+        s"BENCH_full_draw_${sfTag}_$ts.json"
+      }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

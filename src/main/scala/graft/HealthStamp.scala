@@ -41,17 +41,30 @@ object HealthStamp {
     * excluded, so an sbt-launched idle draw reads 0, not a constant
     * false 1.
     */
-  def otherSparkJvms(): Long = {
-    val ancestors = Iterator.iterate(Option(ProcessHandle.current())) {
+  /** The calling process plus up to 15 ancestors (the sbt/shell chain
+    * that forked this JVM). Factored out so the spec can assert the
+    * exclusion DIRECTLY (ADVICE r18: the prior test's `>= 0` on a count
+    * was vacuously true).
+    */
+  private[graft] def ancestorPids(): Set[Long] =
+    Iterator.iterate(Option(ProcessHandle.current())) {
       _.flatMap(p => Option(p.parent().orElse(null)))
     }.takeWhile(_.isDefined).take(16).map(_.get.pid()).toSet
+
+  /** True when `p` is a Spark/sbt-looking JVM that is NOT in the given
+    * ancestor set — the per-process predicate `otherSparkJvms` counts.
+    */
+  private[graft] def isForeignSparkJvm(p: ProcessHandle, ancestors: Set[Long]): Boolean =
+    !ancestors.contains(p.pid()) &&
+      p.info().command().map[Boolean](_.contains("java")).orElse(false) &&
+      p.info().commandLine().map[Boolean](c =>
+        c.contains("spark") || c.contains("sbt")).orElse(false)
+
+  def otherSparkJvms(): Long = {
+    val ancestors = ancestorPids()
     import scala.jdk.CollectionConverters._
-    ProcessHandle.allProcesses().iterator().asScala.count { p =>
-      !ancestors.contains(p.pid()) &&
-        p.info().command().map[Boolean](_.contains("java")).orElse(false) &&
-        p.info().commandLine().map[Boolean](c =>
-          c.contains("spark") || c.contains("sbt")).orElse(false)
-    }.toLong
+    ProcessHandle.allProcesses().iterator().asScala
+      .count(isForeignSparkJvm(_, ancestors)).toLong
   }
 
   /** Defeats dead-store elimination of the probe's touch loop: the
@@ -90,10 +103,95 @@ object HealthStamp {
     math.rint(us / pages * 1000) / 1000
   }
 
+  /** Guest page-cache occupancy in MB (`Buffers + Cached` from
+    * `/proc/meminfo`; -1 off-Linux). Mechanism #2 of the r18 forensics:
+    * the host reclaims the guest's page cache under its own pressure —
+    * after the r18 sf10 draw only ~5 GB survived — and every first
+    * touch afterwards re-hydrates from the backing store. A draw whose
+    * start stamp shows a near-empty cache on a box that just read the
+    * working set is running cold THROUGH NO FAULT OF THE ENGINE, and
+    * the artifact now says so (VERDICT r18 ask #2).
+    */
+  def pageCacheMb(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/meminfo")
+      try {
+        val kv = f.getLines().flatMap { l =>
+          l.split(":\\s+") match {
+            case Array(k, v) => Some(k -> v.split("\\s+")(0).toLong)
+            case _ => None
+          }
+        }.toMap
+        (kv.getOrElse("Buffers", 0L) + kv.getOrElse("Cached", 0L)) / 1024
+      } finally f.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Cold-file first-touch read rate in MB/s (VERDICT r18 ask #2's
+    * second probe; -1 when the O_DIRECT path is unavailable). The r18
+    * episode's big-scan tail hydrated evicted files at ~10 MB/s while
+    * warm re-reads ran ~5 GB/s — a gap only a read that BYPASSES the
+    * guest cache can see. The probe keeps a small pool of 10 MB files
+    * under /tmp/graft_coldprobe (created once, fsync'd); each stamp
+    * reads the LEAST-RECENTLY-read one through `O_DIRECT`
+    * (`ExtendedOpenOption.DIRECT` — no guest page-cache hit possible),
+    * times the full sweep, then touches the file's mtime so successive
+    * stamps rotate through the pool. Files age between stamps, so by
+    * the time one is re-read the host has had the same opportunity to
+    * evict it as the real parquet working set. Healthy figure on this
+    * box: several hundred MB/s+; the r18 episode would read ~10.
+    */
+  def coldReadMbps(): Double =
+    try {
+      val dir = java.nio.file.Paths.get("/tmp/graft_coldprobe")
+      java.nio.file.Files.createDirectories(dir)
+      val poolSize = 6
+      val fileBytes = 10 * 1024 * 1024
+      val files = (0 until poolSize).map(i => dir.resolve(f"probe_$i%02d.bin"))
+      files.foreach { p =>
+        if (!java.nio.file.Files.exists(p) ||
+            java.nio.file.Files.size(p) != fileBytes.toLong) {
+          val ch = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+          try {
+            // Non-constant content so no storage layer can dedup/compress
+            // the probe into an unrepresentatively-fast read.
+            val buf = java.nio.ByteBuffer.allocate(1 << 20)
+            var written = 0L
+            val rnd = new java.util.Random(0x5DEECE66DL + p.hashCode())
+            while (written < fileBytes) {
+              buf.clear(); rnd.nextBytes(buf.array()); buf.limit(buf.capacity())
+              written += ch.write(buf)
+            }
+            ch.force(true)
+          } finally ch.close()
+        }
+      }
+      val target = files.minBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      val align = 4096
+      val raw = java.nio.ByteBuffer.allocateDirect((1 << 20) + align)
+      val buf = raw.alignedSlice(align)
+      val ch = java.nio.channels.FileChannel.open(target,
+        java.nio.file.StandardOpenOption.READ,
+        com.sun.nio.file.ExtendedOpenOption.DIRECT)
+      val t0 = System.nanoTime()
+      try {
+        var total = 0L
+        var n = 0
+        while ({ buf.clear(); n = ch.read(buf); n > 0 }) total += n
+        val sec = (System.nanoTime() - t0) / 1e9
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        math.rint(total / 1e6 / sec * 10) / 10
+      } finally ch.close()
+    } catch { case _: Throwable => -1.0 }
+
   /** One-shot stamp as a JSON-object STRING — embed as the value of a
     * `"health_start"` / `"health_end"` key in any manifest line.
     */
   def json(): String =
     s"""{"load":${loadavg()},"other_spark_jvms":${otherSparkJvms()},""" +
-      s""""fault_us_per_page":${faultUsPerPage()}}"""
+      s""""fault_us_per_page":${faultUsPerPage()},""" +
+      s""""page_cache_mb":${pageCacheMb()},"cold_read_mbps":${coldReadMbps()}}"""
 }

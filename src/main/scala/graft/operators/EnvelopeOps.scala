@@ -117,10 +117,15 @@ object EnvelopeOps {
     // trim (bare {{.Timestamp}} renders Go-natively since r18): %f is
     // DuckDB's 6-digit microseconds; rtrim-'0' eats only fraction
     // zeros (it stops at the dot), rtrim-'.' drops a fully-zero
-    // fraction's dot.
+    // fraction's dot. Null semantics are ACTION-level (ADVICE r18): the
+    // compiled template empties the whole {{.Timestamp}} action —
+    // suffix included — on a NULL ts, so the oracle renders body+suffix
+    // through `||` (NULL-propagating) inside ONE coalesce rather than
+    // letting DuckDB's NULL-skipping concat leak the literal
+    // ' +0000 UTC' past a NULL timestamp.
     Q("a4_template_render",
       (s, dir) => renderPipeline(ev(s, dir)).orderBy("event_id"),
-      Some(s"""SELECT event_id, concat($duckShort, ' ', rtrim(rtrim(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '0'), '.'), ' +0000 UTC ', coalesce(props, '')) AS line
+      Some(s"""SELECT event_id, concat($duckShort, ' ', coalesce(rtrim(rtrim(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '0'), '.') || ' +0000 UTC', ''), ' ', coalesce(props, '')) AS line
               | FROM (SELECT event_id, ts, props, $duckHostId AS host_id FROM events)
               | ORDER BY event_id""".stripMargin.replace("\n", " "))),
 

