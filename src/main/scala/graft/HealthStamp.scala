@@ -187,11 +187,53 @@ object HealthStamp {
       } finally ch.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Durable-write rate in MB/s (-1 on failure): 32 MB written and
+    * `force(true)`'d to the probe directory, timed end-to-end. The
+    * THIRD environmental mechanism, caught in the r19 session: the
+    * host's write path intermittently throttles to ~14–16 MB/s
+    * (healthy: ~500 MB/s, measured minutes apart on the same box),
+    * which lands exactly on shuffle-heavy joins — every wide Exchange
+    * writes its map outputs to local disk, so a throttled write path
+    * inflates the big-join tail while scans and allocation-bound
+    * queries read normally. Neither the fault probe (anon memory) nor
+    * the O_DIRECT read probe can see it; this one makes the mechanism
+    * a mechanical read of any stamped artifact.
+    */
+  def writeMbps(): Double =
+    try {
+      val dir = java.nio.file.Paths.get("/tmp/graft_coldprobe")
+      java.nio.file.Files.createDirectories(dir)
+      val p = dir.resolve("writeprobe.bin")
+      val bytes = 32 * 1024 * 1024
+      val data = new Array[Byte](1 << 20)
+      new java.util.Random(0x57A7E5EEDL).nextBytes(data)
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        val t0 = System.nanoTime()
+        var written = 0L
+        while (written < bytes) {
+          val b = java.nio.ByteBuffer.wrap(data)
+          while (b.hasRemaining) ch.write(b)
+          written += data.length
+        }
+        ch.force(true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        math.rint(bytes / 1e6 / sec * 10) / 10
+      } finally {
+        ch.close()
+        java.nio.file.Files.deleteIfExists(p)
+      }
+    } catch { case _: Throwable => -1.0 }
+
   /** One-shot stamp as a JSON-object STRING — embed as the value of a
     * `"health_start"` / `"health_end"` key in any manifest line.
     */
   def json(): String =
     s"""{"load":${loadavg()},"other_spark_jvms":${otherSparkJvms()},""" +
       s""""fault_us_per_page":${faultUsPerPage()},""" +
-      s""""page_cache_mb":${pageCacheMb()},"cold_read_mbps":${coldReadMbps()}}"""
+      s""""page_cache_mb":${pageCacheMb()},"cold_read_mbps":${coldReadMbps()},""" +
+      s""""write_mbps":${writeMbps()}}"""
 }

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class HealthStampSpec extends AnyFunSuite {
 
-  test("json() is a parseable object with the five stamp fields") {
+  test("json() is a parseable object with the six stamp fields") {
     val s = HealthStamp.json()
     // Parse with the same strictness a python json.load applies, via
     // Spark's bundled Jackson (no extra dependency).
@@ -25,6 +25,14 @@ class HealthStampSpec extends AnyFunSuite {
     // cache occupancy and the O_DIRECT first-touch read rate.
     assert(m.has("page_cache_mb") && m.get("page_cache_mb").canConvertToLong)
     assert(m.has("cold_read_mbps") && m.get("cold_read_mbps").isNumber)
+    // The r19 third-mechanism probe: durable-write throughput (the
+    // shuffle spill path a throttled host write channel inflates).
+    assert(m.has("write_mbps") && m.get("write_mbps").isNumber)
+  }
+
+  test("write probe returns a positive rate (or the -1 sentinel)") {
+    val v = HealthStamp.writeMbps()
+    assert(v == -1.0 || (v > 0.0 && v < 1e6))
   }
 
   test("fault probe returns a positive finite latency") {
