@@ -228,12 +228,38 @@ object HealthStamp {
       }
     } catch { case _: Throwable => -1.0 }
 
+  /** Raw cumulative (steal, total) jiffies from `/proc/stat`'s
+    * aggregate cpu line ((-1,-1) off-Linux). The FOURTH environmental
+    * dimension, exposed by the r19 draw C anomaly: a 496 s sf0.1 draw
+    * whose loadavg read ~1.7 THROUGHOUT — the guest's runnable queue
+    * was short because its vCPUs were not being scheduled by the host,
+    * which no point-in-time guest probe can see. Steal is a COUNTER,
+    * so the stamp emits the raw cumulative values and a reader diffs
+    * the start/end stamps: steal fraction over the measured window =
+    * Δsteal / Δtotal. Healthy: ~0; a draw with Δsteal/Δtotal ≳ 0.05
+    * was CPU-starved by the host regardless of what its other stamps
+    * say.
+    */
+  def cpuJiffies(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val fields = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // cpu line: user nice system idle iowait irq softirq steal guest gnice
+        val steal = if (fields.length > 7) fields(7) else 0L
+        (steal, fields.sum)
+      } finally f.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** One-shot stamp as a JSON-object STRING — embed as the value of a
     * `"health_start"` / `"health_end"` key in any manifest line.
     */
-  def json(): String =
+  def json(): String = {
+    val (steal, total) = cpuJiffies()
     s"""{"load":${loadavg()},"other_spark_jvms":${otherSparkJvms()},""" +
       s""""fault_us_per_page":${faultUsPerPage()},""" +
       s""""page_cache_mb":${pageCacheMb()},"cold_read_mbps":${coldReadMbps()},""" +
-      s""""write_mbps":${writeMbps()}}"""
+      s""""write_mbps":${writeMbps()},""" +
+      s""""cpu_steal_jiffies":$steal,"cpu_total_jiffies":$total}"""
+  }
 }

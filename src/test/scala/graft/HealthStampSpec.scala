@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class HealthStampSpec extends AnyFunSuite {
 
-  test("json() is a parseable object with the six stamp fields") {
+  test("json() is a parseable object with the eight stamp fields") {
     val s = HealthStamp.json()
     // Parse with the same strictness a python json.load applies, via
     // Spark's bundled Jackson (no extra dependency).
@@ -28,6 +28,19 @@ class HealthStampSpec extends AnyFunSuite {
     // The r19 third-mechanism probe: durable-write throughput (the
     // shuffle spill path a throttled host write channel inflates).
     assert(m.has("write_mbps") && m.get("write_mbps").isNumber)
+    // The r19 fourth-dimension counters: cumulative steal/total jiffies
+    // (readers diff two stamps for the window's steal fraction).
+    assert(m.has("cpu_steal_jiffies") && m.get("cpu_steal_jiffies").canConvertToLong)
+    assert(m.has("cpu_total_jiffies") && m.get("cpu_total_jiffies").canConvertToLong)
+  }
+
+  test("cpu jiffies counters are monotone non-negative on Linux") {
+    val (s1, t1) = HealthStamp.cpuJiffies()
+    if (t1 != -1L) {
+      assert(s1 >= 0L && t1 > 0L && s1 <= t1)
+      val (s2, t2) = HealthStamp.cpuJiffies()
+      assert(s2 >= s1 && t2 >= t1, "cumulative counters must not go backwards")
+    }
   }
 
   test("write probe returns a positive rate (or the -1 sentinel)") {
