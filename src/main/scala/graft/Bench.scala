@@ -22,6 +22,12 @@ object Bench {
   // objects as every other tool (ADVICE r18 — the flat r17 key layout
   // was the one remaining artifact-shape exception).
   def main(args: Array[String]): Unit = {
+    // Raw jiffies bracket for the promote gate (VERDICT r19 ask #1): the
+    // gate needs the WINDOW's steal fraction, which only a start/end
+    // counter diff can give — captured before the start stamp's own disk
+    // probes so their cost sits inside the bracketed window like
+    // everything else the draw pays for.
+    val (stealStart, totalStart) = HealthStamp.cpuJiffies()
     val healthStart = HealthStamp.json()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,12 +114,44 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val (stealEnd, totalEnd) = HealthStamp.cpuJiffies()
+    val healthEnd = HealthStamp.json()
     val loadJson =
-      s""""health_start":$healthStart,"health_end":${HealthStamp.json()}"""
+      s""""health_start":$healthStart,"health_end":$healthEnd"""
+    // PROMOTE gate (VERDICT r19 ask #1): a promote request must survive
+    // the two checks a point-in-time stamp cannot fake — the window's
+    // steal fraction and a fresh sustained-write floor — or carry an
+    // explicit --force with the readings recorded. Draw C (r19, 496.4 s
+    // with unremarkable stamps) is the episode this mechanizes away.
+    val promoteRequested = args.contains("--promote") ||
+      sys.env.get("SPARK_GRAFT_PROMOTE").contains("1")
+    val force = args.contains("--force")
+    val gateSustained = if (promoteRequested) HealthStamp.writeSustainedMbps() else -1.0
+    val violations =
+      if (promoteRequested)
+        HealthStamp.promoteViolations(stealStart, totalStart, stealEnd, totalEnd, gateSustained)
+      else Seq.empty
+    val promote = promoteRequested && (violations.isEmpty || force)
+    val stealFrac =
+      if (totalEnd > totalStart && stealStart >= 0)
+        math.rint((stealEnd - stealStart).toDouble / (totalEnd - totalStart) * 10000) / 10000
+      else -1.0
+    val gateJson =
+      if (promoteRequested)
+        s""","promote_gate":{"steal_frac":$stealFrac,"write_sustained_mbps":$gateSustained,""" +
+          s""""violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""forced":${force && violations.nonEmpty},"promoted":$promote}"""
+      else ""
+    if (promoteRequested && violations.nonEmpty) {
+      val verdict = if (force) "FORCED past the promote gate" else "promote REFUSED"
+      System.err.println(s"[bench] $verdict: ${violations.mkString("; ")}" +
+        (if (force) " (readings recorded in the artifact)"
+         else " — re-run in a healthy window, or add --force to record the readings and promote anyway"))
+    }
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",$loadJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",$loadJson$gateJson}"""
     // Self-contained artifact: the FULL-precision line is also written to
     // a file. The default name carries the sf directory's basename so
     // back-to-back runs at different SFs (sf0.1 then sf1) land in
@@ -129,8 +167,9 @@ object Bench {
     // round-close ritual no longer needs a manual `git checkout`.
     val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    val promote = args.contains("--promote") ||
-      sys.env.get("SPARK_GRAFT_PROMOTE").contains("1")
+    // `promote` above is the GATED verdict: a refused promote falls
+    // through to the timestamped draw filename, so a contaminated window
+    // can never overwrite the committed envelope mechanically.
     val defaultOut =
       if (promote) s"BENCH_FULL_$sfTag.json"
       else {

@@ -175,6 +175,33 @@ object EnvelopeOps {
                  |   concat('{"outer": {"inner": ', props, ', "tag": "x"}}') AS env FROM events)
                  | ORDER BY event_id"""))),
 
+    // The r19 Stringer-through-printf renderer under the HASH gate
+    // (VERDICT r19 ask #5): Go's fmt calls time.Time's String() method
+    // for the %v AND %s verbs (reference main.go:281-289 via
+    // text/template's reflective print), so a bare Timestamp routed
+    // through a printf action — argument form and pipeline form both —
+    // must render the Go-native `yyyy-MM-dd HH:mm:ss[.fraction] +0000
+    // UTC` line, not the raw column cast. TemplateSpec pins the golden
+    // line; this pins the same render differentially against DuckDB
+    // with a4's rtrim fraction twin + the constant zone suffix. A
+    // numeric verb over the SAME scope (%d on the sequence) rides along
+    // to prove the Stringer fires per-VALUE, not per-action.
+    Q("a4d_template_printf",
+      (s, dir) =>
+        envelope(ev(s, dir)).select(
+          col("event_id"),
+          Template.compile(
+            """v=[{{printf "%v" .Timestamp}}] s=[{{.Timestamp | printf "%s"}}] n={{printf "%d" .SequenceNumber}}""",
+            Map(
+              "Timestamp" -> col("ts"),
+              "SequenceNumber" -> col("event_id"))).as("line"))
+          .orderBy("event_id"),
+      Some(sql("""SELECT event_id,
+                 | concat('v=[', coalesce(rtrim(rtrim(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '0'), '.') || ' +0000 UTC', ''),
+                 |   '] s=[', coalesce(rtrim(rtrim(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '0'), '.') || ' +0000 UTC', ''),
+                 |   '] n=', printf('%d', event_id)) AS line
+                 | FROM events ORDER BY event_id"""))),
+
     Q("a5_strftime",
       (s, dir) =>
         ev(s, dir).select(

@@ -83,7 +83,18 @@ object MagScale {
       "part", "orders", "documents")
     passthrough.foreach { t =>
       val link = java.nio.file.Paths.get(s"$dst/$t.parquet")
-      java.nio.file.Files.deleteIfExists(link)
+      // A prior run (or a copy-based rig) may have left a REAL parquet
+      // directory at the link path; deleteIfExists throws
+      // DirectoryNotEmptyException on it (ADVICE r19). Remove it
+      // recursively — it is this tool's own output location — before
+      // placing the symlink.
+      if (java.nio.file.Files.isDirectory(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(link).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.delete)
+      } else java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$src/$t.parquet").toAbsolutePath)
       println(s"[magscale] $t: symlinked")
