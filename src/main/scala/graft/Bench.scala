@@ -127,9 +127,22 @@ object Bench {
       sys.env.get("SPARK_GRAFT_PROMOTE").contains("1")
     val force = args.contains("--force")
     val gateSustained = if (promoteRequested) HealthStamp.writeSustainedMbps() else -1.0
+    // The draw's bracketing cold-read figures, pulled from the stamps
+    // already taken (min of whichever ends were measurable; -1 abstains).
+    val gateColdRead = {
+      def coldOf(stamp: String): Double =
+        try {
+          val v = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(stamp).get("cold_read_mbps").asDouble(-1.0)
+          v
+        } catch { case _: Throwable => -1.0 }
+      val vs = Seq(coldOf(healthStart), coldOf(healthEnd)).filter(_ >= 0)
+      if (vs.isEmpty) -1.0 else vs.min
+    }
     val violations =
       if (promoteRequested)
-        HealthStamp.promoteViolations(stealStart, totalStart, stealEnd, totalEnd, gateSustained)
+        HealthStamp.promoteViolations(stealStart, totalStart, stealEnd, totalEnd,
+          gateSustained, gateColdRead)
       else Seq.empty
     val promote = promoteRequested && (violations.isEmpty || force)
     val stealFrac =
@@ -138,7 +151,7 @@ object Bench {
       else -1.0
     val gateJson =
       if (promoteRequested)
-        s""","promote_gate":{"steal_frac":$stealFrac,"write_sustained_mbps":$gateSustained,""" +
+        s""","promote_gate":{"steal_frac":$stealFrac,"write_sustained_mbps":$gateSustained,"cold_read_min_mbps":$gateColdRead,""" +
           s""""violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""forced":${force && violations.nonEmpty},"promoted":$promote}"""
       else ""

@@ -394,7 +394,8 @@ object HealthStamp {
   def promoteViolations(
       stealStart: Long, totalStart: Long,
       stealEnd: Long, totalEnd: Long,
-      writeSustained: Double): Seq[String] = {
+      writeSustained: Double,
+      coldReadMin: Double = -1.0): Seq[String] = {
     val out = Seq.newBuilder[String]
     if (totalStart >= 0 && totalEnd > totalStart && stealStart >= 0 && stealEnd >= stealStart) {
       val frac = (stealEnd - stealStart).toDouble / (totalEnd - totalStart)
@@ -403,6 +404,13 @@ object HealthStamp {
     }
     if (writeSustained >= 0 && writeSustained < 50.0)
       out += f"sustained write floor $writeSustained%.1f MB/s (gate: >= 50)"
+    // Third criterion, added after the r20 draw-A episode: a window can
+    // pass the steal and write gates while the READ path is degraded
+    // (mechanism #2 — draw A read cold at 48.5 MB/s and promoted a
+    // 476.5 s envelope, 1.7x the lineage). Gate at the classifier's
+    // own cache-reclaim threshold so the two tools tell one story.
+    if (coldReadMin >= 0 && coldReadMin < 100.0)
+      out += f"cold O_DIRECT read $coldReadMin%.1f MB/s (gate: >= 100)"
     out.result()
   }
 }

@@ -73,6 +73,24 @@ class HealthStampSpec extends AnyFunSuite {
       "an empty jiffies window must not divide by zero or refuse")
   }
 
+  test("promote gate third criterion: a cold-degraded read path refuses (the r20 draw-A episode)") {
+    // Draw A (r20): steal 3.2%, sustained 57 MB/s — both gates passed —
+    // but the window read cold at 48.5 MB/s and the promoted envelope
+    // came out 1.7x the lineage. The gate now consumes the classifier's
+    // cache-reclaim threshold.
+    val drawA = HealthStamp.promoteViolations(0, 1000, 32, 2000,
+      writeSustained = 57.0, coldReadMin = 48.5)
+    assert(drawA.size == 1 && drawA.head.contains("cold"), s"draw A must refuse: $drawA")
+    // A healthy read path passes; the boundary is the classifier's 100:
+    assert(HealthStamp.promoteViolations(0, 1000, 0, 2000,
+      writeSustained = 400.0, coldReadMin = 100.0).isEmpty)
+    assert(HealthStamp.promoteViolations(0, 1000, 0, 2000,
+      writeSustained = 400.0, coldReadMin = 99.9).nonEmpty)
+    // The sentinel (O_DIRECT unavailable / collided probe) abstains:
+    assert(HealthStamp.promoteViolations(0, 1000, 0, 2000,
+      writeSustained = 400.0, coldReadMin = -1.0).isEmpty)
+  }
+
   test("cpu jiffies counters are monotone non-negative on Linux") {
     val (s1, t1) = HealthStamp.cpuJiffies()
     if (t1 != -1L) {
