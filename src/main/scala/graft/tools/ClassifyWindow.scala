@@ -117,21 +117,28 @@ object ClassifyWindow {
     }
 
     // Box-sharing flags (the r15 contention mode — older than the four
-    // mechanisms but still the first thing to rule out)
+    // mechanisms but still the first thing to rule out). The load gate
+    // reads the START stamp ONLY: the end stamp's loadavg is dominated
+    // by the draw's own 32-thread work (a first classifier pass over the
+    // r19 ladder flagged every long draw's own load as "shared-box" —
+    // the sf10 rung's end stamp reads 25), while foreign JVMs at either
+    // end genuinely shared the window.
     val jvms = (lng(start, "other_spark_jvms"), lng(end, "other_spark_jvms")) match {
       case (Some(a), Some(b)) => math.max(a, b)
       case _ => -1L
     }
-    def loadMax(n: JsonNode): Double =
-      Option(n.get("load")).filter(_.isArray).map { arr =>
-        (0 until arr.size()).map(arr.get(_).asDouble).foldLeft(0.0)(math.max)
-      }.getOrElse(-1.0)
-    val load = math.max(loadMax(start), loadMax(end))
+    // ... and of the start triple, only the 1-MINUTE average: in a
+    // back-to-back ladder ritual the 5/15-minute figures still carry
+    // the builder's own previous draw (the r19 close starts at
+    // [1.08, 1.72, 4.45]), so they flag the ritual itself.
+    val load =
+      Option(start.get("load")).filter(a => a.isArray && a.size() > 0)
+        .map(_.get(0).asDouble).getOrElse(-1.0)
     out += Verdict("shared-box",
       if (jvms > 0 || load > 3) "IMPLICATED"
       else if (jvms == 0 && load >= 0) "CLEAR"
       else "INCONCLUSIVE",
-      s"foreign spark JVMs $jvms; max load $load (gate: any foreign JVM or load > 3)")
+      s"foreign spark JVMs $jvms; start 1-min load $load (gate: any foreign JVM or pre-draw 1-min load > 3)")
 
     out.result()
   }

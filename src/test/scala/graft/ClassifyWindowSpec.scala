@@ -64,6 +64,20 @@ class ClassifyWindowSpec extends AnyFunSuite {
     val shared = healthy.replace("\"other_spark_jvms\":0", "\"other_spark_jvms\":2")
     val Right(v5) = ClassifyWindow.classifyArtifact(artifact(shared, healthy)): @unchecked
     assert(status(v5, "shared-box") == "IMPLICATED")
+    // ... but the END stamp's loadavg is the draw's OWN work (an sf10
+    // rung ends at load ~25) — only pre-draw load implicates:
+    val busyEnd = healthy.replace("\"load\":[0.5,0.6,0.7]", "\"load\":[24.9,20.1,12.0]")
+    val Right(v5b) = ClassifyWindow.classifyArtifact(artifact(healthy, busyEnd)): @unchecked
+    assert(status(v5b, "shared-box") == "CLEAR")
+    val busyStart = healthy.replace("\"load\":[0.5,0.6,0.7]", "\"load\":[5.2,4.8,4.1]")
+    val Right(v5c) = ClassifyWindow.classifyArtifact(artifact(busyStart, healthy)): @unchecked
+    assert(status(v5c, "shared-box") == "IMPLICATED")
+    // ... and of the start triple only the 1-MIN figure gates: elevated
+    // 5/15-min averages are the ritual's own previous draw (the r19
+    // close starts at [1.08, 1.72, 4.45] mid-ladder and is not shared):
+    val ritual = healthy.replace("\"load\":[0.5,0.6,0.7]", "\"load\":[1.08,1.72,4.45]")
+    val Right(v5d) = ClassifyWindow.classifyArtifact(artifact(ritual, healthy)): @unchecked
+    assert(status(v5d, "shared-box") == "CLEAR")
   }
 
   test("pre-r20 artifacts: burst write is an upper bound, not a clearance") {
