@@ -267,27 +267,48 @@ object LlmOps {
     * Beyond", CIKM 2014). Input/output: undirected edge set, one row per
     * edge, no self-loops.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(explode(array(
       struct(col("u"), col("v")),
       struct(col("v").as("u"), col("u").as("v")))).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
-    val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-    sym.filter(col("v") > col("u")).join(m, "u")
+    // Neighborhood min as a window over the SAME shuffle the round
+    // already pays (optimization r20, guide §2.4): the former
+    // groupBy+join spelling shuffled `sym` twice (once partially
+    // aggregated for the min table, once in full for the equi-join) —
+    // the window computes the identical per-u min on the single full
+    // shuffle. Skew is unchanged: either spelling gathers N(u) at u's
+    // partition, which IS the large-star contract (the hub's
+    // neighborhood must meet its min). The trailing distinct is gone
+    // too: two (u₁,v),(u₂,v) rows can emit duplicate (v,m) edges, and
+    // the composed smallStar's own terminal distinct removes them —
+    // one round = one dedup, not two (the duplicate volume is bounded
+    // by |E|, the same bound the old intermediate carried).
+    val w = Window.partitionBy("u")
+    sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
   }
 
   /** One small-star round: edges point big→small; every node u connects
     * its smaller-or-equal neighborhood (and itself) to its minimum
     * neighbor — stars flatten to depth 1.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    // Same one-shuffle window form as largeStar, and the same reasoning
+    // for the dropped input distinct: duplicate big→small rows (from an
+    // undeduped largeStar output) change neither the per-u min nor the
+    // emitted edge SET — the terminal distinct canonicalizes once for
+    // the whole round. Exchanges per round drop 7 → 3 (PlanSpec's
+    // cc-round case pins the count); the fixpoint sequence and labels
+    // are unchanged (PropertySpec's 500-node path + the i15/i80
+    // oracles).
     val dir = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    val m = dir.groupBy("u").agg(min(col("v")).as("m"))
-    dir.join(m, "u")
+      .filter(col("u") =!= col("v"))
+    val w = Window.partitionBy("u")
+    dir.withColumn("m", min(col("v")).over(w))
       .select(explode(array(
         struct(col("v").as("a"), col("m").as("b")),
         struct(col("u").as("a"), col("m").as("b")))).as("p"))
@@ -629,9 +650,25 @@ object LlmOps {
     * groupBy on the source endpoint. Shared by i74/i82/i83.
     */
   private def nearDupEdges(docs: DataFrame): DataFrame = {
-    val nd = nearDupPairs(docs).select(col("doc_id1"), col("doc_id2"))
-    nd.unionAll(
-      nd.select(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2")))
+    // Symmetrize by EXPLODE, not unionAll, and materialize once
+    // (optimization r20, guide §2.4/§1.2): Catalyst does not share a
+    // subtree between two union branches, so the former
+    // nd.unionAll(nd.swap) ran the whole pair pipeline (prefix join +
+    // verify) TWICE per consumer — and the graph queries then fanned
+    // that out again through every self-join of the edge list (i74's
+    // plan re-derived the pairs ~8×, 72 Exchanges). One explode row →
+    // two directed edges is the same trick largeStar already uses; the
+    // checkpoint is the in-session analog of persisting the edge table,
+    // exactly as the pair/sketch checkpoints above (the oracle gate
+    // never sees engine state — each query still computes from the
+    // parquet corpus).
+    nearDupPairs(docs)
+      .select(explode(array(
+        struct(col("doc_id1"), col("doc_id2")),
+        struct(col("doc_id2").as("doc_id1"), col("doc_id1").as("doc_id2"))))
+        .as("p"))
+      .select(col("p.doc_id1").as("doc_id1"), col("p.doc_id2").as("doc_id2"))
+      .localCheckpoint(true)
   }
 
   /** One label-propagation step (i82): majority neighbor `lang` over
@@ -665,19 +702,25 @@ object LlmOps {
     * round (0 = peeled). See the i83 registry commentary.
     */
   private[graft] def kcorePeel(docs: DataFrame): DataFrame = {
-    // Materialize the edge list once: the peel cascade references it
-    // through THREE degree aggregates (deg0, deg1 via ed1, deg2 via
-    // ed2), and without a checkpoint each one re-runs the whole pair
-    // pipeline from the corpus scan (measured 2× the query at sf0.1).
+    // The edge list arrives checkpointed from nearDupEdges; the peel
+    // cascade references it through THREE degree aggregates (deg0,
+    // deg1 via ed1, deg2 via ed2) without re-running the pair pipeline.
     // The 100 TB form persists the edge table between peel iterations —
     // it IS the loop state (see the registry commentary).
-    val edges = nearDupEdges(docs).localCheckpoint(true)
+    val edges = nearDupEdges(docs)
     val deg0 = edges.groupBy(col("doc_id1").as("doc_id"))
       .agg(count(lit(1)).as("deg0"))
     val alive1 = deg0.filter(col("deg0") >= 2).select(col("doc_id"))
+    // ed1 is itself a multi-consumer intermediate (deg1, and BOTH semi
+    // joins of ed2 reference it) — uncheckpointed, its two semi joins
+    // re-ran ~4× through the cascade (24 SortMergeJoins in the r20
+    // before-plan, 48 Exchanges). The peel loop's state at 100 TB is
+    // the residual edge table per round; checkpointing each round's
+    // residual is that design in-session.
     val ed1 = edges
       .join(alive1.select(col("doc_id").as("doc_id1")), "doc_id1", "left_semi")
       .join(alive1.select(col("doc_id").as("doc_id2")), "doc_id2", "left_semi")
+      .localCheckpoint(true)
     val deg1 = ed1.groupBy(col("doc_id1").as("doc_id"))
       .agg(count(lit(1)).as("deg1"))
     val alive2 = deg1.filter(col("deg1") >= 2).select(col("doc_id"))
@@ -1401,9 +1444,12 @@ object LlmOps {
     Q("i74_pagerank_step",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val nd = nearDupPairs(docs).select(col("doc_id1"), col("doc_id2"))
-        val edges = nd.select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
-          .unionAll(nd.select(col("doc_id2").as("src"), col("doc_id1").as("dst")))
+        // Checkpointed symmetric edge list (nearDupEdges): deg and
+        // contrib both re-derive from it, and the final three-way join
+        // references deg twice — without the materialization the pair
+        // pipeline re-ran ~8× (72 Exchanges in the r20 before-plan).
+        val edges = nearDupEdges(docs)
+          .select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val contrib = edges.join(deg, "src")
           .select(col("dst"),
@@ -1447,10 +1493,18 @@ object LlmOps {
     // counts agree while each engine uses the orientation that suits it.
     Q("i79_triangles",
       (s, dir) => {
+        // The pair table feeds FIVE consumers (deg twice via the
+        // degree union, both endpoint-degree joins, and the final
+        // rollup's degree join) and the oriented edge table feeds the
+        // wedge join THREE times — uncheckpointed, the before-plan
+        // re-derived the pair pipeline ~17× (202 Exchanges, the single
+        // worst plan in the r20 registry audit). Materialize each once:
+        // the 100 TB triangle count persists exactly these two tables
+        // (pairs, oriented edges) between stages.
         val nd = nearDupPairs(t(s, dir, "documents"))
           .select(col("doc_id1").as("u"), col("doc_id2").as("v"))
-        val deg = nd.select(col("u").as("doc_id"))
-          .unionAll(nd.select(col("v").as("doc_id")))
+          .localCheckpoint(true)
+        val deg = nd.select(explode(array(col("u"), col("v"))).as("doc_id"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
         val du = deg.select(col("doc_id").as("u"), col("deg").as("dg_u"))
         val dv = deg.select(col("doc_id").as("v"), col("deg").as("dg_v"))
@@ -1462,6 +1516,7 @@ object LlmOps {
             when(col("dg_u") < col("dg_v") ||
               (col("dg_u") === col("dg_v") && col("u") < col("v")),
               col("v")).otherwise(col("u")).as("dst"))
+          .localCheckpoint(true)
         val tri = ed.alias("e1")
           .join(ed.alias("e2"), col("e1.dst") === col("e2.src"))
           .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))

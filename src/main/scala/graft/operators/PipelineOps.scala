@@ -1253,10 +1253,16 @@ object PipelineOps {
   private[graft] def bandCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("b"), col(s"mh${2 * b}").as("x"), col(s"mh${2 * b + 1}").as("y")))
+    // Materialized once: the self-join below references the band table
+    // on BOTH sides, and Catalyst shares no subtree between them — the
+    // uncheckpointed form re-ran the signature build (tokenize + 8-way
+    // min aggregate) twice per consumer (optimization r20, guide §2.4).
+    // In-session analog of the persisted band table (BuildIndexes).
     val bands = sig.select(col("doc_id"), col("source"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("source"),
         col("band.b").as("b"), col("band.x").as("x"), col("band.y").as("y"))
+      .localCheckpoint(true)
     bands.alias("l")
       .join(bands.alias("r"),
         col("l.b") === col("r.b") && col("l.x") === col("r.x") &&
@@ -1346,9 +1352,14 @@ object PipelineOps {
     * count and the n_agree/8 estimate.
     */
   private[graft] def minhashEstimate(pairs: DataFrame, sig: DataFrame): DataFrame = {
-    val s1 = sig.select(col("doc_id").as("doc_id1") +:
+    // Both join sides read the signature table; materialize it once so
+    // an in-query sig build (i71: tokenize + 8-way min aggregate) does
+    // not run twice (guide §2.4 — Catalyst shares no subtree between
+    // the two sides). A persisted-sig caller pays one cheap re-scan.
+    val sigCk = sig.localCheckpoint(true)
+    val s1 = sigCk.select(col("doc_id").as("doc_id1") +:
       (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
-    val s2 = sig.select(col("doc_id").as("doc_id2") +:
+    val s2 = sigCk.select(col("doc_id").as("doc_id2") +:
       (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
     val agree = (0 until NumHashes)
       .map(j => when(col(s"a$j") === col(s"b$j"), lit(1L)).otherwise(lit(0L)))
@@ -3766,7 +3777,11 @@ object PipelineOps {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val c0 = stubCodebook(emb, ivfParams.k)
+        // One-step codebook materialized once: the two-stage broadcast
+        // assignment references it per stage, re-running the corpus
+        // means pass each time when left as a live subtree (guide §2.4).
         val c1 = lloydCodebook(lloydQuantMeans(emb, c0), c0)
+          .localCheckpoint(true)
         assignToCentroids(emb, c1)
           .select(col("cid"), posexplode(col("embedding")))
           .select(col("cid"), col("pos").cast("long").as("pos"),
@@ -3891,7 +3906,12 @@ object PipelineOps {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val sub = pqBlocks(emb, nBlocks = 4, blockDim = 16).localCheckpoint(true)
+        // Trained codebook materialized once (the i44/i43 rule):
+        // pqQuantize references it on both the assign and reconstruction
+        // sides, and uncheckpointed the one-step Lloyd training re-ran
+        // per reference (guide §2.4).
         val cent = pqTrainStep(sub, pqStubCodebook(sub, ivfParams.k))
+          .localCheckpoint(true)
         pqQuantize(sub, cent, nBlocks = 4).orderBy("vec_id")
       },
       Some(sql("""WITH blocks AS (SELECT unnest(range(0, 4)) AS b),
@@ -3979,7 +3999,10 @@ object PipelineOps {
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val sub = pqBlocks(emb, nBlocks = 4, blockDim = 16).localCheckpoint(true)
+        // Trained codebook materialized once (the i44/i43 rule) — it
+        // feeds both the code assignment and the broadcast LUT below.
         val cent = pqTrainStep(sub, pqStubCodebook(sub, ivfParams.k))
+          .localCheckpoint(true)
         val codes = pqAssign(sub, cent).select(col("vec_id"), col("b"), col("cid"))
         val qsub = sub.filter(col("vec_id") === 0)
           .select(col("b"), col("sub").as("qv"))
@@ -4075,7 +4098,10 @@ object PipelineOps {
         val assigned = assignToCentroids(emb, coarse)
           .select(col("vec_id"), col("cid"))
         val sub = pqBlocks(emb, nBlocks = 4, blockDim = 16).localCheckpoint(true)
+        // Trained codebook materialized once (the i44/i43 rule) — it
+        // feeds both the code assignment and the broadcast LUT below.
         val cent = pqTrainStep(sub, pqStubCodebook(sub, ivfParams.k))
+          .localCheckpoint(true)
         val codes = pqAssign(sub, cent)
           .select(col("vec_id"), col("b"), col("cid").as("pcid"))
         ivfPqSearch(emb, coarse, cent, assigned, codes)
