@@ -351,11 +351,20 @@ object LlmOps {
       maxRounds: Int = 32): DataFrame = {
     // Canonical big→small edge form; node set extracted in the same
     // pass over the (expensive) pair pipeline via the checkpoint below.
+    // LAZY checkpoint + count (optimization r20): the convergence loop
+    // needs each round's edge count anyway, so the count() action IS the
+    // materializing job — eager checkpointing ran a separate
+    // materialization job first and then a second job for the count,
+    // doubling the fixed per-round job cost that dominates small rounds
+    // (and at scale is pure scheduler overhead on top of real work).
+    // Lineage truncation and block persistence are identical; only the
+    // job count changes (2 per round → 1, plus the rare equal-count
+    // anti-join probe).
     val canon = pairs.select(
         greatest(col("doc_id1"), col("doc_id2")).as("u"),
         least(col("doc_id1"), col("doc_id2")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = canon.select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct()
     var cur = canon
@@ -363,7 +372,7 @@ object LlmOps {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextCnt = next.count()
       // Distinct edge sets of equal size are equal iff the anti-join is
       // empty; limit(1) keeps the probe a short-circuit, not a scan.
@@ -604,7 +613,12 @@ object LlmOps {
     val corpusMatched = verifyJaccard(candCross, sets)
       .select(col("doc_id2").as("doc_id")).distinct()
       .localCheckpoint(true)
+    // Both sides of the internal-pair self-join read the screened band
+    // table — materialized once (the r20 rule: Catalyst shares no
+    // subtree between self-join sides, so the anti-join screen re-ran
+    // per side).
     val cleanBands = batchBands.join(corpusMatched, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     val candIn = cleanBands.alias("l")
       .join(cleanBands.alias("r"),
         col("l.b") === col("r.b") && col("l.v") === col("r.v") &&

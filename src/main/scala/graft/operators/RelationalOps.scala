@@ -844,11 +844,15 @@ object RelationalOps {
           .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
         val med = distMedianW(dist, "vc", "m")
         // 2·|cents − m| is an exact integer (m moves in half-cent steps).
+        // Materialized once (the r20 rule): the MAD median and the final
+        // rollup both read the deviation distribution — uncheckpointed,
+        // the broadcast join + re-key aggregate ran twice.
         val devDist = dist.join(broadcast(med), "g")
           .select(col("g"), col("cnt"), col("m"),
             abs(lit(2L) * col("vc") - (lit(2.0) * col("m")).cast("long")).as("d2"))
           .groupBy(col("g"), col("d2"))
           .agg(sum(col("cnt")).as("cnt"), min(col("m")).as("m"))
+          .localCheckpoint(true)
         val mad = distMedianW(devDist, "d2", "mad2")
         // m/mad2 are per-group constants riding the aggregate (min) —
         // no re-join of the median tables after the rollup.
