@@ -279,16 +279,19 @@ object LlmOps {
     // the window computes the identical per-u min on the single full
     // shuffle. Skew is unchanged: either spelling gathers N(u) at u's
     // partition, which IS the large-star contract (the hub's
-    // neighborhood must meet its min). The trailing distinct is gone
-    // too: two (u₁,v),(u₂,v) rows can emit duplicate (v,m) edges, and
-    // the composed smallStar's own terminal distinct removes them —
-    // one round = one dedup, not two (the duplicate volume is bounded
-    // by |E|, the same bound the old intermediate carried).
+    // neighborhood must meet its min). The terminal distinct STAYS:
+    // inside a k-clique every (u,v) row emits (v, componentMin), so the
+    // pre-distinct stream holds ~k duplicates per node — dropping the
+    // dedup here (tried first in r20) fed O(k²) rows per clique into
+    // the next star and read 2–3× on the clique-heavy sf1 rung while
+    // being invisible at sf0.1. Duplicate volume is a per-ROUND
+    // property, not a per-plan one; each star must hand the next a
+    // deduped edge set.
     val w = Window.partitionBy("u")
     sym.withColumn("m", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v"))
+      .filter(col("u") =!= col("v")).distinct()
   }
 
   /** One small-star round: edges point big→small; every node u connects
@@ -296,14 +299,13 @@ object LlmOps {
     * neighbor — stars flatten to depth 1.
     */
   private[graft] def smallStar(e: DataFrame): DataFrame = {
-    // Same one-shuffle window form as largeStar, and the same reasoning
-    // for the dropped input distinct: duplicate big→small rows (from an
-    // undeduped largeStar output) change neither the per-u min nor the
-    // emitted edge SET — the terminal distinct canonicalizes once for
-    // the whole round. Exchanges per round drop 7 → 3 (PlanSpec's
-    // cc-round case pins the count); the fixpoint sequence and labels
-    // are unchanged (PropertySpec's 500-node path + the i15/i80
-    // oracles).
+    // Same one-shuffle window form as largeStar. The input needs no
+    // dedup of its own: the loop only ever feeds this the DISTINCT
+    // largeStar output (and the initial canon is distinct), so the old
+    // spelling's input distinct was a no-op dedup — dropped. Exchanges
+    // per round: 7 → 4 (PlanSpec's cc-round case pins the count); the
+    // fixpoint sequence and labels are unchanged (PropertySpec's
+    // 500-node path + the i15/i80 oracles).
     val dir = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))

@@ -1634,23 +1634,27 @@ class PlanSpec extends SparkTestBase {
     assert(shuffles == 1, s"m6: expected ONE hash Exchange, got $shuffles:\n$p")
   }
 
-  test("cc round: one large+small star round runs on THREE hash Exchanges") {
+  test("cc round: one large+small star round runs on FOUR hash Exchanges") {
     // Optimization r20: the star-contraction round computes each
     // neighborhood min as a window over the round's ONE per-star
     // shuffle (the former groupBy+join spelling paid two shuffles per
-    // star plus an extra distinct — 7 exchanges per round). The round
-    // = largeStar (1: window on u) + smallStar (2: window on u,
-    // terminal distinct). A count here is the fixpoint's per-round
-    // cost at any scale — each extra Exchange multiplies by the round
-    // count.
+    // star — 7 exchanges per round). The round = largeStar (window on
+    // u + terminal distinct) + smallStar (window on u + terminal
+    // distinct). Each star's distinct is LOAD-BEARING, not shape
+    // hygiene: inside a k-clique every edge row emits (node,
+    // componentMin), so an undeduped hand-off feeds O(k²) rows per
+    // clique into the next star (measured 2–3× on the clique-heavy
+    // sf1 rung when largeStar's distinct was dropped). A count here is
+    // the fixpoint's per-round cost at any scale — each extra Exchange
+    // multiplies by the round count.
     import org.apache.spark.sql.functions.col
     import graft.operators.LlmOps
     val e = spark.range(0, 50).selectExpr("id AS u", "id + 1 AS v")
       .select(col("u"), col("v"))
     val p = plan(LlmOps.smallStar(LlmOps.largeStar(e)))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(shuffles == 3,
-      s"cc round: expected 3 hash Exchanges (2 windows + distinct), got $shuffles:\n$p")
+    assert(shuffles == 4,
+      s"cc round: expected 4 hash Exchanges (2 windows + 2 distincts), got $shuffles:\n$p")
     val windows = "Window".r.findAllIn(p).size
     assert(windows >= 2, s"cc round: both stars must use window mins:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
