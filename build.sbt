@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses the LAST line of `sbt "runMain graft.Bench"`
+// stdout; sbt's `[success] Total time: ...` banner printed AFTER the
+// app's compact JSON trailer is exactly why round 19's bench parsed
+// null (VERDICT r20 ask #8). Suppress the banner globally so the
+// trailer is the final stdout line on every driver run.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,6 +66,17 @@ object TextFunctions {
       regexp_replace(text, lit("[^a-z0-9 ]"), lit("")),
       lit(" +"), lit(" ")))
 
+  /** Distinct-overlap COUNT of two sorted `array<bigint>` sketch columns
+    * — the verify-stage replacement for `size(array_intersect(a, b))` on
+    * `sort_array(collect_set(...))` sketches, as the native
+    * [[SortedIntersectCount]] two-pointer merge (no per-row hash set, no
+    * materialized intersection array; see the expression's Scaladoc for
+    * the exact-equivalence argument, PropertySpec for the cross-check).
+    * ONLY for sorted inputs — an unsorted array undercounts.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_count", a, b)
+
   /** Hex digit at 1-based position `pos` (column) of md5(tok), as 0-15. */
   def md5HexDigit(tok: Column, pos: Column): Column =
     conv(md5(tok).substr(pos, lit(1)), 16, 10).cast("long")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.functions.VectorFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Group D (SURVEY.md §2.D): LLM-data-pipeline operators over the
   * `documents` / `embeddings` tables — dedup (exact + near), similarity
@@ -82,7 +82,7 @@ object LlmOps {
       col("n_tok").as("n1"))
     val r = sets.select(col("doc_id").as("doc_id2"), col("rks").as("rks2"),
       col("n_tok").as("n2"))
-    val inter = size(array_intersect(col("rks1"), col("rks2"))).cast("long")
+    val inter = TextFunctions.sortedIntersectCount(col("rks1"), col("rks2")).cast("long")
     val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
     cand.join(l, "doc_id1").join(r, "doc_id2")
       .withColumn("inter", inter)
@@ -157,7 +157,7 @@ object LlmOps {
       col("n_tok").as("n2"))
     cand.join(l, "doc_id1").join(r, "doc_id2")
       .withColumn("inter",
-        size(array_intersect(col("rks1"), col("rks2"))).cast("long"))
+        TextFunctions.sortedIntersectCount(col("rks1"), col("rks2")).cast("long"))
       .withColumn("un", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 10 >= col("un") * thetaTenths)
       .select(col("doc_id1"), col("doc_id2"), col("inter"), col("un"))
@@ -196,7 +196,7 @@ object LlmOps {
       col("n_tok").as("n2"))
     cand.join(l, "doc_id1").join(r, "doc_id2")
       .withColumn("inter",
-        size(array_intersect(col("rks1"), col("rks2"))).cast("long"))
+        TextFunctions.sortedIntersectCount(col("rks1"), col("rks2")).cast("long"))
       .withColumn("un", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 10 >= col("un") * thetaTenths)
       .select(col("doc_id1"), col("doc_id2"), col("inter"), col("un"))
@@ -253,7 +253,7 @@ object LlmOps {
     val r = sets.select(col("doc_id").as("doc_b"), col("rks").as("rks_b"))
     cand.join(l, "doc_a").join(r, "doc_b")
       .withColumn("n_inter",
-        size(array_intersect(col("rks_a"), col("rks_b"))).cast("long"))
+        TextFunctions.sortedIntersectCount(col("rks_a"), col("rks_b")).cast("long"))
       .filter(col("n_inter") * 10 >= col("na") * 9)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         round(col("n_inter") / col("na"), 3).as("containment"))
@@ -497,10 +497,16 @@ object LlmOps {
     // group is keyed by its min doc id — which IS the tiebreak winner,
     // so group-level argmax (max rounded J, min base rep) expands to
     // exactly the doc-level answer.
+    // The two GROUP tables below are NOT checkpointed (optimization r21,
+    // same finding as the i71/i98 revert): each has 2-3 consumers, but
+    // every recompute is a one-shuffle groupBy/window over the
+    // checkpointed `sets` scan — no tokenize — and the duplicated
+    // subtrees run concurrently inside the one verify job, while the r20
+    // eager checkpoints serialized two extra materialization jobs ahead
+    // of it. Same-window A/B (OPTIMIZATION_r21.md): dropping them wins.
     val baseG = sets.filter(col("doc_id") < boundary)
       .groupBy(col("rks")).agg(min(col("doc_id")).as("match_id"))
       .withColumn("n_tok", size(col("rks")).cast("long"))
-      .localCheckpoint(true)
     // Probe rows carry their group id (= group-min doc id) via a window
     // over the SAME rks shuffle a groupBy would need — Spark cannot
     // hash-join on an array key (a groupBy'd group table would have to
@@ -511,7 +517,6 @@ object LlmOps {
     val probes = sets.filter(col("doc_id") >= boundary)
       .select(col("doc_id"), col("rks"))
       .withColumn("pg", min(col("doc_id")).over(Window.partitionBy(col("rks"))))
-      .localCheckpoint(true)
     val probeG = probes.filter(col("doc_id") === col("pg"))
       .select(col("rks"), col("pg"))
       .withColumn("n_tok", size(col("rks")).cast("long"))
@@ -528,7 +533,7 @@ object LlmOps {
       col("n_tok").as("n1"))
     val pg = probeG.select(col("pg"), col("rks").as("rks2"),
       col("n_tok").as("n2"))
-    val inter = size(array_intersect(col("rks1"), col("rks2"))).cast("long")
+    val inter = TextFunctions.sortedIntersectCount(col("rks1"), col("rks2")).cast("long")
     val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
     // Per-probe-group argmax as a MAX-of-struct hash aggregate — (max
     // rounded J, min match id) ≡ max (J, −id) — so the reduction partial-

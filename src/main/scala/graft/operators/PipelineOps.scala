@@ -1253,16 +1253,21 @@ object PipelineOps {
   private[graft] def bandCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("b"), col(s"mh${2 * b}").as("x"), col(s"mh${2 * b + 1}").as("y")))
-    // Materialized once: the self-join below references the band table
-    // on BOTH sides, and Catalyst shares no subtree between them — the
-    // uncheckpointed form re-ran the signature build (tokenize + 8-way
-    // min aggregate) twice per consumer (optimization r20, guide §2.4).
-    // In-session analog of the persisted band table (BuildIndexes).
+    // NOT materialized (optimization r21, reverting r20): the self-join
+    // references the band table on both sides and Catalyst shares no
+    // subtree between them, so the signature build does run twice — but
+    // the two subtrees run CONCURRENTLY inside the one join job on cores
+    // the stage leaves idle, while an eager checkpoint serializes a
+    // materialization job ahead of the join. Three independent r20 draws
+    // had the checkpointed form 15-46% slower on i98 (and i8/i75 flat);
+    // the r21 same-window A/B confirmed (OPTIMIZATION_r21.md). At real
+    // cluster scale duplicate work is not free — there the band table is
+    // the PERSISTED artifact (BuildIndexes) and the `...From` read paths
+    // scan it twice for pennies; the in-query twins stay lean.
     val bands = sig.select(col("doc_id"), col("source"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("source"),
         col("band.b").as("b"), col("band.x").as("x"), col("band.y").as("y"))
-      .localCheckpoint(true)
     bands.alias("l")
       .join(bands.alias("r"),
         col("l.b") === col("r.b") && col("l.x") === col("r.x") &&
@@ -1352,14 +1357,16 @@ object PipelineOps {
     * count and the n_agree/8 estimate.
     */
   private[graft] def minhashEstimate(pairs: DataFrame, sig: DataFrame): DataFrame = {
-    // Both join sides read the signature table; materialize it once so
-    // an in-query sig build (i71: tokenize + 8-way min aggregate) does
-    // not run twice (guide §2.4 — Catalyst shares no subtree between
-    // the two sides). A persisted-sig caller pays one cheap re-scan.
-    val sigCk = sig.localCheckpoint(true)
-    val s1 = sigCk.select(col("doc_id").as("doc_id1") +:
+    // Both join sides read the signature table UNCHECKPOINTED
+    // (optimization r21, reverting r20): the duplicated in-query sig
+    // subtrees run concurrently inside the one join job, while the r20
+    // eager checkpoint serialized a materialization job ahead of it —
+    // +29-48% on i71 in all three independent r20 draws, re-confirmed by
+    // the r21 same-window A/B (OPTIMIZATION_r21.md). A persisted-sig
+    // caller (PersistedIndexSpec's read path) pays one cheap re-scan.
+    val s1 = sig.select(col("doc_id").as("doc_id1") +:
       (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
-    val s2 = sigCk.select(col("doc_id").as("doc_id2") +:
+    val s2 = sig.select(col("doc_id").as("doc_id2") +:
       (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
     val agree = (0 until NumHashes)
       .map(j => when(col(s"a$j") === col(s"b$j"), lit(1L)).otherwise(lit(0L)))
@@ -3283,7 +3290,7 @@ object PipelineOps {
           col("n").as("n1"))
         val r = docSets.select(col("doc_id").as("doc_id2"), col("rks").as("rks2"),
           col("n").as("n2"))
-        val inter = size(array_intersect(col("rks1"), col("rks2"))).cast("long")
+        val inter = TextFunctions.sortedIntersectCount(col("rks1"), col("rks2")).cast("long")
         val jac = col("inter") / (col("n1") + col("n2") - col("inter"))
         cand.join(l, "doc_id1").join(r, "doc_id2")
           .withColumn("inter", inter)

@@ -90,6 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NsTimestampPushdown)
     ext.injectFunction(graft.functions.DotProduct.description)
+    ext.injectFunction(graft.functions.SortedIntersectCount.description)
     ext.injectFunction(graft.functions.PolyFingerprint.description)
     ext.injectFunction(graft.functions.AsciiSanitize.description)
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as

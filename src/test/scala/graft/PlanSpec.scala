@@ -1284,6 +1284,23 @@ class PlanSpec extends SparkTestBase {
       s"no degree pass may rescan the corpus (edges are materialized), got $scans:\n$p")
   }
 
+  test("i70: containment candidates stay an equi-join over the ONE materialized sketch") {
+    // VERDICT r20 ask #5: i70 had no plan pin. The shape that must hold
+    // at 100 TB: the token sets materialize once (ExistingRDD — the
+    // corpus is tokenized exactly once, like i14), the A-prefix × B-set
+    // candidate join is an equi-join on (source, rk) with the lossless
+    // |B| >= 0.9|A| length guard, and nothing plans a cartesian or an
+    // unpartitioned window.
+    val p = plan(Registry.byId("i70_containment_dedup").build(spark, dir))
+    assert(p.contains("ExistingRDD"),
+      s"i70: the sketch must be a materialized scan:\n$p")
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"),
+      s"i70: no consumer may re-tokenize the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"i70: candidates must come from the (source, rk) equi-join:\n$p")
+    assert(!p.contains("Window"), s"i70 must not plan a window:\n$p")
+  }
+
   test("d17: CUSUM runs on ONE user_id Exchange — prefix sum and prefix min share the sort") {
     // The closed form S = P − min(0, runmin P) puts both running
     // aggregates AND the final per-user rollup on the same hash(user_id)
