@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Typed envelope for the stream surrogate table (`events`).
@@ -28,7 +30,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  // Per-session RELATION cache — the in-session analog of a catalog
+  // metastore entry (optimization r21, the per-query fixed-overhead
+  // floor): a bare `spark.read.parquet` pays a file listing plus a
+  // schema-inference footer job on EVERY call, ~0.10-0.14 s measured
+  // (tools/ProbeFloor), and the registry's 253 queries each re-create
+  // their relations from scratch — pure metadata overhead repeated
+  // hundreds of times per bench/verify run. A real deployment reads
+  // these ten fixed tables through a catalog that resolves the schema
+  // and file list ONCE; this cache is that, scoped to the session.
+  // It holds ONLY the resolved logical relation (schema + file index) —
+  // never row data, never results: every query still scans parquet and
+  // computes from it inside its own timed region. Keyed additionally by
+  // the table directory's mtime so an overwrite-then-reload (tools and
+  // tests writing scratch dirs) can never serve a stale file list.
+  private val relCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Long), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val mtime =
+      try Files.getLastModifiedTime(Paths.get(s"$dir/$name.parquet")).toMillis
+      catch { case _: Throwable => -1L }
+    relCache.computeIfAbsent((spark, dir, name, mtime), _ => loadFresh(spark, dir, name))
+  }
+
+  private def loadFresh(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS). How Spark reads it differs
       // across 4.x builds: some refuse a native read (PARQUET_TYPE_ILLEGAL)
