@@ -20,10 +20,22 @@ import org.apache.spark.storage.BlockId
   */
 object GraftBlockProbe {
   /** Number of broadcast blocks currently registered with the driver's
-    * block-manager master. Driver-side metadata read only — does not
-    * ask executors for status.
+    * block-manager master, or -1 when the probe itself fails. Driver-side
+    * metadata read only — does not ask executors for status.
+    *
+    * FAIL-SOFT (optimization r21): `getMatchingBlockIds` iterates the
+    * master endpoint's block map, which the async ContextCleaner mutates
+    * concurrently as it reaps exactly the broadcasts this probe is
+    * counting — the race surfaces as a ConcurrentModificationException
+    * inside the RPC and, unguarded, killed two full bench draws this
+    * round AFTER every query had already succeeded (the probe runs in
+    * the per-query hygiene block). A hygiene heuristic must never be
+    * able to fail the measurement it protects: on any error the caller
+    * sees -1, skips the threshold GC for that query, and the next
+    * query's probe tries again.
     */
   def broadcastBlockCount(sc: SparkContext): Int =
-    sc.env.blockManager.master
+    try sc.env.blockManager.master
       .getMatchingBlockIds(_.isBroadcast, askStorageEndpoints = false).size
+    catch { case _: Throwable => -1 }
 }
